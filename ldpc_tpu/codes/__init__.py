@@ -1,0 +1,3 @@
+"""Code-definition layer: H builders, toy fixtures, layout compiler."""
+from .code import LDPCCode, expand_qc, gf2_rank, has_4cycle  # noqa: F401
+from .layout import EdgeLayout, QCLayout, compile_edge_layout, compile_qc_layout  # noqa: F401

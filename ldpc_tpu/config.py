@@ -1,0 +1,179 @@
+"""Configuration dataclasses for the ldpc_tpu framework.
+
+These pin the free parameters that the (unavailable) reference source would have
+fixed at compile time — quantization format, offset value, saturation rule,
+schedule — per SURVEY.md §5.6 and §8. The golden model (ldpc_tpu.golden) is the
+single source of truth for the bit-exact semantics these configs describe; the
+XLA ops and Pallas kernels must match it exactly.
+
+Reference parity note: the reference (tyc85/FixedPointLDPC) is a C/MATLAB
+simulator whose canonical run is 802.11n rate-1/2 n=648 QC-LDPC, BPSK over AWGN,
+8-bit fixed-point min-sum, 20 iterations (BASELINE.json:7). The reference
+checkout is empty (SURVEY.md §0), so file:line citations into it are impossible;
+capabilities are cited as BASELINE.json line numbers instead.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class QuantConfig:
+    """Fixed-point LLR quantization format (BASELINE.json:5 'fixed-point LLR
+    quantization ... explicit int8/int16 quantized ops with verified overflow
+    behavior').
+
+    q = clip(round_half_away_from_zero(llr * scale), -qmax, +qmax), stored int8.
+    Saturation is symmetric: qmax = 2**(bits-1) - 1; the value -(qmax+1) is never
+    produced (avoids sign-flip pathologies on negation).
+
+    beta_lsb is the offset-min-sum offset in integer LSBs (0 => plain min-sum).
+    With the default scale=4.0, beta_lsb=2 corresponds to beta=0.5 in LLR units.
+    """
+
+    bits: int = 8
+    scale: float = 4.0
+    beta_lsb: int = 2
+
+    @property
+    def qmax(self) -> int:
+        return (1 << (self.bits - 1)) - 1
+
+    @property
+    def qmin(self) -> int:
+        return -self.qmax
+
+
+@dataclass(frozen=True)
+class CodeConfig:
+    """Which LDPC code to simulate.
+
+    family: 'ieee80211n' | '5gnr' | 'dvbs2' | 'toy'
+    For ieee80211n: n in {648, 1296, 1944}, rate in {'1/2','2/3','3/4','5/6'}.
+    For 5gnr: base_graph in {1, 2}, lifting Z, rate matching params.
+    For dvbs2: n = 64800 (normal frame), rate string.
+    """
+
+    family: str = "ieee80211n"
+    n: int = 648
+    rate: str = "1/2"
+    base_graph: int = 1
+    Z: Optional[int] = None  # lifting size; derived from (family, n, rate) if None
+
+
+@dataclass(frozen=True)
+class ChannelConfig:
+    """Modulation + channel (BASELINE.json:5 'AWGN channel + BPSK/QAM LLR
+    computation')."""
+
+    modulation: str = "bpsk"  # 'bpsk' | 'qpsk' | '16qam' | '64qam'
+    ebn0_db: float = 2.0
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    """Decoder algorithm selection (BASELINE.json:5 'min-sum / offset-min-sum',
+    BASELINE.json:9 'layered decoding schedule', BASELINE.json:8 'early
+    termination')."""
+
+    algorithm: str = "min-sum"  # 'min-sum' | 'offset-min-sum' | 'sum-product'
+    schedule: str = "flooding"  # 'flooding' | 'layered'
+    max_iter: int = 20
+    early_term: bool = True
+
+    @property
+    def beta_enabled(self) -> bool:
+        return self.algorithm == "offset-min-sum"
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    """Monte-Carlo sweep run parameters (SURVEY.md §5.6)."""
+
+    batch: int = 1024
+    seed: int = 0
+    max_frames: int = 1_000_000
+    target_frame_errors: int = 100
+    mesh_shape: Tuple[int, ...] = (1,)
+    mesh_axes: Tuple[str, ...] = ("batch",)
+
+
+@dataclass(frozen=True)
+class SimConfig:
+    code: CodeConfig = CodeConfig()
+    channel: ChannelConfig = ChannelConfig()
+    quant: QuantConfig = QuantConfig()
+    decoder: DecoderConfig = DecoderConfig()
+    run: RunConfig = RunConfig()
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "SimConfig":
+        d = json.loads(s)
+        return SimConfig(
+            code=CodeConfig(**d["code"]),
+            channel=ChannelConfig(**d["channel"]),
+            quant=QuantConfig(**d["quant"]),
+            decoder=DecoderConfig(**d["decoder"]),
+            run=RunConfig(
+                **{
+                    k: tuple(v) if isinstance(v, list) else v
+                    for k, v in d["run"].items()
+                }
+            ),
+        )
+
+
+# The five BASELINE.json configs (lines 6-12) as named presets.
+PRESETS = {
+    # BASELINE.json:7 — canonical, CPU-runnable.
+    "wifi-648-r12-minsum": SimConfig(
+        code=CodeConfig(family="ieee80211n", n=648, rate="1/2"),
+        channel=ChannelConfig(modulation="bpsk", ebn0_db=2.0),
+        quant=QuantConfig(bits=8, scale=4.0, beta_lsb=0),
+        decoder=DecoderConfig(algorithm="min-sum", schedule="flooding",
+                              max_iter=20, early_term=False),
+        run=RunConfig(batch=1024),
+    ),
+    # BASELINE.json:8 — full 802.11n set with OMS + early termination.
+    "wifi-full-oms": SimConfig(
+        code=CodeConfig(family="ieee80211n", n=1944, rate="5/6"),
+        channel=ChannelConfig(modulation="bpsk", ebn0_db=3.0),
+        quant=QuantConfig(bits=8, scale=4.0, beta_lsb=2),
+        decoder=DecoderConfig(algorithm="offset-min-sum", schedule="layered",
+                              max_iter=20, early_term=True),
+        run=RunConfig(batch=1024),
+    ),
+    # BASELINE.json:9 — 5G NR layered.
+    "nr-bg1-layered": SimConfig(
+        code=CodeConfig(family="5gnr", base_graph=1, Z=384, rate="1/2"),
+        channel=ChannelConfig(modulation="bpsk", ebn0_db=2.0),
+        quant=QuantConfig(bits=8, scale=4.0, beta_lsb=2),
+        decoder=DecoderConfig(algorithm="offset-min-sum", schedule="layered",
+                              max_iter=20, early_term=True),
+        run=RunConfig(batch=256),
+    ),
+    # BASELINE.json:10 — DVB-S2 long codes, HBM-resident messages.
+    "dvbs2-64800-r12": SimConfig(
+        code=CodeConfig(family="dvbs2", n=64800, rate="1/2"),
+        channel=ChannelConfig(modulation="bpsk", ebn0_db=1.5),
+        quant=QuantConfig(bits=8, scale=4.0, beta_lsb=2),
+        decoder=DecoderConfig(algorithm="offset-min-sum", schedule="flooding",
+                              max_iter=20, early_term=True),
+        run=RunConfig(batch=8192),
+    ),
+    # BASELINE.json:11 — multi-host full-chain SDR workload.
+    "multihost-qam-chain": SimConfig(
+        code=CodeConfig(family="ieee80211n", n=1944, rate="3/4"),
+        channel=ChannelConfig(modulation="16qam", ebn0_db=6.0),
+        quant=QuantConfig(bits=8, scale=4.0, beta_lsb=2),
+        decoder=DecoderConfig(algorithm="offset-min-sum", schedule="layered",
+                              max_iter=20, early_term=True),
+        run=RunConfig(batch=4096, mesh_shape=(2, 4), mesh_axes=("dcn", "ici")),
+    ),
+}

@@ -1,0 +1,260 @@
+"""Golden-model LDPC decoders (NumPy, scalar, deliberately simple).
+
+This module is the single source of truth for the framework's bit-exact
+fixed-point semantics (SURVEY.md §3.4, §4.2). It plays the role the reference's
+C decoder + MATLAB float decoder played (BASELINE.json:5 'iterative
+belief-propagation decoder (min-sum / offset-min-sum) with fixed-point LLR
+quantization ... fixed-point saturation arithmetic'): every other decoder in the
+repo (jnp reference op, Pallas kernel, C oracle in csrc/) must match
+decode_fixed EXACTLY on identical integer inputs — min-sum over integers is
+deterministic, so the contract is equality, not tolerance.
+
+Pinned semantics (SURVEY.md §8, frozen here):
+  * Quantizer: q = clip(round_half_away_from_zero(llr * scale), -qmax, +qmax),
+    qmax = 2**(bits-1)-1 (symmetric; -(qmax+1) never occurs).
+  * sign(x) = -1 if x < 0 else +1  (zero is positive).
+  * CN update (min-sum family): for edge e into check c,
+      c2v[e] = S * sign(v2c[e]) * max(minmag_excl(e) - beta, 0)
+    where S = prod of signs of all incoming v2c, minmag_excl = second-smallest
+    magnitude if e attains the smallest, else smallest. beta is an integer
+    number of LSBs (0 = plain min-sum).
+  * VN accumulation is EXACT in wide integers (posterior magnitude is bounded by
+    qmax*(dv+1) < 2**15 for every supported code — asserted in tests);
+    saturation to [-qmax, +qmax] happens only when producing v2c messages.
+  * Hard decision: bit = 1 iff posterior < 0 (LLR > 0 means bit 0).
+  * Flooding iteration: totals from previous c2v -> v2c -> new c2v -> new
+    totals -> hard decision -> syndrome early-exit check.
+  * Layered iteration: for each layer in order, v2c = sat(post - c2v), new c2v,
+    post += new_c2v - old_c2v (exact); hard decision + syndrome once per full
+    sweep. All checks within a layer read the SAME pre-layer posterior
+    (parallel-within-layer semantics, matching the Z-parallel TPU kernel).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..codes.code import LDPCCode
+
+
+def quantize(llr: np.ndarray, scale: float = 4.0, bits: int = 8) -> np.ndarray:
+    """Float LLR -> b-bit fixed point. Round half away from zero, saturate
+    symmetrically (BASELINE.json:5 'fixed-point LLR quantization')."""
+    qmax = (1 << (bits - 1)) - 1
+    scaled = np.asarray(llr, np.float64) * scale
+    r = np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5))
+    return np.clip(r, -qmax, qmax).astype(np.int32)
+
+
+def _sign(x: np.ndarray) -> np.ndarray:
+    """-1 where negative else +1 (zero positive)."""
+    return np.where(x < 0, -1, 1).astype(np.int32)
+
+
+def _cn_update(v2c: np.ndarray, beta: int, qmax: int) -> np.ndarray:
+    """Min-sum check-node update for one check's incoming messages (1-D).
+
+    Degree-1 checks: the exclude-self minimum is over the empty set, defined as
+    qmax (matches the dense padded implementations, whose pad slots carry
+    magnitude qmax and sign +1), giving c2v = +max(qmax - beta, 0).
+    """
+    if len(v2c) == 1:
+        return np.array([max(qmax - beta, 0)], np.int32)
+    mags = np.abs(v2c)
+    order = np.argsort(mags, kind="stable")
+    min1 = mags[order[0]]
+    min2 = mags[order[1]]
+    amin = order[0]
+    sprod = int(np.prod(_sign(v2c)))
+    excl = np.where(np.arange(len(v2c)) == amin, min2, min1)
+    mag = np.maximum(excl - beta, 0)
+    mag = np.minimum(mag, qmax)
+    return (sprod * _sign(v2c) * mag).astype(np.int32)
+
+
+@dataclass
+class DecodeResult:
+    hard: np.ndarray          # (n,) uint8 decoded bits
+    iters: int                # iterations actually run
+    converged: bool           # syndrome satisfied at exit
+    trace: Optional[List[dict]] = None  # per-iteration message dumps
+
+
+def decode_fixed(
+    chan: np.ndarray,
+    code: LDPCCode,
+    max_iter: int = 20,
+    beta: int = 0,
+    qmax: int = 127,
+    schedule: str = "flooding",
+    early_term: bool = True,
+    trace: bool = False,
+) -> DecodeResult:
+    """Bit-exact fixed-point min-sum / offset-min-sum decoder, one codeword.
+
+    chan: (n,) integer channel LLRs already quantized to [-qmax, qmax].
+    """
+    chan = np.asarray(chan, np.int32)
+    assert chan.shape == (code.n,)
+    if schedule == "flooding":
+        return _decode_flooding(chan, code, max_iter, beta, qmax, early_term, trace)
+    elif schedule == "layered":
+        return _decode_layered(chan, code, max_iter, beta, qmax, early_term, trace)
+    raise ValueError(schedule)
+
+
+def _syndrome_ok(code: LDPCCode, hard: np.ndarray) -> bool:
+    for vs in code.cn_adj:
+        if np.bitwise_xor.reduce(hard[vs]) != 0:
+            return False
+    return True
+
+
+def _decode_flooding(chan, code, max_iter, beta, qmax, early_term, trace):
+    # c2v stored per (check, slot) as a ragged list of arrays.
+    c2v = [np.zeros(len(vs), np.int32) for vs in code.cn_adj]
+    tr: List[dict] = []
+    total = chan.copy()
+    hard = (total < 0).astype(np.uint8)
+    it_done = 0
+    converged = _syndrome_ok(code, hard) if early_term else False
+    for it in range(max_iter):
+        if converged:
+            break
+        # VN pass: totals from previous c2v, then per-edge extrinsic v2c.
+        total = chan.copy()
+        for c, vs in enumerate(code.cn_adj):
+            np.add.at(total, vs, c2v[c])
+        new_c2v = []
+        for c, vs in enumerate(code.cn_adj):
+            v2c = np.clip(total[vs] - c2v[c], -qmax, qmax)
+            new_c2v.append(_cn_update(v2c, beta, qmax))
+        c2v = new_c2v
+        # Posterior + hard decision from the NEW messages.
+        total = chan.copy()
+        for c, vs in enumerate(code.cn_adj):
+            np.add.at(total, vs, c2v[c])
+        hard = (total < 0).astype(np.uint8)
+        it_done = it + 1
+        if trace:
+            tr.append({"iter": it_done,
+                       "c2v": [a.copy() for a in c2v],
+                       "total": total.copy(),
+                       "hard": hard.copy()})
+        if early_term and _syndrome_ok(code, hard):
+            converged = True
+    if not early_term:
+        converged = _syndrome_ok(code, hard)
+    return DecodeResult(hard=hard, iters=it_done, converged=converged,
+                        trace=tr if trace else None)
+
+
+def _decode_layered(chan, code, max_iter, beta, qmax, early_term, trace):
+    from ..codes.layout import compile_layers_general, compile_qc_layout
+
+    if code.base is not None and code.Z is not None:
+        qc = compile_qc_layout(code)
+        layers = [np.arange(i * qc.Z, (i + 1) * qc.Z, dtype=np.int32)
+                  for i in range(qc.mb)]
+    else:
+        layers = compile_layers_general(code)
+
+    c2v = [np.zeros(len(vs), np.int32) for vs in code.cn_adj]
+    post = chan.astype(np.int32).copy()
+    tr: List[dict] = []
+    hard = (post < 0).astype(np.uint8)
+    it_done = 0
+    converged = _syndrome_ok(code, hard) if early_term else False
+    for it in range(max_iter):
+        if converged:
+            break
+        for layer in layers:
+            # All checks in the layer read the same pre-layer posterior.
+            pre = post.copy()
+            for c in layer:
+                vs = code.cn_adj[c]
+                v2c = np.clip(pre[vs] - c2v[c], -qmax, qmax)
+                new = _cn_update(v2c, beta, qmax)
+                post[vs] += new - c2v[c]
+                c2v[c] = new
+        hard = (post < 0).astype(np.uint8)
+        it_done = it + 1
+        if trace:
+            tr.append({"iter": it_done,
+                       "c2v": [a.copy() for a in c2v],
+                       "total": post.copy(),
+                       "hard": hard.copy()})
+        if early_term and _syndrome_ok(code, hard):
+            converged = True
+    if not early_term:
+        converged = _syndrome_ok(code, hard)
+    return DecodeResult(hard=hard, iters=it_done, converged=converged,
+                        trace=tr if trace else None)
+
+
+# ---------------------------------------------------------------------------
+# Float golden decoders — used to measure the fixed-point "quantization bound"
+# (BASELINE.json:5 'within its fixed-point quantization bound'), the same
+# float-vs-fixed methodology the reference's MATLAB layer provided.
+# ---------------------------------------------------------------------------
+
+def decode_float(
+    chan_llr: np.ndarray,
+    code: LDPCCode,
+    max_iter: int = 20,
+    algorithm: str = "sum-product",  # 'sum-product' | 'min-sum' | 'offset-min-sum'
+    beta: float = 0.5,
+    schedule: str = "flooding",
+    early_term: bool = True,
+) -> DecodeResult:
+    """Floating-point BP decoder (flooding), one codeword."""
+    chan = np.asarray(chan_llr, np.float64)
+    assert chan.shape == (code.n,)
+    c2v = [np.zeros(len(vs)) for vs in code.cn_adj]
+    hard = (chan < 0).astype(np.uint8)
+    it_done = 0
+    converged = _syndrome_ok(code, hard) if early_term else False
+
+    def cn_float(v2c: np.ndarray) -> np.ndarray:
+        if algorithm == "sum-product":
+            t = np.tanh(np.clip(v2c, -30, 30) / 2.0)
+            # exclude-self product via full product / self, guarding zeros
+            eps = 1e-15
+            t = np.where(np.abs(t) < eps, np.where(t < 0, -eps, eps), t)
+            p = np.prod(t)
+            r = np.clip(p / t, -0.999999999, 0.999999999)
+            return 2.0 * np.arctanh(r)
+        mags = np.abs(v2c)
+        order = np.argsort(mags, kind="stable")
+        min1, amin = mags[order[0]], order[0]
+        min2 = mags[order[1]] if len(mags) > 1 else min1
+        sgn = np.where(v2c < 0, -1.0, 1.0)
+        sprod = np.prod(sgn)
+        excl = np.where(np.arange(len(v2c)) == amin, min2, min1)
+        if algorithm == "offset-min-sum":
+            excl = np.maximum(excl - beta, 0.0)
+        return sprod * sgn * excl
+
+    for it in range(max_iter):
+        if converged:
+            break
+        total = chan.copy()
+        for c, vs in enumerate(code.cn_adj):
+            np.add.at(total, vs, c2v[c])
+        new_c2v = []
+        for c, vs in enumerate(code.cn_adj):
+            v2c = total[vs] - c2v[c]
+            new_c2v.append(cn_float(v2c))
+        c2v = new_c2v
+        total = chan.copy()
+        for c, vs in enumerate(code.cn_adj):
+            np.add.at(total, vs, c2v[c])
+        hard = (total < 0).astype(np.uint8)
+        it_done = it + 1
+        if early_term and _syndrome_ok(code, hard):
+            converged = True
+    if not early_term:
+        converged = _syndrome_ok(code, hard)
+    return DecodeResult(hard=hard, iters=it_done, converged=converged)
