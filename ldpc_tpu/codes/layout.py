@@ -47,6 +47,12 @@ class EdgeLayout:
     vn_mask: np.ndarray  # (n, max_dv) bool
     max_dc: int
     max_dv: int
+    # Dense cn-major views for the gather-only jnp decoder: messages live in a
+    # flat (m*max_dc + 1) buffer whose last slot is a zero dump/pad slot.
+    ev_dense: np.ndarray = None  # (m, max_dc) int32: variable per slot, pad = n
+    vn_pos: np.ndarray = None  # (n, max_dv) int32: flat cn-major position of
+    #   each variable's edges, pad = m*max_dc (the dump slot)
+    edge_pos: np.ndarray = None  # (E,) int32: flat cn-major position of edge e
 
 
 def compile_edge_layout(code: LDPCCode) -> EdgeLayout:
@@ -79,10 +85,23 @@ def compile_edge_layout(code: LDPCCode) -> EdgeLayout:
         vn_edges[v, : len(l)] = l
         vn_mask[v, : len(l)] = True
 
+    # Dense cn-major views. Edge e sits at flat position
+    # edge_cn[e]*max_dc + slot(e), slot = e - first edge of its check.
+    edge_slot = np.concatenate(
+        [np.arange(int(d), dtype=np.int64) for d in degs_c]
+    ) if E else np.zeros(0, np.int64)
+    edge_pos = (edge_cn.astype(np.int64) * max_dc + edge_slot).astype(np.int32)
+    ev_dense = np.full((code.m, max_dc), code.n, np.int32)
+    ev_dense[cn_mask] = edge_vn
+    dump = code.m * max_dc
+    vn_pos = np.full((code.n, max_dv), dump, np.int32)
+    vn_pos[vn_mask] = edge_pos[vn_edges[vn_mask]]
+
     return EdgeLayout(
         n=code.n, m=code.m, E=E, edge_vn=edge_vn, edge_cn=edge_cn,
         cn_edges=cn_edges, cn_mask=cn_mask, vn_edges=vn_edges, vn_mask=vn_mask,
         max_dc=max_dc, max_dv=max_dv,
+        ev_dense=ev_dense, vn_pos=vn_pos, edge_pos=edge_pos,
     )
 
 

@@ -1,0 +1,174 @@
+"""Stage-3 tests: XLA ops vs golden model (SURVEY.md §4.2 'bit-exact equality'
+contract for the decoder; property tests for encoder/channel/quantizer)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ldpc_tpu.codes import ieee80211n as wifi
+from ldpc_tpu.codes.toy import hamming74, toy_qc
+from ldpc_tpu.config import DecoderConfig, QuantConfig
+from ldpc_tpu.golden import decode_fixed, encode as g_encode, quantize as g_quantize
+from ldpc_tpu.ops import channel as ch
+from ldpc_tpu.ops.decode_ref import make_flooding_decoder, make_layered_decoder
+from ldpc_tpu.ops.encode import make_encoder
+from ldpc_tpu.ops.quantize import quantize
+
+
+class TestQuantizeOp:
+    def test_matches_golden(self, rng):
+        x = rng.standard_normal(100_000).astype(np.float32) * 8
+        q_jnp = np.asarray(quantize(jnp.asarray(x)))
+        q_gold = g_quantize(x, scale=4.0).astype(np.int8)
+        assert np.array_equal(q_jnp, q_gold)
+
+    def test_saturates(self):
+        q = np.asarray(quantize(jnp.asarray([1e6, -1e6], jnp.float32)))
+        assert q.tolist() == [127, -127]
+
+
+class TestEncodeOp:
+    @pytest.mark.parametrize("make", [lambda: toy_qc(4),
+                                      lambda: wifi.make_code(648, "1/2"),
+                                      lambda: wifi.make_code(1944, "5/6")])
+    def test_matches_golden_and_property(self, make, rng):
+        code = make()
+        enc = jax.jit(make_encoder(code))
+        info = rng.integers(0, 2, size=(32, code.k)).astype(np.uint8)
+        cw = np.asarray(enc(jnp.asarray(info)))
+        assert np.array_equal(cw, g_encode(code, info))
+        H = code.h_dense()
+        assert np.all((cw @ H.T) % 2 == 0)
+
+
+def _bpsk_chan(cw, sigma, rng):
+    y = (1.0 - 2.0 * cw) + sigma * rng.standard_normal(cw.shape)
+    return 2.0 * y / sigma**2
+
+
+CASES = [
+    ("toy4", lambda: toy_qc(4), 0.75),
+    ("toy8", lambda: toy_qc(8), 0.8),
+    ("hamming", hamming74, 0.9),
+]
+
+
+class TestDecodeRefBitExact:
+    @pytest.mark.parametrize("name,make,sigma", CASES)
+    @pytest.mark.parametrize("schedule", ["flooding", "layered"])
+    @pytest.mark.parametrize("beta,early", [(0, False), (0, True), (2, True)])
+    def test_bit_exact_vs_golden(self, name, make, sigma, schedule, beta,
+                                 early, rng):
+        code = make()
+        B, max_iter = 8, 8
+        maker = (make_flooding_decoder if schedule == "flooding"
+                 else make_layered_decoder)
+        dec = jax.jit(maker(code, max_iter=max_iter, beta=beta,
+                            early_term=early))
+        info = rng.integers(0, 2, size=(B, code.k)).astype(np.uint8)
+        cw = g_encode(code, info)
+        chan = g_quantize(_bpsk_chan(cw, sigma, rng), 4.0).astype(np.int8)
+        hard, iters, conv = map(np.asarray, dec(jnp.asarray(chan)))
+        for b in range(B):
+            res = decode_fixed(chan[b].astype(np.int32), code,
+                               max_iter=max_iter, beta=beta,
+                               schedule=schedule, early_term=early)
+            assert np.array_equal(hard[b], res.hard), (name, b)
+            assert iters[b] == res.iters, (name, b, iters[b], res.iters)
+            assert bool(conv[b]) == res.converged, (name, b)
+
+    @pytest.mark.parametrize("schedule", ["flooding", "layered"])
+    def test_bit_exact_vs_golden_wifi648(self, schedule, rng):
+        """Canonical code, one param combo per schedule (the full matrix runs
+        on the fast toy codes above; golden on n=648 is ~130 ms/frame)."""
+        code = wifi.make_code(648, "1/2")
+        B, max_iter, beta = 4, 6, 2
+        maker = (make_flooding_decoder if schedule == "flooding"
+                 else make_layered_decoder)
+        dec = jax.jit(maker(code, max_iter=max_iter, beta=beta,
+                            early_term=True))
+        info = rng.integers(0, 2, size=(B, code.k)).astype(np.uint8)
+        cw = g_encode(code, info)
+        chan = g_quantize(_bpsk_chan(cw, 0.82, rng), 4.0).astype(np.int8)
+        hard, iters, conv = map(np.asarray, dec(jnp.asarray(chan)))
+        for b in range(B):
+            res = decode_fixed(chan[b].astype(np.int32), code,
+                               max_iter=max_iter, beta=beta,
+                               schedule=schedule, early_term=True)
+            assert np.array_equal(hard[b], res.hard), b
+            assert iters[b] == res.iters and bool(conv[b]) == res.converged
+
+    def test_zero_iter_convergence(self):
+        code = toy_qc(4)
+        dec = jax.jit(make_flooding_decoder(code, max_iter=10))
+        chan = jnp.full((3, code.n), 20, jnp.int8)
+        hard, iters, conv = dec(chan)
+        assert np.all(np.asarray(iters) == 0)
+        assert np.all(np.asarray(conv))
+        assert not np.asarray(hard).any()
+
+
+class TestChannel:
+    @pytest.mark.parametrize("mod", ["qpsk", "16qam", "64qam"])
+    def test_unit_energy(self, mod, rng):
+        m = ch.BITS_PER_SYM[mod]
+        bits = rng.integers(0, 2, size=(64, 60 * m)).astype(np.uint8)
+        sym = np.asarray(ch.modulate(jnp.asarray(bits), mod))
+        es = np.mean(np.sum(sym**2, axis=-1))
+        assert es == pytest.approx(1.0, rel=0.05)
+
+    @pytest.mark.parametrize("mod", ["bpsk", "qpsk", "16qam", "64qam"])
+    def test_noiseless_demap_roundtrip(self, mod, rng):
+        m = ch.BITS_PER_SYM[mod]
+        bits = rng.integers(0, 2, size=(16, 30 * m)).astype(np.uint8)
+        sym = ch.modulate(jnp.asarray(bits), mod)
+        llr = np.asarray(ch.demap(sym, 0.3, mod))
+        assert llr.shape == bits.shape
+        assert np.array_equal((llr < 0).astype(np.uint8), bits)
+
+    def test_bpsk_llr_closed_form(self, rng):
+        y = rng.standard_normal((4, 8)).astype(np.float32)
+        sigma = 0.7
+        llr = np.asarray(ch.demap(jnp.asarray(y), sigma, "bpsk"))
+        assert np.allclose(llr, 2 * y / sigma**2, rtol=1e-5)
+
+    def test_awgn_variance(self):
+        key = jax.random.PRNGKey(0)
+        x = jnp.zeros((2000, 50))
+        y = np.asarray(ch.awgn(key, x, 0.5))
+        assert np.std(y) == pytest.approx(0.5, rel=0.05)
+
+    def test_sigma_for_bpsk(self):
+        # Eb/N0 = 0 dB, rate 1/2: sigma^2 = 1/(2*0.5*1) = 1
+        assert ch.sigma_for(0.0, 0.5, "bpsk") == pytest.approx(1.0)
+
+    @pytest.mark.parametrize("mod", ["16qam", "64qam"])
+    def test_qam_demap_matches_exhaustive_maxlog(self, mod, rng):
+        """Per-axis max-log equals full-constellation max-log for Gray square
+        QAM (SURVEY.md §4.2 'QAM LLR vs exhaustive max-log')."""
+        m = ch.BITS_PER_SYM[mod]
+        ba = m // 2
+        bits = rng.integers(0, 2, size=(4, 6 * m)).astype(np.uint8)
+        sym = np.asarray(ch.modulate(jnp.asarray(bits), mod))
+        sigma = 0.35
+        rx = sym + sigma * rng.standard_normal(sym.shape)
+        llr = np.asarray(ch.demap(jnp.asarray(rx.astype(np.float32)), sigma, mod))
+        # exhaustive: enumerate all 2^m constellation points
+        levels, labels = ch._gray_levels(ba)
+        norm = ch._axis_norm(ba)
+        pts, labs = [], []
+        for i in range(len(levels)):
+            for q in range(len(levels)):
+                pts.append((levels[i] * norm, levels[q] * norm))
+                labs.append(list(labels[i]) + list(labels[q]))
+        pts = np.array(pts); labs = np.array(labs, bool)
+        n0 = 2 * sigma**2
+        rx_f = rx.reshape(-1, 2)
+        d2 = np.sum((rx_f[:, None, :] - pts[None]) ** 2, axis=-1)
+        for b in range(m):
+            m0 = np.min(np.where(~labs[:, b], d2, 1e30), axis=-1)
+            m1 = np.min(np.where(labs[:, b], d2, 1e30), axis=-1)
+            ref = ((m1 - m0) / n0).reshape(rx.shape[0], -1)
+            got = llr.reshape(rx.shape[0], -1, m)[:, :, b]
+            assert np.allclose(got, ref, rtol=1e-4, atol=1e-4), (mod, b)
