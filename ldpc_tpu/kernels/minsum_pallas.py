@@ -1,0 +1,402 @@
+"""Pallas TPU kernels: batched fixed-point min-sum / offset-min-sum decoding.
+
+This is the framework's native hot loop — the TPU-first replacement for the
+reference's sequential C message-passing loop (BASELINE.json:5 'the sequential
+message-passing loop ... fixed-point saturation arithmetic'). The reference
+walks checks one at a time on a CPU; here one kernel instance decodes a full
+batch tile, with
+
+  * batch on the VPU lane axis (128 lanes — batch >= 128 always holds for the
+    Monte-Carlo workload, SURVEY.md §7.3 item 1),
+  * the QC lifting dimension Z on the sublane axis, so one base-matrix entry
+    is one (Z, B_tile) vector op and the Z checks of a layer run in lockstep,
+  * circulant shifts realized as static sublane rotations (compile-time
+    constants from the base matrix — no gathers in the inner loop),
+  * all decoder state (int32 posteriors, int8 c2v messages) VMEM-resident;
+    only channel LLRs in and hard bits out touch HBM,
+  * the base-graph entry loops fully unrolled at trace time (<= ~90 entries
+    for 802.11n), so Mosaic sees straight-line vector code per iteration.
+
+Bit-exactness contract: both schedules must match ldpc_tpu.golden.decoder
+.decode_fixed exactly on identical int8 inputs (SURVEY.md §3.4/§4.2) —
+min-sum over integers is deterministic, so tests assert equality, not
+tolerance. Semantics pinned by the golden model:
+
+  * v2c = clip(post - c2v_old, -qmax, +qmax)  (flooding: post = iteration
+    totals; layered: running posterior, all checks of a layer reading the
+    pre-layer value — guaranteed here because each layer touches every base
+    column at most once, asserted by codes/layout.py),
+  * CN: c2v = signprod * sign(v2c) * max(minmag_excl - beta, 0); ties in the
+    magnitude argmin resolve to the first entry (stable), matching golden,
+  * sign(0) = +1; posteriors accumulate exactly in int32 (|post| <=
+    qmax*(dv+1) — the golden model's exact-accumulation contract),
+  * hard bit = 1 iff posterior < 0; early termination freezes converged
+    lanes per-codeword and reports iterations actually run.
+"""
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..codes.code import LDPCCode
+from ..codes.layout import compile_qc_layout
+from ..config import DecoderConfig, QuantConfig
+
+_I32 = jnp.int32
+# Compute dtype is int32: this Mosaic toolchain miscompiles packed-int16
+# vector compute (maxsi/abs/select on vector<...xi16> fail to legalize), so
+# messages are stored int8 in VMEM and widened to int32 for arithmetic.
+_C = jnp.int32
+
+
+def _rot_fwd(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """y[r] = x[(r + s) % Z] along axis 0 (static s): gather the circulant."""
+    if s == 0:
+        return x
+    return jnp.concatenate([x[s:], x[:s]], axis=0)
+
+
+def _rot_bwd(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Inverse rotation: y[(r + s) % Z] = x[r]."""
+    if s == 0:
+        return x
+    return jnp.concatenate([x[-s:], x[:-s]], axis=0)
+
+
+def _qc_entries(code: LDPCCode):
+    """Static per-layer entry lists [(base_col, shift), ...] from the QC view."""
+    qc = compile_qc_layout(code)
+    layers = []
+    for i in range(qc.mb):
+        ents = [
+            (int(qc.layer_cols[i, t]), int(qc.layer_shifts[i, t]))
+            for t in range(qc.max_row_deg)
+            if qc.layer_mask[i, t]
+        ]
+        assert len(ents) >= 2, "degree-1 base rows unsupported in the kernel"
+        layers.append(ents)
+    return qc, layers
+
+
+def _cn_minsum(v2cs, beta: int):
+    """Unrolled min-sum CN update over one layer's entries.
+
+    v2cs: list of (Z, B) int32 messages (already clipped to +-qmax).
+    Returns list of (Z, B) int32 c2v messages.
+
+    Exclusion by value, not argmin: excl_t = (|v_t| == min1 ? min2 : min1).
+    Ties give min2 == min1, so every tied entry gets min1 — identical to the
+    golden model's stable-argmin semantics, two vector ops cheaper per entry.
+    min1/min2 via the merge min2' = min(min2, max(min1, m)); min1' = min(min1,
+    m), which needs no select chains. All operands share the int32 compute
+    dtype (Mosaic cannot relayout i1 masks between native tilings).
+    """
+    mags = [jnp.abs(v) for v in v2cs]
+    min1 = mags[0]
+    min2 = jnp.full_like(min1, jnp.array(1 << 14, _C))
+    negpar = v2cs[0] < 0
+    for t in range(1, len(v2cs)):
+        m = mags[t]
+        min2 = jnp.minimum(min2, jnp.maximum(min1, m))
+        min1 = jnp.minimum(min1, m)
+        negpar = jnp.logical_xor(negpar, v2cs[t] < 0)
+    # The offset applies to the post-exclusion magnitude, so the raw min1 must
+    # survive for the |v| == min1 comparison; offset min1/min2 once per layer.
+    if beta:
+        zero = jnp.zeros_like(min1)
+        beta_c = jnp.array(beta, _C)
+        min1_o = jnp.maximum(min1 - beta_c, zero)
+        min2_o = jnp.maximum(min2 - beta_c, zero)
+    else:
+        min1_o, min2_o = min1, min2
+    out = []
+    for v, m in zip(v2cs, mags):
+        mag = jnp.where(m == min1, min2_o, min1_o)
+        neg = jnp.logical_xor(negpar, v < 0)
+        out.append(jnp.where(neg, -mag, mag))
+    return out
+
+
+def make_pallas_decoder(
+    code: LDPCCode,
+    max_iter: int = 20,
+    beta: int = 0,
+    qmax: int = 127,
+    schedule: str = "layered",
+    early_term: bool = True,
+    batch_tile: int = 256,
+    interpret: bool = False,
+) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    """Build decode(chan_i8[B, n]) -> (hard[B, n] u8, iters[B] i32, conv[B] bool).
+
+    B must be a multiple of batch_tile (the sweep driver pads). State per tile:
+    posteriors (nb, Z, Bt) int16 and messages (n_entries, Z, Bt) int8, all in
+    VMEM scratch; the grid iterates over batch tiles.
+    """
+    if code.base is None or code.Z is None:
+        raise ValueError(f"{code.name}: Pallas decoder requires QC structure")
+    if schedule not in ("flooding", "layered"):
+        raise ValueError(schedule)
+    qc, layers = _qc_entries(code)
+    Z, nb = qc.Z, qc.nb
+    n = code.n
+    assert n == nb * Z
+    # Flat entry index for c2v storage: entries ordered (layer, position).
+    entry_of, off = [], 0
+    for ents in layers:
+        entry_of.append(list(range(off, off + len(ents))))
+        off += len(ents)
+    n_entries = off
+
+    flooding = schedule == "flooding"
+
+    def kernel(chan_ref, hard_ref, iters_ref, conv_ref, post_ref, c2v_ref,
+               *maybe_tot):
+        Bt = chan_ref.shape[2]
+        tot_ref = maybe_tot[0] if maybe_tot else None
+
+        # Convergence masks are int32 0/1 (not bool): Mosaic rejects broadcast
+        # relayouts of i1 vectors across sublanes, and multiply-by-mask is a
+        # plain VPU op. done=1 freezes a lane (golden early-term semantics).
+        def chan32(j):
+            return chan_ref[j].astype(_C)
+
+        for j in range(nb):
+            post_ref[j] = chan32(j)
+        c2v_ref[...] = jnp.zeros(c2v_ref.shape, jnp.int8)
+
+        def syndrome_ok(read):
+            """(1, Bt) int32 — 1 where every check is satisfied."""
+            unsat = None
+            for ents in layers:
+                acc = None
+                for (j, s) in ents:
+                    h = (_rot_fwd(read(j), s) < 0).astype(_C)
+                    acc = h if acc is None else acc ^ h
+                u = jnp.sum(acc.astype(_I32), axis=0, keepdims=True)
+                unsat = u if unsat is None else unsat + u
+            return (unsat == 0).astype(_C)
+
+        def cn_sweep(read, emit):
+            """One full CN sweep. read(j): totals the update consumes.
+            emit(j, s, e, old, new): handle the result (freeze-aware)."""
+            for li, ents in enumerate(layers):
+                v2cs, olds = [], []
+                for (j, s) in ents:
+                    e = entry_of[li][len(olds)]
+                    old = c2v_ref[e].astype(_C)
+                    v = _rot_fwd(read(j), s) - old
+                    v2cs.append(jnp.clip(v, -qmax, qmax))
+                    olds.append(old)
+                news = _cn_minsum(v2cs, beta)
+                for (j, s), e, old, new in zip(ents, entry_of[li], olds, news):
+                    emit(j, s, e, old, new)
+
+        if flooding:
+            def flood_iter(src, dst, done, iters):
+                """Totals in src are complete for the previous messages; build
+                the next totals in dst = chan + sum(new c2v)."""
+                if done is None:
+                    # Fast path (no early termination): no freeze masks.
+                    for j in range(nb):
+                        dst[j] = chan32(j)
+
+                    def emit(j, s, e, old, new):
+                        c2v_ref[e] = new.astype(jnp.int8)
+                        dst[j] = dst[j] + _rot_bwd(new, s)
+
+                    cn_sweep(lambda j: src[j], emit)
+                    return None, None
+                act = jnp.array(1, _C) - done  # (1, Bt)
+                for j in range(nb):
+                    dst[j] = chan32(j) + (src[j] - chan32(j)) * done
+
+                def emit(j, s, e, old, new):
+                    store = old + (new - old) * act
+                    c2v_ref[e] = store.astype(jnp.int8)
+                    dst[j] = dst[j] + _rot_bwd(new * act, s)
+
+                cn_sweep(lambda j: src[j], emit)
+                iters = iters + act
+                done = jnp.maximum(done, syndrome_ok(lambda j: dst[j]))
+                return done, iters
+
+            def run(done0, iters0):
+                if not early_term:
+                    def iter_pair(_, carry):
+                        flood_iter(post_ref, tot_ref, None, None)
+                        flood_iter(tot_ref, post_ref, None, None)
+                        return carry
+
+                    jax.lax.fori_loop(0, max_iter // 2, iter_pair, 0)
+                    if max_iter % 2:
+                        flood_iter(post_ref, tot_ref, None, None)
+                        final_read = lambda j: tot_ref[j]  # noqa: E731
+                    else:
+                        final_read = lambda j: post_ref[j]  # noqa: E731
+                    iters = jnp.full((1, Bt), max_iter, _I32)
+                    return None, iters, final_read
+
+                def iter_pair(_, carry):
+                    done, iters = carry
+                    n_active = jnp.sum(jnp.array(1, _C) - done)
+
+                    @pl.when(n_active > 0)
+                    def _():
+                        d, it = flood_iter(post_ref, tot_ref, done, iters)
+                        d, it = flood_iter(tot_ref, post_ref, d, it)
+                        state_done[0] = d
+                        state_iters[0] = it
+
+                    return state_done[0], state_iters[0]
+
+                state_done[0] = done0
+                state_iters[0] = iters0
+                done, iters = jax.lax.fori_loop(
+                    0, max_iter // 2, iter_pair, (done0, iters0))
+                if max_iter % 2:
+                    n_active = jnp.sum(jnp.array(1, _C) - done)
+
+                    @pl.when(n_active > 0)
+                    def _():
+                        d, it = flood_iter(post_ref, tot_ref, done, iters)
+                        state_done[0] = d
+                        state_iters[0] = it
+
+                    done, iters = state_done[0], state_iters[0]
+                    final_read = lambda j: tot_ref[j]  # noqa: E731
+                else:
+                    final_read = lambda j: post_ref[j]  # noqa: E731
+                return done, iters, final_read
+        else:
+            def layered_iter(done, iters):
+                if done is None:
+                    def emit(j, s, e, old, new):
+                        c2v_ref[e] = new.astype(jnp.int8)
+                        post_ref[j] = post_ref[j] + _rot_bwd(new - old, s)
+
+                    cn_sweep(lambda j: post_ref[j], emit)
+                    return None, None
+                act = jnp.array(1, _C) - done
+
+                def emit(j, s, e, old, new):
+                    store = old + (new - old) * act
+                    c2v_ref[e] = store.astype(jnp.int8)
+                    post_ref[j] = post_ref[j] + _rot_bwd(store - old, s)
+
+                cn_sweep(lambda j: post_ref[j], emit)
+                iters = iters + act
+                done = jnp.maximum(done, syndrome_ok(lambda j: post_ref[j]))
+                return done, iters
+
+            def run(done0, iters0):
+                if not early_term:
+                    def iter_body(_, carry):
+                        layered_iter(None, None)
+                        return carry
+
+                    jax.lax.fori_loop(0, max_iter, iter_body, 0)
+                    iters = jnp.full((1, Bt), max_iter, _I32)
+                    return None, iters, (lambda j: post_ref[j])
+
+                def iter_body(_, carry):
+                    done, iters = carry
+                    n_active = jnp.sum(jnp.array(1, _C) - done)
+
+                    @pl.when(n_active > 0)
+                    def _():
+                        d, it = layered_iter(done, iters)
+                        state_done[0] = d
+                        state_iters[0] = it
+
+                    return state_done[0], state_iters[0]
+
+                state_done[0] = done0
+                state_iters[0] = iters0
+                done, iters = jax.lax.fori_loop(
+                    0, max_iter, iter_body, (done0, iters0))
+                return done, iters, (lambda j: post_ref[j])
+
+        state_done = state_iters = None
+
+        def scoped(state_done_, state_iters_):
+            nonlocal state_done, state_iters
+            state_done, state_iters = state_done_, state_iters_
+            done0 = (syndrome_ok(lambda j: post_ref[j]) if early_term
+                     else None)
+            iters0 = jnp.zeros((1, Bt), _I32)
+            done, iters, final_read = run(done0, iters0)
+            for j in range(nb):
+                # i1 -> int32 (same tiling) -> int8: avoids i1 retiling.
+                hard_ref[j] = (final_read(j) < 0).astype(_C).astype(jnp.int8)
+            iters_ref[...] = iters
+            conv = done if early_term else syndrome_ok(final_read)
+            conv_ref[...] = conv.astype(jnp.int8)
+
+        if early_term:
+            pl.run_scoped(
+                scoped,
+                pltpu.VMEM((1, 1, Bt), _C),
+                pltpu.VMEM((1, 1, Bt), _I32),
+            )
+        else:
+            scoped(None, None)
+
+    scratch = [
+        pltpu.VMEM((nb, Z, batch_tile), _C),            # post / totals A
+        pltpu.VMEM((n_entries, Z, batch_tile), jnp.int8),  # c2v messages
+    ]
+    if flooding:
+        scratch.append(pltpu.VMEM((nb, Z, batch_tile), _C))  # totals B
+
+    def decode(chan: jnp.ndarray):
+        B = chan.shape[0]
+        assert B % batch_tile == 0, (B, batch_tile)
+        n_tiles = B // batch_tile
+        # (B, n) -> (nb, Z, B): variable v = j*Z + r lands at [j, r, b].
+        chan_t = chan.astype(jnp.int8).reshape(B, nb, Z).transpose(1, 2, 0)
+        hard_t, iters, conv = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((nb, Z, batch_tile), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((nb, Z, batch_tile), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, batch_tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, batch_tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nb, Z, B), jnp.int8),
+                jax.ShapeDtypeStruct((1, B), _I32),
+                jax.ShapeDtypeStruct((1, B), jnp.int8),
+            ],
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(chan_t)
+        hard = hard_t.transpose(2, 0, 1).reshape(B, n).astype(jnp.uint8)
+        return hard, iters[0], conv[0].astype(jnp.bool_)
+
+    return decode
+
+
+def make_decoder(code: LDPCCode, dec: DecoderConfig, quant: QuantConfig,
+                 batch_tile: int = 256, interpret: bool = False):
+    """Factory from configs, mirroring ops.decode_ref.make_decoder."""
+    if dec.algorithm not in ("min-sum", "offset-min-sum"):
+        raise ValueError(f"Pallas decoder supports the min-sum family, "
+                         f"got {dec.algorithm}")
+    beta = quant.beta_lsb if dec.algorithm == "offset-min-sum" else 0
+    return make_pallas_decoder(
+        code, max_iter=dec.max_iter, beta=beta, qmax=quant.qmax,
+        schedule=dec.schedule, early_term=dec.early_term,
+        batch_tile=batch_tile, interpret=interpret)

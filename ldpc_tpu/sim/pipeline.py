@@ -1,0 +1,123 @@
+"""The jitted end-to-end simulation step (SURVEY.md §3.1 'NEW FRAMEWORK').
+
+The reference's per-frame chain encode -> bpsk -> awgn -> demap -> quantize ->
+decode -> count (its main() hot path) is compiled here into ONE XLA program per
+chip over a sharded codeword batch. Only five scalar counters leave the device
+per superbatch — the psum the survey names (BASELINE.json:5) is inserted by
+XLA when the replicated scalar outputs are reduced from the batch-sharded
+tensors.
+
+Determinism contract (SURVEY.md §4.2 'Distributed'): the threefry RNG is run
+in partitionable mode, so the SAME seed produces the SAME counters on a
+1-device and an 8-device mesh — each chip generates exactly its shard of the
+global random stream.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..codes.code import LDPCCode
+from ..config import SimConfig
+from ..golden.encoder import systematic_form
+from ..ops import channel as ch
+from ..ops.decode_ref import make_decoder as make_jnp_decoder
+from ..ops.encode import make_encoder
+from ..ops.quantize import quantize
+
+jax.config.update("jax_threefry_partitionable", True)
+
+
+def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
+                   batch_tile: int = 256, interpret: bool = False):
+    """Decoder dispatch: the Pallas kernel on TPU, the jnp reference op
+    elsewhere (SURVEY.md §2.1 C8: kernel + pure-XLA fallback)."""
+    if backend == "auto":
+        plat = jax.default_backend()
+        backend = "pallas" if plat in ("tpu", "axon") else "jnp"
+    if backend == "pallas":
+        from ..kernels.minsum_pallas import make_decoder as make_pl
+        return make_pl(code, cfg.decoder, cfg.quant, batch_tile=batch_tile,
+                       interpret=interpret), "pallas"
+    return make_jnp_decoder(code, cfg.decoder, cfg.quant), "jnp"
+
+
+@dataclass(frozen=True)
+class BatchCounters:
+    """Scalar results of one superbatch (device-reduced)."""
+    frames: int
+    bit_errs: int        # info-bit errors (the north-star counts info bits)
+    frame_errs: int
+    iter_sum: int
+    converged: int
+
+    def __add__(self, o: "BatchCounters") -> "BatchCounters":
+        return BatchCounters(
+            self.frames + o.frames, self.bit_errs + o.bit_errs,
+            self.frame_errs + o.frame_errs, self.iter_sum + o.iter_sum,
+            self.converged + o.converged)
+
+    @staticmethod
+    def zero() -> "BatchCounters":
+        return BatchCounters(0, 0, 0, 0, 0)
+
+
+def make_run_batch(
+    code: LDPCCode,
+    cfg: SimConfig,
+    batch: Optional[int] = None,
+    mesh: Optional[Mesh] = None,
+    decoder_backend: str = "auto",
+    batch_tile: int = 256,
+    interpret: bool = False,
+) -> Callable[[jax.Array, jnp.ndarray], Tuple[jnp.ndarray, ...]]:
+    """Returns jitted run_batch(key, sigma) -> (frames, bit_errs, frame_errs,
+    iter_sum, converged) int32 scalars. sigma is a traced scalar so one
+    compilation covers the whole SNR sweep. With a mesh, the batch dimension
+    is sharded over every mesh axis via explicit constraints."""
+    B = batch or cfg.run.batch
+    mod = cfg.channel.modulation
+    enc = make_encoder(code)
+    dec, _ = select_decoder(code, cfg, decoder_backend, batch_tile, interpret)
+    _, perm = systematic_form(code)
+    info_pos = jnp.asarray(perm[: code.k])  # info-bit positions in the codeword
+
+    if mesh is not None:
+        if B % mesh.size:
+            raise ValueError(f"batch {B} not divisible by mesh size {mesh.size}")
+        bspec = NamedSharding(mesh, P(mesh.axis_names))
+
+        def shard_b(x):
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(mesh.axis_names,
+                                         *([None] * (x.ndim - 1)))))
+    else:
+        def shard_b(x):
+            return x
+
+    def run_batch(key: jax.Array, sigma: jnp.ndarray):
+        kinfo, knoise = jax.random.split(key)
+        info = shard_b(
+            jax.random.bernoulli(kinfo, 0.5, (B, code.k)).astype(jnp.uint8))
+        cw = enc(info)
+        x = ch.modulate(cw, mod)
+        y = ch.awgn(knoise, x, sigma)
+        llr = ch.demap(y, sigma, mod)
+        q = shard_b(quantize(llr, cfg.quant))
+        hard, iters, conv = dec(q)
+        info_err = hard[:, info_pos] != info
+        bit_errs = jnp.sum(info_err, dtype=jnp.int32)
+        frame_errs = jnp.sum(jnp.any(hard != cw, axis=-1), dtype=jnp.int32)
+        return (jnp.int32(B), bit_errs, frame_errs,
+                jnp.sum(iters, dtype=jnp.int32),
+                jnp.sum(conv, dtype=jnp.int32))
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        return jax.jit(run_batch, in_shardings=(repl, repl),
+                       out_shardings=repl)
+    return jax.jit(run_batch)

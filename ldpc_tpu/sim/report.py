@@ -1,0 +1,57 @@
+"""Result reporting: CSV/JSON writers and the BER/FER waterfall plot
+(SURVEY.md §2.1 C13 — the role of the reference's MATLAB semilogy scripts)."""
+from __future__ import annotations
+
+import csv
+import io
+from typing import List, Optional
+
+from .sweep import SweepResult
+
+_COLUMNS = ["ebn0_db", "frames", "bit_errs", "frame_errs", "ber", "fer",
+            "avg_iters", "early_term_rate", "wall_s", "info_bps"]
+
+
+def to_csv(result: SweepResult) -> str:
+    buf = io.StringIO()
+    w = csv.DictWriter(buf, fieldnames=_COLUMNS)
+    w.writeheader()
+    for row in result.rows():
+        w.writerow({k: row[k] for k in _COLUMNS})
+    return buf.getvalue()
+
+
+def write_outputs(result: SweepResult, prefix: str) -> List[str]:
+    paths = []
+    with open(prefix + ".json", "w") as f:
+        f.write(result.to_json())
+    paths.append(prefix + ".json")
+    with open(prefix + ".csv", "w") as f:
+        f.write(to_csv(result))
+    paths.append(prefix + ".csv")
+    return paths
+
+
+def plot_waterfall(results: List[SweepResult], path: str,
+                   metric: str = "ber", title: Optional[str] = None) -> str:
+    """semilogy BER/FER vs Eb/N0 — one curve per result."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7, 5))
+    for r in results:
+        rows = [row for row in r.rows() if row[metric] > 0]
+        ax.semilogy([row["ebn0_db"] for row in rows],
+                    [row[metric] for row in rows],
+                    marker="o", label=f"{r.code_name} [{r.decoder_backend}]")
+    ax.set_xlabel("Eb/N0 (dB)")
+    ax.set_ylabel(metric.upper())
+    ax.grid(True, which="both", alpha=0.3)
+    ax.legend()
+    if title:
+        ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(path, dpi=130)
+    plt.close(fig)
+    return path

@@ -1,0 +1,71 @@
+"""BER/FER statistics (SURVEY.md §5.5).
+
+The reference prints per-SNR BER/FER rows computed from accumulated counters;
+this module owns the counter -> rate conversion plus binomial confidence
+intervals (used by the integration tests to compare decoder implementations
+within Monte-Carlo error, SURVEY.md §4.2 'Integration: BER')."""
+from __future__ import annotations
+
+import math
+from dataclasses import asdict, dataclass, field
+from typing import Dict, List, Optional
+
+
+@dataclass
+class SnrPoint:
+    """Accumulated counters for one Eb/N0 point."""
+    ebn0_db: float
+    frames: int = 0
+    bit_errs: int = 0          # info-bit errors
+    frame_errs: int = 0
+    iter_sum: int = 0
+    converged: int = 0
+    batches: int = 0           # superbatches consumed (drives RNG folding)
+    wall_s: float = 0.0
+
+    @property
+    def fer(self) -> float:
+        return self.frame_errs / max(self.frames, 1)
+
+    @property
+    def avg_iters(self) -> float:
+        return self.iter_sum / max(self.frames, 1)
+
+    @property
+    def early_term_rate(self) -> float:
+        return self.converged / max(self.frames, 1)
+
+    def row(self, k: int, n: int) -> Dict:
+        info_bits = self.frames * k
+        return {
+            "ebn0_db": self.ebn0_db,
+            "frames": self.frames,
+            "bit_errs": self.bit_errs,
+            "frame_errs": self.frame_errs,
+            "ber": self.bit_errs / max(info_bits, 1),
+            "fer": self.fer,
+            "avg_iters": self.avg_iters,
+            "early_term_rate": self.early_term_rate,
+            "wall_s": self.wall_s,
+            "info_bps": info_bits / self.wall_s if self.wall_s > 0 else 0.0,
+        }
+
+
+def wilson_interval(errs: int, trials: int, z: float = 2.576):
+    """Wilson score interval for a binomial rate (z=2.576 -> 99%)."""
+    if trials == 0:
+        return 0.0, 1.0
+    p = errs / trials
+    den = 1 + z * z / trials
+    center = (p + z * z / (2 * trials)) / den
+    half = z * math.sqrt(p * (1 - p) / trials + z * z / (4 * trials ** 2)) / den
+    return max(0.0, center - half), min(1.0, center + half)
+
+
+def rates_compatible(errs_a: int, trials_a: int, errs_b: int, trials_b: int,
+                     z: float = 2.576) -> bool:
+    """True when two binomial observations have overlapping Wilson intervals —
+    the decoder-equivalence oracle used by the BER integration tests."""
+    lo_a, hi_a = wilson_interval(errs_a, trials_a, z)
+    lo_b, hi_b = wilson_interval(errs_b, trials_b, z)
+    return lo_a <= hi_b and lo_b <= hi_a

@@ -1,0 +1,140 @@
+"""Monte-Carlo BER/FER sweep driver (SURVEY.md §2.1 C11, §3.1).
+
+Replaces the reference's C main(): for each Eb/N0 point, run jitted
+superbatches until enough frame errors are collected (or the frame budget is
+exhausted), accumulating scalar counters on the host. The per-batch RNG key is
+fold_in(fold_in(fold_in(seed, snr_index), batch_index)) so results are
+reproducible, mesh-size-invariant (partitionable threefry), and resumable
+sample-exactly from a checkpoint (sim/checkpoint.py).
+"""
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..codes.code import LDPCCode
+from ..config import SimConfig
+from ..ops.channel import sigma_for
+from . import checkpoint as ckpt
+from .pipeline import make_run_batch
+from .stats import SnrPoint
+
+log = logging.getLogger("ldpc_tpu.sweep")
+
+
+@dataclass
+class SweepResult:
+    config: SimConfig
+    code_name: str
+    k: int
+    n: int
+    points: List[SnrPoint] = field(default_factory=list)
+    decoder_backend: str = ""
+
+    def rows(self) -> List[Dict]:
+        return [p.row(self.k, self.n) for p in self.points]
+
+    def to_json(self) -> str:
+        import json
+        return json.dumps({
+            "config": json.loads(self.config.to_json()),
+            "code": self.code_name, "k": self.k, "n": self.n,
+            "decoder_backend": self.decoder_backend,
+            "results": self.rows(),
+        }, indent=1)
+
+
+def build_code(cfg: SimConfig) -> LDPCCode:
+    """CodeConfig -> LDPCCode across all supported families."""
+    c = cfg.code
+    if c.family == "ieee80211n":
+        from ..codes.ieee80211n import make_code
+        return make_code(c.n, c.rate)
+    if c.family == "5gnr":
+        from ..codes.nr_bg import make_code as make_nr
+        return make_nr(base_graph=c.base_graph, Z=c.Z, rate=c.rate)
+    if c.family == "dvbs2":
+        from ..codes.dvbs2 import make_code as make_dvb
+        return make_dvb(n=c.n, rate=c.rate)
+    if c.family == "toy":
+        from ..codes.toy import toy_qc
+        return toy_qc(c.Z or 4)
+    raise ValueError(f"unknown code family {c.family}")
+
+
+class Sweep:
+    """Drives the full BER/FER sweep for one SimConfig.
+
+    mesh: optional jax.sharding.Mesh — the codeword batch is sharded over it.
+    checkpoint_path: JSON state written after every superbatch; pass the same
+    path again to resume.
+    """
+
+    def __init__(self, cfg: SimConfig, mesh=None, decoder_backend: str = "auto",
+                 batch: Optional[int] = None, batch_tile: int = 256,
+                 interpret: bool = False,
+                 checkpoint_path: Optional[str] = None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.code = build_code(cfg)
+        self.batch = batch or cfg.run.batch
+        self.checkpoint_path = checkpoint_path
+        from .pipeline import select_decoder
+        _, self.backend = select_decoder(self.code, cfg, decoder_backend,
+                                         batch_tile, interpret)
+        self.run_batch = make_run_batch(
+            self.code, cfg, batch=self.batch, mesh=mesh,
+            decoder_backend=self.backend, batch_tile=batch_tile,
+            interpret=interpret)
+
+    def _key(self, snr_idx: int, batch_idx: int) -> jax.Array:
+        k = jax.random.PRNGKey(self.cfg.run.seed)
+        k = jax.random.fold_in(k, snr_idx)
+        return jax.random.fold_in(k, batch_idx)
+
+    def run(self, ebn0_list: Sequence[float],
+            target_frame_errors: Optional[int] = None,
+            max_frames: Optional[int] = None) -> SweepResult:
+        rc = self.cfg.run
+        target_fe = (rc.target_frame_errors if target_frame_errors is None
+                     else target_frame_errors)
+        max_fr = rc.max_frames if max_frames is None else max_frames
+
+        points = [SnrPoint(ebn0_db=float(e)) for e in ebn0_list]
+        if self.checkpoint_path:
+            state = ckpt.load(self.checkpoint_path)
+            if state is not None:
+                saved = {p.ebn0_db: p for p in state["points"]}
+                points = [saved.get(p.ebn0_db, p) for p in points]
+                log.info("resumed checkpoint %s", self.checkpoint_path)
+
+        result = SweepResult(config=self.cfg, code_name=self.code.name,
+                             k=self.code.k, n=self.code.n,
+                             points=points, decoder_backend=self.backend)
+        for si, pt in enumerate(points):
+            sigma = sigma_for(pt.ebn0_db, self.code.rate,
+                              self.cfg.channel.modulation)
+            while pt.frame_errs < target_fe and pt.frames < max_fr:
+                t0 = time.time()
+                out = self.run_batch(self._key(si, pt.batches),
+                                     np.float32(sigma))
+                frames, bit_e, frame_e, it_s, conv = map(int, out)
+                pt.wall_s += time.time() - t0
+                pt.frames += frames
+                pt.bit_errs += bit_e
+                pt.frame_errs += frame_e
+                pt.iter_sum += it_s
+                pt.converged += conv
+                pt.batches += 1
+                if self.checkpoint_path:
+                    ckpt.save(self.checkpoint_path, self.cfg.to_json(), points)
+            log.info("EbN0=%.2f dB: frames=%d BER=%.3e FER=%.3e avg_it=%.2f",
+                     pt.ebn0_db, pt.frames,
+                     pt.bit_errs / max(pt.frames * self.code.k, 1),
+                     pt.fer, pt.avg_iters)
+        return result

@@ -1,0 +1,84 @@
+"""Pallas kernel bit-exactness tests (SURVEY.md §4.2 'Unit: decoder kernel').
+
+The Pallas decoder must equal the NumPy golden model EXACTLY on identical int8
+inputs — min-sum over integers is deterministic, so the contract is equality,
+not tolerance. Interpreter mode (interpret=True) is the sanitizer: the kernel
+runs with pure NumPy semantics on CPU (SURVEY.md §5.2).
+"""
+import numpy as np
+import pytest
+
+from ldpc_tpu.codes.ieee80211n import make_code
+from ldpc_tpu.codes.toy import toy_qc
+from ldpc_tpu.golden.decoder import decode_fixed
+from ldpc_tpu.kernels.minsum_pallas import make_pallas_decoder
+
+
+def _random_llrs(rng, B, n, qmax=127):
+    # Mixture of easy (large-|LLR|) and hard (noisy) lanes to exercise both
+    # converged and non-converged paths.
+    x = rng.normal(0, 40, size=(B, n))
+    x[: B // 2] = rng.normal(30, 25, size=(B // 2, n))
+    return np.clip(np.round(x), -qmax, qmax).astype(np.int8)
+
+
+def _golden_batch(chan, code, **kw):
+    hards, iters, convs = [], [], []
+    for row in chan:
+        r = decode_fixed(row.astype(np.int32), code, **kw)
+        hards.append(r.hard)
+        iters.append(r.iters)
+        convs.append(r.converged)
+    return np.stack(hards), np.array(iters), np.array(convs)
+
+
+CASES = [
+    dict(schedule="flooding", beta=0, early_term=False, max_iter=6),
+    dict(schedule="flooding", beta=0, early_term=True, max_iter=7),
+    dict(schedule="flooding", beta=2, early_term=True, max_iter=6),
+    dict(schedule="layered", beta=0, early_term=False, max_iter=6),
+    dict(schedule="layered", beta=2, early_term=True, max_iter=7),
+]
+
+
+@pytest.mark.parametrize("kw", CASES)
+def test_toy_qc_bitexact(rng, kw):
+    code = toy_qc(Z=4)
+    B = 8
+    chan = _random_llrs(rng, B, code.n)
+    dec = make_pallas_decoder(code, qmax=127, batch_tile=4, interpret=True,
+                              **kw)
+    hard, iters, conv = map(np.asarray, dec(chan))
+    g_hard, g_iters, g_conv = _golden_batch(chan, code, qmax=127, **kw)
+    np.testing.assert_array_equal(hard, g_hard)
+    np.testing.assert_array_equal(iters, g_iters)
+    np.testing.assert_array_equal(conv, g_conv)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(schedule="flooding", beta=0, early_term=False, max_iter=5),
+    dict(schedule="layered", beta=2, early_term=True, max_iter=5),
+])
+def test_wifi648_bitexact(rng, kw):
+    code = make_code(648, "1/2")
+    B = 4
+    chan = _random_llrs(rng, B, code.n)
+    dec = make_pallas_decoder(code, qmax=127, batch_tile=4, interpret=True,
+                              **kw)
+    hard, iters, conv = map(np.asarray, dec(chan))
+    g_hard, g_iters, g_conv = _golden_batch(chan, code, qmax=127, **kw)
+    np.testing.assert_array_equal(hard, g_hard)
+    np.testing.assert_array_equal(iters, g_iters)
+    np.testing.assert_array_equal(conv, g_conv)
+
+
+def test_all_zero_noiseless(rng):
+    """All-zeros codeword with clean LLRs converges instantly with 0 iters."""
+    code = toy_qc(Z=4)
+    chan = np.full((4, code.n), 60, np.int8)
+    dec = make_pallas_decoder(code, schedule="layered", early_term=True,
+                              max_iter=5, batch_tile=4, interpret=True)
+    hard, iters, conv = map(np.asarray, dec(chan))
+    assert not hard.any()
+    assert (iters == 0).all()
+    assert conv.all()

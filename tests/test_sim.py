@@ -1,0 +1,112 @@
+"""Sweep driver, sharding, determinism, and checkpoint tests
+(SURVEY.md §4.2 'Distributed' + 'Integration').
+
+Runs on the 8-fake-device CPU mesh from conftest — the same program that runs
+on a TPU mesh (the fake backend IS the multi-device test double)."""
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from ldpc_tpu.config import (ChannelConfig, CodeConfig, DecoderConfig,
+                             QuantConfig, RunConfig, SimConfig)
+from ldpc_tpu.parallel import make_mesh
+from ldpc_tpu.sim import Sweep, build_code, make_run_batch
+from ldpc_tpu.sim.stats import rates_compatible, wilson_interval
+
+
+def _toy_cfg(batch=64, **dec):
+    return SimConfig(
+        code=CodeConfig(family="toy", Z=8),
+        channel=ChannelConfig(modulation="bpsk"),
+        quant=QuantConfig(bits=8, scale=4.0, beta_lsb=0),
+        decoder=DecoderConfig(algorithm="min-sum", schedule="flooding",
+                              max_iter=8, early_term=True, **dec),
+        run=RunConfig(batch=batch, seed=3, target_frame_errors=30,
+                      max_frames=400),
+    )
+
+
+def test_run_batch_counters():
+    cfg = _toy_cfg()
+    code = build_code(cfg)
+    rb = make_run_batch(code, cfg, decoder_backend="jnp")
+    key = jax.random.PRNGKey(0)
+    out = rb(key, np.float32(0.8))
+    frames, bit_e, frame_e, it_s, conv = map(int, out)
+    assert frames == 64
+    assert 0 <= bit_e <= frames * code.k
+    assert 0 <= frame_e <= frames
+    assert conv + frame_e >= 0  # sanity; converged lanes may still be wrong
+
+
+def test_mesh_size_invariance():
+    """Same seed on 1-device and 8-device meshes -> identical counters
+    (partitionable threefry + batch sharding; SURVEY.md §4.2)."""
+    cfg = _toy_cfg(batch=64)
+    code = build_code(cfg)
+    key = jax.random.PRNGKey(9)
+    sigma = np.float32(0.9)
+
+    out1 = tuple(map(int, make_run_batch(code, cfg, decoder_backend="jnp")(
+        key, sigma)))
+    mesh = make_mesh()  # all 8 fake devices
+    assert mesh.size == 8
+    out8 = tuple(map(int, make_run_batch(code, cfg, mesh=mesh,
+                                         decoder_backend="jnp")(key, sigma)))
+    assert out1 == out8
+
+
+def test_sweep_and_checkpoint_resume(tmp_path):
+    """Interrupted + resumed sweep == uninterrupted sweep, sample-exactly."""
+    cfg = _toy_cfg(batch=32)
+    ebn0 = [2.0]
+
+    full = Sweep(cfg, decoder_backend="jnp").run(ebn0)
+
+    path = str(tmp_path / "state.json")
+    s1 = Sweep(cfg, decoder_backend="jnp", checkpoint_path=path)
+    # interrupt after exactly 2 superbatches by shrinking the frame budget
+    s1.run(ebn0, max_frames=64)
+    assert os.path.exists(path)
+    s2 = Sweep(cfg, decoder_backend="jnp", checkpoint_path=path)
+    resumed = s2.run(ebn0)
+
+    a, b = full.points[0], resumed.points[0]
+    assert (a.frames, a.bit_errs, a.frame_errs, a.iter_sum) == \
+        (b.frames, b.bit_errs, b.frame_errs, b.iter_sum)
+
+
+def test_sweep_result_report(tmp_path):
+    cfg = _toy_cfg(batch=32)
+    res = Sweep(cfg, decoder_backend="jnp").run([1.0, 3.0],
+                                                target_frame_errors=10,
+                                                max_frames=64)
+    rows = res.rows()
+    assert len(rows) == 2
+    assert rows[0]["fer"] >= rows[1]["fer"] or rows[1]["frames"] > 0
+    j = json.loads(res.to_json())
+    assert j["results"][0]["frames"] > 0
+    from ldpc_tpu.sim.report import to_csv, write_outputs
+    csv_text = to_csv(res)
+    assert "ebn0_db" in csv_text.splitlines()[0]
+    paths = write_outputs(res, str(tmp_path / "out"))
+    assert all(os.path.exists(p) for p in paths)
+
+
+def test_avg_iters_decreases_with_snr():
+    """Early-termination property (SURVEY.md §4.2 'Integration: early term')."""
+    cfg = _toy_cfg(batch=128)
+    res = Sweep(cfg, decoder_backend="jnp").run(
+        [0.0, 5.0], target_frame_errors=10 ** 9, max_frames=256)
+    lo, hi = res.points
+    assert hi.avg_iters < lo.avg_iters
+
+
+def test_wilson():
+    lo, hi = wilson_interval(10, 1000)
+    assert lo < 0.01 < hi
+    assert rates_compatible(10, 1000, 14, 1000)
+    assert not rates_compatible(10, 1000, 400, 1000)
