@@ -1,0 +1,189 @@
+"""Command-line interface (SURVEY.md §1.3 'CLI / sweep driver').
+
+The reference's entry point was `./sim <code> <snr_lo> <snr_hi> <step> <iters>
+<frames>` plus compiled-in constants; here the same run is a named preset or
+explicit flags over the frozen config dataclasses (SURVEY.md §5.6). The five
+BASELINE.json workload configs ship as presets.
+
+Examples:
+  python -m ldpc_tpu.cli sweep --preset wifi-648-r12-minsum \
+      --ebn0 1.0:3.5:0.5 --target-errors 100 --out results/wifi648
+  python -m ldpc_tpu.cli sweep --family ieee80211n --n 1296 --rate 3/4 \
+      --algorithm offset-min-sum --schedule layered --ebn0 2.0,2.5,3.0
+  python -m ldpc_tpu.cli presets
+  python -m ldpc_tpu.cli codes
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import sys
+from typing import List
+
+from .config import (PRESETS, ChannelConfig, CodeConfig, DecoderConfig,
+                     QuantConfig, RunConfig, SimConfig)
+
+
+def _parse_ebn0(spec: str) -> List[float]:
+    """'1.0:3.0:0.5' (lo:hi:step, inclusive) or '1.0,2.0,2.5'."""
+    if ":" in spec:
+        lo, hi, step = (float(x) for x in spec.split(":"))
+        out, v = [], lo
+        while v <= hi + 1e-9:
+            out.append(round(v, 6))
+            v += step
+        return out
+    return [float(x) for x in spec.split(",")]
+
+
+def _build_config(args) -> SimConfig:
+    if args.preset:
+        cfg = PRESETS[args.preset]
+    else:
+        cfg = SimConfig()
+    code = cfg.code
+    if args.family:
+        code = dataclasses.replace(code, family=args.family)
+    if args.n:
+        code = dataclasses.replace(code, n=args.n)
+    if args.rate:
+        code = dataclasses.replace(code, rate=args.rate)
+    if args.base_graph:
+        code = dataclasses.replace(code, base_graph=args.base_graph)
+    if args.Z:
+        code = dataclasses.replace(code, Z=args.Z)
+    chan = cfg.channel
+    if args.modulation:
+        chan = dataclasses.replace(chan, modulation=args.modulation)
+    dec = cfg.decoder
+    for f, v in (("algorithm", args.algorithm), ("schedule", args.schedule),
+                 ("max_iter", args.max_iter)):
+        if v:
+            dec = dataclasses.replace(dec, **{f: v})
+    if args.no_early_term:
+        dec = dataclasses.replace(dec, early_term=False)
+    quant = cfg.quant
+    if args.bits:
+        quant = dataclasses.replace(quant, bits=args.bits)
+    if args.beta_lsb is not None:
+        quant = dataclasses.replace(quant, beta_lsb=args.beta_lsb)
+    run = cfg.run
+    for f, v in (("batch", args.batch), ("seed", args.seed),
+                 ("max_frames", args.max_frames),
+                 ("target_frame_errors", args.target_errors)):
+        if v is not None:
+            run = dataclasses.replace(run, **{f: v})
+    return SimConfig(code=code, channel=chan, quant=quant, decoder=dec, run=run)
+
+
+def cmd_sweep(args) -> int:
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    from .sim import Sweep
+    from .sim.report import plot_waterfall, to_csv, write_outputs
+
+    cfg = _build_config(args)
+    mesh = None
+    if args.mesh:
+        from .parallel import make_mesh
+        shape = tuple(int(x) for x in args.mesh.split("x"))
+        axes = ("dcn", "ici")[-len(shape):] if len(shape) > 1 else ("batch",)
+        mesh = make_mesh(shape=shape, axes=axes)
+    sweep = Sweep(cfg, mesh=mesh, decoder_backend=args.decoder_backend,
+                  checkpoint_path=args.checkpoint)
+    ebn0 = _parse_ebn0(args.ebn0)
+    res = sweep.run(ebn0)
+    if args.out:
+        paths = write_outputs(res, args.out)
+        if args.plot:
+            paths.append(plot_waterfall([res], args.out + ".png"))
+        print("wrote: " + " ".join(paths))
+    else:
+        sys.stdout.write(to_csv(res))
+    return 0
+
+
+def cmd_presets(args) -> int:
+    for name, cfg in PRESETS.items():
+        c = cfg.code
+        print(f"{name}: {c.family} n={c.n} rate={c.rate} "
+              f"{cfg.channel.modulation} {cfg.decoder.algorithm}/"
+              f"{cfg.decoder.schedule} iters={cfg.decoder.max_iter}")
+    return 0
+
+
+def cmd_codes(args) -> int:
+    from .codes.ieee80211n import all_codes
+    for code in all_codes():
+        print(f"{code.name}: n={code.n} k={code.k} m={code.m} Z={code.Z} "
+              f"E={code.num_edges} exact={code.standard_exact}")
+    return 0
+
+
+def cmd_config(args) -> int:
+    print(_build_config(args).to_json())
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ldpc_tpu", description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sw = sub.add_parser("sweep", help="run a BER/FER sweep")
+    cfgp = sub.add_parser("config", help="print the resolved config JSON")
+    for q in (sw, cfgp):
+        q.add_argument("--preset", choices=sorted(PRESETS), default=None)
+        q.add_argument("--family", default=None,
+                       choices=["ieee80211n", "5gnr", "dvbs2", "toy"])
+        q.add_argument("--n", type=int, default=None)
+        q.add_argument("--rate", default=None)
+        q.add_argument("--base-graph", dest="base_graph", type=int, default=None)
+        q.add_argument("--Z", type=int, default=None)
+        q.add_argument("--modulation", default=None,
+                       choices=["bpsk", "qpsk", "16qam", "64qam"])
+        q.add_argument("--algorithm", default=None,
+                       choices=["min-sum", "offset-min-sum"])
+        q.add_argument("--schedule", default=None,
+                       choices=["flooding", "layered"])
+        q.add_argument("--max-iter", dest="max_iter", type=int, default=None)
+        q.add_argument("--no-early-term", action="store_true")
+        q.add_argument("--bits", type=int, default=None)
+        q.add_argument("--beta-lsb", dest="beta_lsb", type=int, default=None)
+        q.add_argument("--batch", type=int, default=None)
+        q.add_argument("--seed", type=int, default=None)
+        q.add_argument("--max-frames", dest="max_frames", type=int, default=None)
+        q.add_argument("--target-errors", dest="target_errors", type=int,
+                       default=None)
+    sw.add_argument("--ebn0", default="1.0:3.0:0.5",
+                    help="lo:hi:step or comma list (dB)")
+    sw.add_argument("--decoder-backend", default="auto",
+                    choices=["auto", "pallas", "jnp"])
+    sw.add_argument("--mesh", default=None,
+                    help="mesh shape, e.g. 8 or 2x4 (dcn x ici)")
+    sw.add_argument("--checkpoint", default=None,
+                    help="JSON state path for resume")
+    sw.add_argument("--out", default=None, help="output prefix (json+csv)")
+    sw.add_argument("--plot", action="store_true", help="also write PNG")
+    sw.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
+                    help="force the JAX platform (the env var is latched by "
+                         "the preloaded jax import; this uses jax.config)")
+
+    sub.add_parser("presets", help="list named workload presets")
+    sub.add_parser("codes", help="list built-in 802.11n codes")
+    return p
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(message)s")
+    args = build_parser().parse_args(argv)
+    return {"sweep": cmd_sweep, "presets": cmd_presets,
+            "codes": cmd_codes, "config": cmd_config}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

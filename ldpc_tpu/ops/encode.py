@@ -1,20 +1,22 @@
-"""Batched GF(2) systematic encoder as a jittable XLA op.
+"""Batched GF(2) systematic encoders as jittable XLA ops.
 
 The reference encodes one codeword at a time with dual-diagonal
 back-substitution (BASELINE.json:5 'sparse parity-check encoding'; IEEE
-802.11-2012 Annex F). TPU-native design: the parity generator P (precomputed
-once on host by GF(2) elimination, golden/encoder.py) turns encoding into one
-batched matmul on the MXU — parity = (info @ P^T) mod 2 — which is far below
-1% of decode cost at every supported size. Inputs are cast to bfloat16 for the
-MXU with float32 accumulation (exact: 0/1 products, sums < 2**24), then reduced
-mod 2.
+802.11-2012 Annex F). Two TPU-native realizations:
 
-Bit-exactness vs the golden encoder is asserted in tests; H c^T = 0 is the
+  * small codes (802.11n sizes): one batched MXU matmul against the
+    precomputed dense parity generator — parity = (info @ P^T) mod 2, bf16
+    inputs with exact f32 accumulation;
+  * structured QC codes of any size (802.11n, NR-like, DVB-S2-like): the
+    O(E) block-circulant dual-diagonal encoder (codes/qcstruct.py), pure
+    rolls and XORs — the dense path would need a multi-hundred-MB H for
+    DVB-S2's n=64800.
+
+Bit-exactness vs the golden encoders is asserted in tests; H c^T = 0 is the
 universal property.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
@@ -22,15 +24,39 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..codes.code import LDPCCode
-from ..golden.encoder import systematic_form
+
+_DENSE_MAX_N = 4096
+
+
+def _has_qc_struct(code: LDPCCode) -> bool:
+    if code.base is None or code.Z is None:
+        return False
+    from ..codes.qcstruct import detect_enc_struct
+    return detect_enc_struct(code.base) is not None
+
+
+def info_positions(code: LDPCCode) -> np.ndarray:
+    """Codeword positions of the k information bits."""
+    if _has_qc_struct(code) and code.n > _DENSE_MAX_N:
+        return np.arange(code.k)
+    from ..golden.encoder import systematic_form
+    _, perm = systematic_form(code)
+    return np.asarray(perm[: code.k])
 
 
 def make_encoder(code: LDPCCode) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Returns encode(info[B, k] uint8) -> codeword[B, n] uint8, jittable."""
+    if _has_qc_struct(code) and code.n > _DENSE_MAX_N:
+        from ..codes.qcstruct import make_qc_encoder
+        return make_qc_encoder(code)
+    return _make_dense_encoder(code)
+
+
+def _make_dense_encoder(code: LDPCCode) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    from ..golden.encoder import systematic_form
+
     P, perm = systematic_form(code)  # (m, k), (n,)
     PT = jnp.asarray(P.T.astype(np.float32), jnp.bfloat16)  # (k, m)
-    inv_perm = np.empty_like(perm)
-    inv_perm[perm] = np.arange(len(perm))
     identity_perm = bool(np.all(perm == np.arange(code.n)))
     perm_j = None if identity_perm else jnp.asarray(perm)
 

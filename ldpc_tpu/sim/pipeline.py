@@ -23,10 +23,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..codes.code import LDPCCode
 from ..config import SimConfig
-from ..golden.encoder import systematic_form
 from ..ops import channel as ch
 from ..ops.decode_ref import make_decoder as make_jnp_decoder
-from ..ops.encode import make_encoder
+from ..ops.encode import info_positions, make_encoder
 from ..ops.quantize import quantize
 
 jax.config.update("jax_threefry_partitionable", True)
@@ -83,8 +82,25 @@ def make_run_batch(
     mod = cfg.channel.modulation
     enc = make_encoder(code)
     dec, _ = select_decoder(code, cfg, decoder_backend, batch_tile, interpret)
-    _, perm = systematic_form(code)
-    info_pos = jnp.asarray(perm[: code.k])  # info-bit positions in the codeword
+    info_pos = jnp.asarray(info_positions(code))
+
+    # Rate matching (5G NR): punctured variables are never transmitted and
+    # enter the decoder with LLR 0; shortened variables are known zeros and
+    # enter saturated positive (SURVEY.md §7.1 stage 6).
+    n_tx = code.n - len(code.punct_vns) - len(code.shortened_vns)
+    punctured = len(code.punct_vns) or len(code.shortened_vns)
+    if punctured:
+        excluded = set(map(int, code.punct_vns)) | set(
+            map(int, code.shortened_vns))
+        tx_pos = jnp.asarray(
+            [v for v in range(code.n) if v not in excluded], jnp.int32)
+        short_pos = (jnp.asarray(code.shortened_vns)
+                     if len(code.shortened_vns) else None)
+        bps = ch.BITS_PER_SYM[mod]
+        if n_tx % (2 * bps) and mod != "bpsk":
+            raise ValueError(
+                f"transmitted length {n_tx} not a multiple of the {mod} "
+                f"symbol size")
 
     if mesh is not None:
         if B % mesh.size:
@@ -104,14 +120,20 @@ def make_run_batch(
         info = shard_b(
             jax.random.bernoulli(kinfo, 0.5, (B, code.k)).astype(jnp.uint8))
         cw = enc(info)
-        x = ch.modulate(cw, mod)
+        tx = cw[:, tx_pos] if punctured else cw
+        x = ch.modulate(tx, mod)
         y = ch.awgn(knoise, x, sigma)
         llr = ch.demap(y, sigma, mod)
+        if punctured:
+            full = jnp.zeros((B, code.n), llr.dtype).at[:, tx_pos].set(llr)
+            if short_pos is not None:
+                full = full.at[:, short_pos].set(jnp.float32(1e6))
+            llr = full
         q = shard_b(quantize(llr, cfg.quant))
         hard, iters, conv = dec(q)
         info_err = hard[:, info_pos] != info
         bit_errs = jnp.sum(info_err, dtype=jnp.int32)
-        frame_errs = jnp.sum(jnp.any(hard != cw, axis=-1), dtype=jnp.int32)
+        frame_errs = jnp.sum(jnp.any(info_err, axis=-1), dtype=jnp.int32)
         return (jnp.int32(B), bit_errs, frame_errs,
                 jnp.sum(iters, dtype=jnp.int32),
                 jnp.sum(conv, dtype=jnp.int32))

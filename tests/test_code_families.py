@@ -1,0 +1,119 @@
+"""5G NR and DVB-S2 code families + structured QC encoder tests
+(SURVEY.md §4.2 'Unit: codes', §8.1 invariants; BASELINE.json:9-10)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldpc_tpu.codes import dvbs2, nr_bg
+from ldpc_tpu.codes.code import gf2_rank
+from ldpc_tpu.codes.ieee80211n import all_codes, make_code as make_wifi
+from ldpc_tpu.codes.qcstruct import (base_collisions, detect_enc_struct,
+                                     make_qc_encoder, qc_encode_numpy)
+from ldpc_tpu.golden.encoder import encode as golden_encode
+
+
+class TestStructDetect:
+    def test_all_wifi_tables_detected(self):
+        for code in all_codes():
+            st = detect_enc_struct(code.base)
+            assert st is not None, code.name
+            assert st.kb == code.k // code.Z
+            assert st.cb == code.m // code.Z  # full dual-diagonal
+
+    def test_qc_encoder_matches_golden_wifi(self, rng):
+        for code in [make_wifi(648, "1/2"), make_wifi(1944, "5/6")]:
+            info = rng.integers(0, 2, size=(4, code.k), dtype=np.uint8)
+            cw = qc_encode_numpy(code, info)
+            assert (cw == golden_encode(code, info)).all()
+
+    def test_jax_qc_encoder_matches_numpy(self, rng):
+        code = make_wifi(648, "1/2")
+        info = rng.integers(0, 2, size=(5, code.k), dtype=np.uint8)
+        enc = make_qc_encoder(code)
+        assert (np.asarray(enc(jnp.asarray(info)))
+                == qc_encode_numpy(code, info)).all()
+
+
+class TestNR:
+    @pytest.mark.parametrize("bg,Z", [(1, 32), (2, 16)])
+    def test_full_graph_invariants(self, bg, Z, rng):
+        code = nr_bg.full_graph(bg, Z)
+        p = nr_bg._PARAMS[bg]
+        assert code.n == (p["kb"] + p["mb"]) * Z
+        assert code.k == p["kb"] * Z
+        assert not code.standard_exact  # generated '-like' realization
+        assert gf2_rank(code.h_dense()) == code.m
+        info = rng.integers(0, 2, size=(2, code.k), dtype=np.uint8)
+        assert not code.syndrome(qc_encode_numpy(code, info)).any()
+
+    def test_girth6_when_feasible(self):
+        code = nr_bg.full_graph(2, 32)
+        assert not base_collisions(code.base, 32)
+
+    def test_lifting_sets(self):
+        assert 384 in nr_bg.ALL_Z and 2 in nr_bg.ALL_Z
+        assert all(z <= 384 for z in nr_bg.ALL_Z)
+        assert 384 == max(nr_bg.LIFT_SETS[3])  # 3*128
+
+    @pytest.mark.parametrize("rate,ok", [("1/3", True), ("1/2", True),
+                                         ("2/3", True), ("1/10", False)])
+    def test_rate_matching(self, rate, ok, rng):
+        if not ok:
+            with pytest.raises(ValueError):
+                nr_bg.make_code(1, 32, rate)
+            return
+        code = nr_bg.make_code(1, 32, rate)
+        # first 2Z always punctured; realized rate matches the request
+        assert list(code.punct_vns[:64]) == list(range(64))
+        assert abs(code.rate - eval(rate.replace("/", "/"))) < 1e-9
+        info = rng.integers(0, 2, size=(1, code.k), dtype=np.uint8)
+        assert not code.syndrome(qc_encode_numpy(code, info)).any()
+
+
+class TestDVBS2:
+    def test_profiles_consistent(self):
+        for rate, (k, nhi, d1) in dvbs2.PROFILES.items():
+            assert k % dvbs2.Z == 0 and nhi % dvbs2.Z == 0 and nhi <= k
+
+    @pytest.mark.parametrize("rate", ["1/2", "8/9"])
+    def test_build_and_encode(self, rate, rng):
+        code = dvbs2.make_code(64800, rate)
+        k, nhi, d1 = dvbs2.PROFILES[rate]
+        assert code.n == 64800 and code.k == k and code.Z == 360
+        assert not code.standard_exact
+        assert not base_collisions(code.base, 360)
+        dv = np.zeros(code.n, np.int64)
+        for vs in code.cn_adj:
+            dv[vs] += 1
+        assert (dv[:nhi] == d1).all() and (dv[nhi:k] == 3).all()
+        assert (dv[k:k + 360] == 3).all() and (dv[k + 360:] == 2).all()
+        info = rng.integers(0, 2, size=(1, k), dtype=np.uint8)
+        assert not code.syndrome(qc_encode_numpy(code, info)).any()
+
+    def test_jax_encoder_large(self, rng):
+        code = dvbs2.make_code(64800, "1/2")
+        info = rng.integers(0, 2, size=(2, code.k), dtype=np.uint8)
+        enc = make_qc_encoder(code)
+        assert (np.asarray(enc(jnp.asarray(info)))
+                == qc_encode_numpy(code, info)).all()
+
+
+class TestPuncturedPipeline:
+    def test_nr_run_batch(self):
+        import jax
+        from ldpc_tpu.config import (ChannelConfig, CodeConfig, DecoderConfig,
+                                     QuantConfig, RunConfig, SimConfig)
+        from ldpc_tpu.sim import build_code, make_run_batch
+        cfg = SimConfig(
+            code=CodeConfig(family="5gnr", base_graph=2, Z=16, rate="1/3"),
+            channel=ChannelConfig(modulation="bpsk"),
+            quant=QuantConfig(beta_lsb=2),
+            decoder=DecoderConfig(algorithm="offset-min-sum",
+                                  schedule="layered", max_iter=6),
+            run=RunConfig(batch=32))
+        code = build_code(cfg)
+        assert len(code.punct_vns) == 32  # 2Z
+        rb = make_run_batch(code, cfg, decoder_backend="jnp")
+        out = tuple(map(int, rb(jax.random.PRNGKey(0), np.float32(0.7))))
+        assert out[0] == 32
+        assert 0 <= out[2] <= 32
