@@ -1,0 +1,227 @@
+/* Native fixed-point LDPC decoder oracle.
+ *
+ * This is the framework's C realization of the reference's native component —
+ * the sequential fixed-point min-sum / offset-min-sum message-passing loop
+ * (BASELINE.json:5 "the sequential message-passing loop ... fixed-point
+ * saturation arithmetic"). On TPU the production hot loop is the Pallas
+ * kernel (ldpc_tpu/kernels/minsum_pallas.py); this C module exists to
+ * (a) provide a fast bit-exact oracle for large Monte-Carlo cross-checks of
+ * the golden NumPy model (which is deliberately slow), and (b) preserve a
+ * CPU-native decode path with the reference's exact semantics.
+ *
+ * Semantics are pinned by ldpc_tpu/golden/decoder.py and must match it
+ * EXACTLY (integer min-sum is deterministic; tests assert equality):
+ *   - v2c = clip(total_or_posterior - c2v_old, -qmax, +qmax)
+ *   - CN: sign-product x (min1/min2 exclude-self, stable first-min ties),
+ *     offset beta, floor 0, cap qmax
+ *   - sign(0) = +1; exact wide-integer posterior accumulation
+ *   - hard bit = 1 iff posterior < 0; per-codeword early termination
+ *   - flooding: all checks read the iteration-start totals
+ *   - layered: layers in order; all checks of a layer read the pre-layer
+ *     posterior (guaranteed: a layer touches each variable at most once)
+ */
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define CLIP(x, lo, hi) ((x) < (lo) ? (lo) : ((x) > (hi) ? (hi) : (x)))
+
+/* CN update for one check: incoming v2c[deg] -> outgoing c2v[deg].
+ * Matches golden _cn_update including degree-1 (empty exclude-min = qmax). */
+static void cn_update(const int32_t *v2c, int deg, int beta, int qmax,
+                      int32_t *out) {
+    if (deg == 1) {
+        int32_t mag = qmax - beta;
+        out[0] = mag > 0 ? mag : 0;
+        return;
+    }
+    int32_t min1 = INT32_MAX, min2 = INT32_MAX;
+    int amin = 0, neg = 0;
+    for (int t = 0; t < deg; t++) {
+        int32_t v = v2c[t];
+        int32_t a = v < 0 ? -v : v;
+        if (v < 0) neg ^= 1;
+        if (a < min1) { min2 = min1; min1 = a; amin = t; }
+        else if (a < min2) { min2 = a; }
+    }
+    int32_t m1 = min1 - beta, m2 = min2 - beta;
+    if (m1 < 0) m1 = 0;
+    if (m2 < 0) m2 = 0;
+    if (m1 > qmax) m1 = qmax;
+    if (m2 > qmax) m2 = qmax;
+    for (int t = 0; t < deg; t++) {
+        int32_t mag = (t == amin) ? m2 : m1;
+        int s = neg ^ (v2c[t] < 0);
+        out[t] = s ? -mag : mag;
+    }
+}
+
+/* One codeword, flooding schedule. Workspaces are caller-provided. */
+static void decode_one_flooding(
+    const int8_t *chan, int n, int m, int E,
+    const int32_t *cn_ptr, const int32_t *cn_vars,
+    int max_iter, int beta, int qmax, int early_term,
+    uint8_t *hard, int32_t *iters_out, uint8_t *conv_out,
+    int32_t *c2v, int32_t *total, int32_t *v2c_buf, int32_t *out_buf) {
+    memset(c2v, 0, (size_t)E * sizeof(int32_t));
+    for (int v = 0; v < n; v++) {
+        total[v] = chan[v];
+        hard[v] = chan[v] < 0;
+    }
+    int it_done = 0, converged = 0;
+    if (early_term) {
+        converged = 1;
+        for (int c = 0; c < m && converged; c++) {
+            int s = 0;
+            for (int e = cn_ptr[c]; e < cn_ptr[c + 1]; e++)
+                s ^= hard[cn_vars[e]];
+            if (s) converged = 0;
+        }
+    }
+    for (int it = 0; it < max_iter && !converged; it++) {
+        /* CN pass reading iteration-start totals. */
+        for (int c = 0; c < m; c++) {
+            int deg = cn_ptr[c + 1] - cn_ptr[c];
+            const int32_t *vs = cn_vars + cn_ptr[c];
+            int32_t *cv = c2v + cn_ptr[c];
+            for (int t = 0; t < deg; t++)
+                v2c_buf[t] = CLIP(total[vs[t]] - cv[t], -qmax, qmax);
+            cn_update(v2c_buf, deg, beta, qmax, out_buf);
+            memcpy(cv, out_buf, (size_t)deg * sizeof(int32_t));
+        }
+        /* New totals + hard decision + syndrome. */
+        for (int v = 0; v < n; v++) total[v] = chan[v];
+        for (int c = 0; c < m; c++)
+            for (int e = cn_ptr[c]; e < cn_ptr[c + 1]; e++)
+                total[cn_vars[e]] += c2v[e];
+        for (int v = 0; v < n; v++) hard[v] = total[v] < 0;
+        it_done = it + 1;
+        if (early_term) {
+            converged = 1;
+            for (int c = 0; c < m && converged; c++) {
+                int s = 0;
+                for (int e = cn_ptr[c]; e < cn_ptr[c + 1]; e++)
+                    s ^= hard[cn_vars[e]];
+                if (s) converged = 0;
+            }
+        }
+    }
+    if (!early_term) {
+        converged = 1;
+        for (int c = 0; c < m && converged; c++) {
+            int s = 0;
+            for (int e = cn_ptr[c]; e < cn_ptr[c + 1]; e++)
+                s ^= hard[cn_vars[e]];
+            if (s) converged = 0;
+        }
+    }
+    *iters_out = it_done;
+    *conv_out = (uint8_t)converged;
+}
+
+/* One codeword, layered schedule. layer_ptr/layer_checks give the layer
+ * partition (checks listed layer-major). Within a layer all checks read the
+ * pre-layer posterior (pre[] snapshot of the layer's touched variables —
+ * cheap because layers touch each variable at most once, so reading the
+ * live posterior before writing is equivalent; we exploit that directly). */
+static void decode_one_layered(
+    const int8_t *chan, int n, int m, int E,
+    const int32_t *cn_ptr, const int32_t *cn_vars,
+    int n_layers, const int32_t *layer_ptr, const int32_t *layer_checks,
+    int max_iter, int beta, int qmax, int early_term,
+    uint8_t *hard, int32_t *iters_out, uint8_t *conv_out,
+    int32_t *c2v, int32_t *post, int32_t *v2c_buf, int32_t *out_buf) {
+    memset(c2v, 0, (size_t)E * sizeof(int32_t));
+    for (int v = 0; v < n; v++) {
+        post[v] = chan[v];
+        hard[v] = chan[v] < 0;
+    }
+    int it_done = 0, converged = 0;
+    if (early_term) {
+        converged = 1;
+        for (int c = 0; c < m && converged; c++) {
+            int s = 0;
+            for (int e = cn_ptr[c]; e < cn_ptr[c + 1]; e++)
+                s ^= hard[cn_vars[e]];
+            if (s) converged = 0;
+        }
+    }
+    for (int it = 0; it < max_iter && !converged; it++) {
+        for (int l = 0; l < n_layers; l++) {
+            for (int ci = layer_ptr[l]; ci < layer_ptr[l + 1]; ci++) {
+                int c = layer_checks[ci];
+                int deg = cn_ptr[c + 1] - cn_ptr[c];
+                const int32_t *vs = cn_vars + cn_ptr[c];
+                int32_t *cv = c2v + cn_ptr[c];
+                for (int t = 0; t < deg; t++)
+                    v2c_buf[t] = CLIP(post[vs[t]] - cv[t], -qmax, qmax);
+                cn_update(v2c_buf, deg, beta, qmax, out_buf);
+                for (int t = 0; t < deg; t++) {
+                    post[vs[t]] += out_buf[t] - cv[t];
+                    cv[t] = out_buf[t];
+                }
+            }
+        }
+        for (int v = 0; v < n; v++) hard[v] = post[v] < 0;
+        it_done = it + 1;
+        if (early_term) {
+            converged = 1;
+            for (int c = 0; c < m && converged; c++) {
+                int s = 0;
+                for (int e = cn_ptr[c]; e < cn_ptr[c + 1]; e++)
+                    s ^= hard[cn_vars[e]];
+                if (s) converged = 0;
+            }
+        }
+    }
+    if (!early_term) {
+        converged = 1;
+        for (int c = 0; c < m && converged; c++) {
+            int s = 0;
+            for (int e = cn_ptr[c]; e < cn_ptr[c + 1]; e++)
+                s ^= hard[cn_vars[e]];
+            if (s) converged = 0;
+        }
+    }
+    *iters_out = it_done;
+    *conv_out = (uint8_t)converged;
+}
+
+/* Batched entry point. schedule: 0 = flooding, 1 = layered. */
+void ldpc_decode_batch(
+    const int8_t *chan, int B, int n, int m, int E,
+    const int32_t *cn_ptr, const int32_t *cn_vars,
+    int n_layers, const int32_t *layer_ptr, const int32_t *layer_checks,
+    int schedule, int max_iter, int beta, int qmax, int early_term,
+    uint8_t *hard, int32_t *iters, uint8_t *conv) {
+    int max_deg = 0;
+    for (int c = 0; c < m; c++) {
+        int d = cn_ptr[c + 1] - cn_ptr[c];
+        if (d > max_deg) max_deg = d;
+    }
+#pragma omp parallel
+    {
+        int32_t *c2v = malloc((size_t)E * sizeof(int32_t));
+        int32_t *work = malloc((size_t)n * sizeof(int32_t));
+        int32_t *v2c_buf = malloc((size_t)max_deg * sizeof(int32_t));
+        int32_t *out_buf = malloc((size_t)max_deg * sizeof(int32_t));
+#pragma omp for schedule(dynamic, 1)
+        for (int b = 0; b < B; b++) {
+            if (schedule == 0)
+                decode_one_flooding(chan + (size_t)b * n, n, m, E, cn_ptr,
+                                    cn_vars, max_iter, beta, qmax, early_term,
+                                    hard + (size_t)b * n, iters + b, conv + b,
+                                    c2v, work, v2c_buf, out_buf);
+            else
+                decode_one_layered(chan + (size_t)b * n, n, m, E, cn_ptr,
+                                   cn_vars, n_layers, layer_ptr, layer_checks,
+                                   max_iter, beta, qmax, early_term,
+                                   hard + (size_t)b * n, iters + b, conv + b,
+                                   c2v, work, v2c_buf, out_buf);
+        }
+        free(c2v);
+        free(work);
+        free(v2c_buf);
+        free(out_buf);
+    }
+}

@@ -228,3 +228,98 @@ def make_decoder(code: LDPCCode, dec: DecoderConfig, quant: QuantConfig):
              else make_flooding_decoder)
     return maker(code, max_iter=dec.max_iter, beta=beta, qmax=quant.qmax,
                  early_term=dec.early_term)
+
+
+# ---------------------------------------------------------------------------
+# Float decoders — the framework-side counterpart of the reference's MATLAB
+# float golden model (SURVEY.md §2.1 C12). Used to measure the fixed-point
+# "quantization bound": the BER/FER gap between float BP and the 8-bit
+# fixed-point decoder (BASELINE.json:5 'within its fixed-point quantization
+# bound').
+# ---------------------------------------------------------------------------
+
+def _cn_update_float(v2c, mask, algorithm: str, beta: float):
+    """Float CN update on dense (..., C, D) messages; pads hold +inf-like."""
+    big = jnp.float32(1e30)
+    if algorithm == "sum-product":
+        t = jnp.tanh(jnp.clip(v2c, -30.0, 30.0) / 2.0)
+        eps = jnp.float32(1e-12)
+        t = jnp.where(jnp.abs(t) < eps, jnp.where(t < 0, -eps, eps), t)
+        t = jnp.where(mask, t, 1.0)
+        p = jnp.prod(t, axis=-1, keepdims=True)
+        r = jnp.clip(p / t, -0.999999, 0.999999)
+        out = 2.0 * jnp.arctanh(r)
+        return jnp.where(mask, out, 0.0)
+    mags = jnp.abs(jnp.where(mask, v2c, big))
+    amin = jnp.argmin(mags, axis=-1)[..., None]
+    slots = jax.lax.broadcasted_iota(jnp.int32, v2c.shape, v2c.ndim - 1)
+    min1 = jnp.min(mags, axis=-1, keepdims=True)
+    min2 = jnp.min(jnp.where(slots == amin, big, mags), axis=-1, keepdims=True)
+    neg = (v2c < 0) & mask
+    par = (jnp.sum(neg, axis=-1, keepdims=True) & 1).astype(bool)
+    excl_neg = jnp.logical_xor(par, neg)
+    excl_mag = jnp.where(slots == amin, min2, min1)
+    if algorithm == "offset-min-sum":
+        excl_mag = jnp.maximum(excl_mag - beta, 0.0)
+    val = jnp.where(excl_neg, -excl_mag, excl_mag)
+    return jnp.where(mask, val, 0.0)
+
+
+def make_float_decoder(
+    code: LDPCCode,
+    max_iter: int = 20,
+    algorithm: str = "sum-product",
+    beta: float = 0.5,
+    early_term: bool = True,
+):
+    """Batched float BP decoder (flooding): decode(llr_f32[B, n]) ->
+    (hard u8, iters i32, converged bool)."""
+    lay = compile_edge_layout(code)
+    M, D, N = lay.m, lay.max_dc, lay.n
+    ev = jnp.asarray(lay.ev_dense)
+    vn_pos = jnp.asarray(lay.vn_pos)
+    mask = jnp.asarray(lay.cn_mask)
+
+    def totals(chan, c2v_flat):
+        return chan + jnp.sum(c2v_flat[:, vn_pos], axis=-1)
+
+    def pad1(x):
+        return jnp.pad(x, ((0, 0), (0, 1)))
+
+    def decode(chan: jnp.ndarray):
+        B = chan.shape[0]
+        chan = chan.astype(jnp.float32)
+        c2v_flat = jnp.zeros((B, M * D + 1), jnp.float32)
+        hard0 = chan < 0
+        done0 = (_syndrome_ok(pad1(hard0.astype(jnp.int32)), ev)
+                 if early_term else jnp.zeros(B, bool))
+        iters0 = jnp.zeros(B, jnp.int32)
+
+        def body(carry):
+            it, c2v_flat, hard, done, iters = carry
+            tot_pad = pad1(totals(chan, c2v_flat))
+            c2v_d = c2v_flat[:, : M * D].reshape(B, M, D)
+            v2c = tot_pad[:, ev] - c2v_d
+            new = _cn_update_float(v2c, mask, algorithm, beta)
+            new_flat = pad1(new.reshape(B, M * D))
+            tot2 = totals(chan, new_flat)
+            hard_new = tot2 < 0
+            ok_new = _syndrome_ok(pad1(hard_new.astype(jnp.int32)), ev)
+            c2v_flat = jnp.where(done[:, None], c2v_flat, new_flat)
+            hard = jnp.where(done[:, None], hard, hard_new)
+            iters = iters + (~done).astype(jnp.int32)
+            done = done | ok_new if early_term else done
+            return it + 1, c2v_flat, hard, done, iters
+
+        carry = (jnp.int32(0), c2v_flat, hard0, done0, iters0)
+        if early_term:
+            carry = jax.lax.while_loop(
+                lambda c: (c[0] < max_iter) & ~jnp.all(c[3]), body, carry)
+        else:
+            carry = jax.lax.fori_loop(0, max_iter, lambda _, c: body(c), carry)
+        _, _, hard, done, iters = carry
+        conv = done if early_term else _syndrome_ok(
+            pad1(hard.astype(jnp.int32)), ev)
+        return hard.astype(jnp.uint8), iters, conv
+
+    return decode

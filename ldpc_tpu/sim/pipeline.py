@@ -31,10 +31,29 @@ from ..ops.quantize import quantize
 jax.config.update("jax_threefry_partitionable", True)
 
 
+FLOAT_ALGOS = ("sum-product", "min-sum-float", "offset-min-sum-float")
+
+
+def is_float_mode(cfg: SimConfig) -> bool:
+    """Float decoding (the reference's MATLAB golden path): no quantizer, the
+    float BP decoder consumes raw LLRs (SURVEY.md §2.1 C12)."""
+    return cfg.decoder.algorithm in FLOAT_ALGOS
+
+
 def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
                    batch_tile: int = 256, interpret: bool = False):
     """Decoder dispatch: the Pallas kernel on TPU, the jnp reference op
-    elsewhere (SURVEY.md §2.1 C8: kernel + pure-XLA fallback)."""
+    elsewhere (SURVEY.md §2.1 C8: kernel + pure-XLA fallback); float
+    algorithms always use the jnp float decoder."""
+    if is_float_mode(cfg):
+        from ..ops.decode_ref import make_float_decoder
+        alg = cfg.decoder.algorithm.replace("-float", "")
+        if cfg.decoder.schedule != "flooding":
+            raise ValueError("float decoders support the flooding schedule")
+        beta_f = cfg.quant.beta_lsb / cfg.quant.scale  # LLR-domain offset
+        return make_float_decoder(
+            code, max_iter=cfg.decoder.max_iter, algorithm=alg, beta=beta_f,
+            early_term=cfg.decoder.early_term), "jnp-float"
     if backend == "auto":
         plat = jax.default_backend()
         backend = "pallas" if plat in ("tpu", "axon") else "jnp"
@@ -82,6 +101,7 @@ def make_run_batch(
     mod = cfg.channel.modulation
     enc = make_encoder(code)
     dec, _ = select_decoder(code, cfg, decoder_backend, batch_tile, interpret)
+    float_mode = is_float_mode(cfg)
     info_pos = jnp.asarray(info_positions(code))
 
     # Rate matching (5G NR): punctured variables are never transmitted and
@@ -129,7 +149,8 @@ def make_run_batch(
             if short_pos is not None:
                 full = full.at[:, short_pos].set(jnp.float32(1e6))
             llr = full
-        q = shard_b(quantize(llr, cfg.quant))
+        q = shard_b(llr.astype(jnp.float32) if float_mode
+                    else quantize(llr, cfg.quant))
         hard, iters, conv = dec(q)
         info_err = hard[:, info_pos] != info
         bit_errs = jnp.sum(info_err, dtype=jnp.int32)
