@@ -55,7 +55,10 @@ _C = jnp.int32
 
 
 def _rot_fwd(x: jnp.ndarray, s: int) -> jnp.ndarray:
-    """y[r] = x[(r + s) % Z] along axis 0 (static s): gather the circulant."""
+    """y[r] = x[(r + s) % Z] along axis 0 (static s): gather the circulant.
+
+    Static-slice concatenate beats pltpu.roll by ~1.4x on this toolchain
+    (measured n=648 flooding: 7.4 ms vs 10.5 ms per 16k batch)."""
     if s == 0:
         return x
     return jnp.concatenate([x[s:], x[:s]], axis=0)
@@ -122,6 +125,18 @@ def _cn_minsum(v2cs, beta: int):
     return out
 
 
+def vmem_bytes(code: LDPCCode, batch_tile: int = 256,
+               schedule: str = "layered", c2v_dtype=jnp.int32) -> int:
+    """Rough VMEM footprint of the decoder state for one batch tile."""
+    qc = compile_qc_layout(code)
+    n_entries = int((qc.layer_mask).sum())
+    itemsize = jnp.dtype(c2v_dtype).itemsize
+    post = qc.nb * qc.Z * batch_tile * 4
+    bufs = 2 if schedule == "flooding" else 1
+    c2v = n_entries * qc.Z * batch_tile * itemsize
+    return bufs * post + c2v
+
+
 def make_pallas_decoder(
     code: LDPCCode,
     max_iter: int = 20,
@@ -131,12 +146,16 @@ def make_pallas_decoder(
     early_term: bool = True,
     batch_tile: int = 256,
     interpret: bool = False,
+    c2v_dtype=jnp.int32,
 ) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Build decode(chan_i8[B, n]) -> (hard[B, n] u8, iters[B] i32, conv[B] bool).
 
-    B must be a multiple of batch_tile (the sweep driver pads). State per tile:
-    posteriors (nb, Z, Bt) int16 and messages (n_entries, Z, Bt) int8, all in
-    VMEM scratch; the grid iterates over batch tiles.
+    B must be a multiple of batch_tile (the sweep driver pads). State per
+    tile: posteriors (nb, Z, Bt) int32 and messages (n_entries, Z, Bt) in
+    c2v_dtype, all in VMEM scratch; the grid iterates over batch tiles.
+    c2v_dtype=int32 avoids two per-entry conversions and wins ~5% when the
+    arrays fit VMEM; pass int8 to quarter the message footprint for larger
+    codes.
     """
     if code.base is None or code.Z is None:
         raise ValueError(f"{code.name}: Pallas decoder requires QC structure")
@@ -168,7 +187,7 @@ def make_pallas_decoder(
 
         for j in range(nb):
             post_ref[j] = chan32(j)
-        c2v_ref[...] = jnp.zeros(c2v_ref.shape, jnp.int8)
+        c2v_ref[...] = jnp.zeros(c2v_ref.shape, c2v_ref.dtype)
 
         def syndrome_ok(read):
             """(1, Bt) int32 — 1 where every check is satisfied."""
@@ -207,7 +226,7 @@ def make_pallas_decoder(
                         dst[j] = chan32(j)
 
                     def emit(j, s, e, old, new):
-                        c2v_ref[e] = new.astype(jnp.int8)
+                        c2v_ref[e] = new.astype(c2v_dtype)
                         dst[j] = dst[j] + _rot_bwd(new, s)
 
                     cn_sweep(lambda j: src[j], emit)
@@ -218,7 +237,7 @@ def make_pallas_decoder(
 
                 def emit(j, s, e, old, new):
                     store = old + (new - old) * act
-                    c2v_ref[e] = store.astype(jnp.int8)
+                    c2v_ref[e] = store.astype(c2v_dtype)
                     dst[j] = dst[j] + _rot_bwd(new * act, s)
 
                 cn_sweep(lambda j: src[j], emit)
@@ -277,7 +296,7 @@ def make_pallas_decoder(
             def layered_iter(done, iters):
                 if done is None:
                     def emit(j, s, e, old, new):
-                        c2v_ref[e] = new.astype(jnp.int8)
+                        c2v_ref[e] = new.astype(c2v_dtype)
                         post_ref[j] = post_ref[j] + _rot_bwd(new - old, s)
 
                     cn_sweep(lambda j: post_ref[j], emit)
@@ -286,7 +305,7 @@ def make_pallas_decoder(
 
                 def emit(j, s, e, old, new):
                     store = old + (new - old) * act
-                    c2v_ref[e] = store.astype(jnp.int8)
+                    c2v_ref[e] = store.astype(c2v_dtype)
                     post_ref[j] = post_ref[j] + _rot_bwd(store - old, s)
 
                 cn_sweep(lambda j: post_ref[j], emit)
@@ -349,7 +368,7 @@ def make_pallas_decoder(
 
     scratch = [
         pltpu.VMEM((nb, Z, batch_tile), _C),            # post / totals A
-        pltpu.VMEM((n_entries, Z, batch_tile), jnp.int8),  # c2v messages
+        pltpu.VMEM((n_entries, Z, batch_tile), c2v_dtype),  # c2v messages
     ]
     if flooding:
         scratch.append(pltpu.VMEM((nb, Z, batch_tile), _C))  # totals B
@@ -390,7 +409,8 @@ def make_pallas_decoder(
 
 
 def make_decoder(code: LDPCCode, dec: DecoderConfig, quant: QuantConfig,
-                 batch_tile: int = 256, interpret: bool = False):
+                 batch_tile: int = 256, interpret: bool = False,
+                 c2v_dtype=jnp.int32):
     """Factory from configs, mirroring ops.decode_ref.make_decoder."""
     if dec.algorithm not in ("min-sum", "offset-min-sum"):
         raise ValueError(f"Pallas decoder supports the min-sum family, "
@@ -399,4 +419,4 @@ def make_decoder(code: LDPCCode, dec: DecoderConfig, quant: QuantConfig,
     return make_pallas_decoder(
         code, max_iter=dec.max_iter, beta=beta, qmax=quant.qmax,
         schedule=dec.schedule, early_term=dec.early_term,
-        batch_tile=batch_tile, interpret=interpret)
+        batch_tile=batch_tile, interpret=interpret, c2v_dtype=c2v_dtype)

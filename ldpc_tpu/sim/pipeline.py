@@ -58,9 +58,29 @@ def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
         plat = jax.default_backend()
         backend = "pallas" if plat in ("tpu", "axon") else "jnp"
     if backend == "pallas":
-        from ..kernels.minsum_pallas import make_decoder as make_pl
-        return make_pl(code, cfg.decoder, cfg.quant, batch_tile=batch_tile,
-                       interpret=interpret), "pallas"
+        from ..kernels import minsum_pallas as mp
+        if code.base is None or code.Z is None:
+            return make_jnp_decoder(code, cfg.decoder, cfg.quant), "jnp"
+        # Shrink the batch tile (>= 128 lanes) until the decoder state fits
+        # VMEM; beyond that, the HBM-resident regime (SURVEY.md §5.7) uses
+        # the QC-structured XLA decoder — same math, same rolls, fused
+        # elementwise streams over HBM (DVB-S2 n=64800, NR Z=384).
+        VMEM_BUDGET = 13 * 2 ** 20
+        bt, dt = batch_tile, jnp.int32
+        while bt > 128 and mp.vmem_bytes(code, bt, cfg.decoder.schedule,
+                                         dt) > VMEM_BUDGET:
+            bt //= 2
+        if mp.vmem_bytes(code, bt, cfg.decoder.schedule, dt) > VMEM_BUDGET:
+            dt = jnp.int8
+        if mp.vmem_bytes(code, bt, cfg.decoder.schedule, dt) > VMEM_BUDGET:
+            backend = "qc-jnp"
+        else:
+            return mp.make_decoder(code, cfg.decoder, cfg.quant,
+                                   batch_tile=bt, interpret=interpret,
+                                   c2v_dtype=dt), "pallas"
+    if backend == "qc-jnp":
+        from ..ops.decode_qc import make_decoder as make_qc
+        return make_qc(code, cfg.decoder, cfg.quant), "qc-jnp"
     return make_jnp_decoder(code, cfg.decoder, cfg.quant), "jnp"
 
 
@@ -100,7 +120,8 @@ def make_run_batch(
     B = batch or cfg.run.batch
     mod = cfg.channel.modulation
     enc = make_encoder(code)
-    dec, _ = select_decoder(code, cfg, decoder_backend, batch_tile, interpret)
+    dec, _ = select_decoder(code, cfg, decoder_backend,
+                            min(batch_tile, B), interpret)
     float_mode = is_float_mode(cfg)
     info_pos = jnp.asarray(info_positions(code))
 

@@ -1,0 +1,54 @@
+"""QC-structured jnp decoder (ops/decode_qc.py): bit-exact vs the C oracle
+(itself golden-exact) — the HBM-resident decode path for codes whose state
+exceeds VMEM (SURVEY.md §5.7)."""
+import jax
+import numpy as np
+import pytest
+
+from ldpc_tpu import oracle
+from ldpc_tpu.codes.ieee80211n import make_code
+from ldpc_tpu.codes.toy import toy_qc
+from ldpc_tpu.ops.decode_qc import make_qc_decoder
+
+
+def _llrs(rng, B, n):
+    x = rng.normal(0, 40, size=(B, n))
+    x[: B // 2] = rng.normal(30, 25, size=(B // 2, n))
+    return np.clip(np.round(x), -127, 127).astype(np.int8)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(schedule="flooding", beta=0, early_term=False, max_iter=6),
+    dict(schedule="flooding", beta=2, early_term=True, max_iter=7),
+    dict(schedule="layered", beta=0, early_term=True, max_iter=6),
+    dict(schedule="layered", beta=2, early_term=False, max_iter=5),
+])
+@pytest.mark.parametrize("code_fn", [lambda: toy_qc(4),
+                                     lambda: make_code(648, "1/2")])
+def test_qc_decoder_bitexact(code_fn, kw, rng):
+    code = code_fn()
+    B = 32
+    chan = _llrs(rng, B, code.n)
+    dec = jax.jit(make_qc_decoder(code, qmax=127, **kw))
+    h, it, cv = map(np.asarray, dec(chan))
+    ho, ito, cvo = oracle.decode_batch(chan, code, qmax=127, **kw)
+    np.testing.assert_array_equal(h, ho)
+    np.testing.assert_array_equal(it, ito)
+    np.testing.assert_array_equal(cv, cvo)
+
+
+def test_auto_selection_large_code_uses_qc_jnp(monkeypatch):
+    """DVB-S2 state exceeds VMEM -> auto backend resolves to qc-jnp even on
+    a 'TPU' platform."""
+    import ldpc_tpu.sim.pipeline as pl
+    from ldpc_tpu.config import PRESETS
+    from ldpc_tpu.sim import build_code
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    cfg = PRESETS["dvbs2-64800-r12"]
+    code = build_code(cfg)
+    _, backend = pl.select_decoder(code, cfg)
+    assert backend == "qc-jnp"
+    # and the small canonical code stays on the kernel
+    cfg2 = PRESETS["wifi-648-r12-minsum"]
+    _, backend2 = pl.select_decoder(build_code(cfg2), cfg2)
+    assert backend2 == "pallas"
