@@ -54,6 +54,8 @@ def _build_config(args) -> SimConfig:
         code = dataclasses.replace(code, base_graph=args.base_graph)
     if args.Z:
         code = dataclasses.replace(code, Z=args.Z)
+    if args.k_info:
+        code = dataclasses.replace(code, k_info=args.k_info)
     chan = cfg.channel
     if args.modulation:
         chan = dataclasses.replace(chan, modulation=args.modulation)
@@ -143,6 +145,8 @@ def build_parser() -> argparse.ArgumentParser:
         q.add_argument("--rate", default=None)
         q.add_argument("--base-graph", dest="base_graph", type=int, default=None)
         q.add_argument("--Z", type=int, default=None)
+        q.add_argument("--k-info", dest="k_info", type=int, default=None,
+                       help="5G NR payload bits (enables shortening)")
         q.add_argument("--modulation", default=None,
                        choices=["bpsk", "qpsk", "16qam", "64qam"])
         q.add_argument("--algorithm", default=None,
@@ -161,7 +165,7 @@ def build_parser() -> argparse.ArgumentParser:
     sw.add_argument("--ebn0", default="1.0:3.0:0.5",
                     help="lo:hi:step or comma list (dB)")
     sw.add_argument("--decoder-backend", default="auto",
-                    choices=["auto", "pallas", "jnp"])
+                    choices=["auto", "pallas", "jnp", "qc-jnp"])
     sw.add_argument("--mesh", default=None,
                     help="mesh shape, e.g. 8 or 2x4 (dcn x ici)")
     sw.add_argument("--checkpoint", default=None,

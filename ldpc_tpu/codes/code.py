@@ -53,9 +53,14 @@ class LDPCCode:
     standard_exact: bool = True
 
     @property
+    def k_eff(self) -> int:
+        """Payload bits: k minus shortened (known-zero filler) info bits."""
+        return self.k - len(self.shortened_vns)
+
+    @property
     def rate(self) -> float:
         n_tx = self.n - len(self.punct_vns) - len(self.shortened_vns)
-        return self.k / n_tx
+        return self.k_eff / n_tx
 
     @property
     def num_edges(self) -> int:

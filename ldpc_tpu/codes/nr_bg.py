@@ -95,7 +95,8 @@ def full_graph(base_graph: int = 1, Z: int = 384, seed: int = 0) -> LDPCCode:
 
 
 def make_code(base_graph: int = 1, Z: Optional[int] = 384,
-              rate: str = "1/3", seed: int = 0) -> LDPCCode:
+              rate: str = "1/3", seed: int = 0,
+              k_info: Optional[int] = None) -> LDPCCode:
     """Rate-matched NR-like code.
 
     Circular-buffer rate matching (TS 38.212 §5.4.2.1 shape): the first 2Z
@@ -110,17 +111,25 @@ def make_code(base_graph: int = 1, Z: Optional[int] = 384,
     p = _PARAMS[base_graph]
     kb, cb, mb_full = p["kb"], p["cb"], p["mb"]
     k = kb * Z
+    # Shortening (TS 38.212 filler bits): payload k_info < k occupies the
+    # first k_info systematic positions; positions [k_info, k) are
+    # known-zero fillers — not transmitted, decoder LLR saturated positive.
+    if k_info is None:
+        k_info = k
+    if not (0 < k_info <= k):
+        raise ValueError(f"k_info={k_info} out of range (k={k})")
+    n_short = k - k_info
     R = Fraction(rate)
-    n_tx = int(round(k / R))
-    min_tx = (kb - 2 + cb) * Z   # all core parities must be transmitted
-    max_tx = (kb - 2 + mb_full) * Z
+    n_tx = int(round(k_info / R))
+    min_tx = (kb - 2 + cb) * Z - n_short  # all core parities transmitted
+    max_tx = (kb - 2 + mb_full) * Z - n_short
     if not (min_tx <= n_tx <= max_tx):
         raise ValueError(
             f"rate {rate} out of range for BG{base_graph} Z={Z}: n_tx={n_tx} "
             f"not in [{min_tx}, {max_tx}]")
     # Number of parity blocks needed (whole blocks; the last may be partially
-    # punctured).
-    par_bits = n_tx - (kb - 2) * Z
+    # punctured). Shortened fillers are not transmitted.
+    par_bits = n_tx - ((kb - 2) * Z - n_short)
     mb_used = -(-par_bits // Z)          # ceil
     mb_used = max(mb_used, cb)
     full = full_graph(base_graph, Z, seed)
@@ -136,4 +145,6 @@ def make_code(base_graph: int = 1, Z: Optional[int] = 384,
     if tail:
         punct += list(range(code.n - tail, code.n))
     code.punct_vns = np.asarray(punct, np.int32)
+    if n_short:
+        code.shortened_vns = np.arange(k_info, k, dtype=np.int32)
     return code

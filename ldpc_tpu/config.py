@@ -62,6 +62,7 @@ class CodeConfig:
     rate: str = "1/2"
     base_graph: int = 1
     Z: Optional[int] = None  # lifting size; derived from (family, n, rate) if None
+    k_info: Optional[int] = None  # 5G NR payload bits (< kb*Z => shortening)
 
 
 @dataclass(frozen=True)

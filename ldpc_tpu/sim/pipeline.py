@@ -19,6 +19,7 @@ from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..codes.code import LDPCCode
@@ -156,10 +157,26 @@ def make_run_batch(
         def shard_b(x):
             return x
 
+    # Shortened (filler) info bits are known zeros: never random, never in
+    # error (their saturated LLR pins the decoder), excluded from k_eff.
+    short_info = (np.intersect1d(np.asarray(code.shortened_vns),
+                                 np.asarray(info_positions(code)))
+                  if len(code.shortened_vns) else None)
+    if short_info is not None and len(short_info):
+        keep = np.ones(code.k, np.uint8)
+        # positions within the info vector (identity for structured codes)
+        pos_of = {int(p): i for i, p in enumerate(info_positions(code))}
+        keep[[pos_of[int(v)] for v in short_info]] = 0
+        keep_j = jnp.asarray(keep)
+    else:
+        keep_j = None
+
     def run_batch(key: jax.Array, sigma: jnp.ndarray):
         kinfo, knoise = jax.random.split(key)
         info = shard_b(
             jax.random.bernoulli(kinfo, 0.5, (B, code.k)).astype(jnp.uint8))
+        if keep_j is not None:
+            info = info * keep_j
         cw = enc(info)
         tx = cw[:, tx_pos] if punctured else cw
         x = ch.modulate(tx, mod)

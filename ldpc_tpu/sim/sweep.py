@@ -57,7 +57,8 @@ def build_code(cfg: SimConfig) -> LDPCCode:
         return make_code(c.n, c.rate)
     if c.family == "5gnr":
         from ..codes.nr_bg import make_code as make_nr
-        return make_nr(base_graph=c.base_graph, Z=c.Z, rate=c.rate)
+        return make_nr(base_graph=c.base_graph, Z=c.Z, rate=c.rate,
+                       k_info=c.k_info)
     if c.family == "dvbs2":
         from ..codes.dvbs2 import make_code as make_dvb
         return make_dvb(n=c.n, rate=c.rate)
@@ -114,7 +115,7 @@ class Sweep:
                 log.info("resumed checkpoint %s", self.checkpoint_path)
 
         result = SweepResult(config=self.cfg, code_name=self.code.name,
-                             k=self.code.k, n=self.code.n,
+                             k=self.code.k_eff, n=self.code.n,
                              points=points, decoder_backend=self.backend)
         for si, pt in enumerate(points):
             sigma = sigma_for(pt.ebn0_db, self.code.rate,

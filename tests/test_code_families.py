@@ -117,3 +117,32 @@ class TestPuncturedPipeline:
         out = tuple(map(int, rb(jax.random.PRNGKey(0), np.float32(0.7))))
         assert out[0] == 32
         assert 0 <= out[2] <= 32
+
+
+class TestShortening:
+    def test_shortened_code_fields(self):
+        code = nr_bg.make_code(2, 32, "1/3", k_info=256)
+        assert code.k == 320 and code.k_eff == 256
+        assert list(code.shortened_vns) == list(range(256, 320))
+        assert abs(code.rate - 1 / 3) < 1e-9
+
+    def test_shortened_pipeline_noiseless(self):
+        """Near-noiseless shortened run decodes perfectly and counts no
+        errors on filler bits."""
+        import jax
+        import numpy as np
+        from ldpc_tpu.config import (ChannelConfig, CodeConfig, DecoderConfig,
+                                     QuantConfig, RunConfig, SimConfig)
+        from ldpc_tpu.sim import build_code, make_run_batch
+        cfg = SimConfig(
+            code=CodeConfig(family="5gnr", base_graph=2, Z=32, rate="1/3",
+                            k_info=256),
+            channel=ChannelConfig(modulation="bpsk"),
+            quant=QuantConfig(beta_lsb=2),
+            decoder=DecoderConfig(algorithm="offset-min-sum",
+                                  schedule="layered", max_iter=10),
+            run=RunConfig(batch=32))
+        code = build_code(cfg)
+        rb = make_run_batch(code, cfg, decoder_backend="jnp")
+        out = tuple(map(int, rb(jax.random.PRNGKey(0), np.float32(0.25))))
+        assert out[1] == 0 and out[2] == 0  # no bit/frame errors at high SNR
