@@ -216,155 +216,119 @@ def make_pallas_decoder(
                 for (j, s), e, old, new in zip(ents, entry_of[li], olds, news):
                     emit(j, s, e, old, new)
 
+        def latch_hard(done_prev, read):
+            """Latched outputs make early termination bit-exact WITHOUT
+            freezing the datapath: lanes run unmasked to the whole-tile exit,
+            but a lane's hard bits are captured at its first syndrome success
+            (identical to the golden model's per-codeword stop, since lanes
+            are independent). Lanes not yet converged get the current bits
+            (overwritten next iteration)."""
+            keep = done_prev  # (1, Bt) int32 0/1
+            inv = jnp.array(1, _C) - keep
+            for j in range(nb):
+                cur = (read(j) < 0).astype(_C)
+                prev = hard_ref[j].astype(_C)
+                hard_ref[j] = (prev * keep + cur * inv).astype(jnp.int8)
+
         if flooding:
-            def flood_iter(src, dst, done, iters):
-                """Totals in src are complete for the previous messages; build
-                the next totals in dst = chan + sum(new c2v)."""
-                if done is None:
-                    # Fast path (no early termination): no freeze masks.
-                    for j in range(nb):
-                        dst[j] = chan32(j)
-
-                    def emit(j, s, e, old, new):
-                        c2v_ref[e] = new.astype(c2v_dtype)
-                        dst[j] = dst[j] + _rot_bwd(new, s)
-
-                    cn_sweep(lambda j: src[j], emit)
-                    return None, None
-                act = jnp.array(1, _C) - done  # (1, Bt)
+            def flood_iter(src, dst):
+                """Unmasked: totals in src are complete for the previous
+                messages; build the next totals in dst = chan + new c2v."""
                 for j in range(nb):
-                    dst[j] = chan32(j) + (src[j] - chan32(j)) * done
+                    dst[j] = chan32(j)
 
                 def emit(j, s, e, old, new):
-                    store = old + (new - old) * act
-                    c2v_ref[e] = store.astype(c2v_dtype)
-                    dst[j] = dst[j] + _rot_bwd(new * act, s)
+                    c2v_ref[e] = new.astype(c2v_dtype)
+                    dst[j] = dst[j] + _rot_bwd(new, s)
 
                 cn_sweep(lambda j: src[j], emit)
-                iters = iters + act
-                done = jnp.maximum(done, syndrome_ok(lambda j: dst[j]))
-                return done, iters
 
-            def run(done0, iters0):
-                if not early_term:
-                    def iter_pair(_, carry):
-                        flood_iter(post_ref, tot_ref, None, None)
-                        flood_iter(tot_ref, post_ref, None, None)
-                        return carry
+            def run_et(done0, iters0):
+                def one(src, dst, done, iters):
+                    n_active = jnp.sum(jnp.array(1, _C) - done)
 
-                    jax.lax.fori_loop(0, max_iter // 2, iter_pair, 0)
-                    if max_iter % 2:
-                        flood_iter(post_ref, tot_ref, None, None)
-                        final_read = lambda j: tot_ref[j]  # noqa: E731
-                    else:
-                        final_read = lambda j: post_ref[j]  # noqa: E731
-                    iters = jnp.full((1, Bt), max_iter, _I32)
-                    return None, iters, final_read
+                    @pl.when(n_active > 0)
+                    def _():
+                        flood_iter(src, dst)
+                        latch_hard(done, lambda j: dst[j])
+
+                    # When the sweep was skipped (all done), dst was not
+                    # written — but then done==1 everywhere, so the pure
+                    # carry updates below are no-ops regardless.
+                    iters = iters + (jnp.array(1, _C) - done)
+                    done = jnp.maximum(done, syndrome_ok(lambda j: dst[j]))
+                    return done, iters
 
                 def iter_pair(_, carry):
                     done, iters = carry
-                    n_active = jnp.sum(jnp.array(1, _C) - done)
+                    done, iters = one(post_ref, tot_ref, done, iters)
+                    done, iters = one(tot_ref, post_ref, done, iters)
+                    return done, iters
 
-                    @pl.when(n_active > 0)
-                    def _():
-                        d, it = flood_iter(post_ref, tot_ref, done, iters)
-                        d, it = flood_iter(tot_ref, post_ref, d, it)
-                        state_done[0] = d
-                        state_iters[0] = it
-
-                    return state_done[0], state_iters[0]
-
-                state_done[0] = done0
-                state_iters[0] = iters0
                 done, iters = jax.lax.fori_loop(
                     0, max_iter // 2, iter_pair, (done0, iters0))
                 if max_iter % 2:
-                    n_active = jnp.sum(jnp.array(1, _C) - done)
-
-                    @pl.when(n_active > 0)
-                    def _():
-                        d, it = flood_iter(post_ref, tot_ref, done, iters)
-                        state_done[0] = d
-                        state_iters[0] = it
-
-                    done, iters = state_done[0], state_iters[0]
-                    final_read = lambda j: tot_ref[j]  # noqa: E731
-                else:
-                    final_read = lambda j: post_ref[j]  # noqa: E731
-                return done, iters, final_read
-        else:
-            def layered_iter(done, iters):
-                if done is None:
-                    def emit(j, s, e, old, new):
-                        c2v_ref[e] = new.astype(c2v_dtype)
-                        post_ref[j] = post_ref[j] + _rot_bwd(new - old, s)
-
-                    cn_sweep(lambda j: post_ref[j], emit)
-                    return None, None
-                act = jnp.array(1, _C) - done
-
-                def emit(j, s, e, old, new):
-                    store = old + (new - old) * act
-                    c2v_ref[e] = store.astype(c2v_dtype)
-                    post_ref[j] = post_ref[j] + _rot_bwd(store - old, s)
-
-                cn_sweep(lambda j: post_ref[j], emit)
-                iters = iters + act
-                done = jnp.maximum(done, syndrome_ok(lambda j: post_ref[j]))
+                    done, iters = one(post_ref, tot_ref, done, iters)
                 return done, iters
 
-            def run(done0, iters0):
-                if not early_term:
-                    def iter_body(_, carry):
-                        layered_iter(None, None)
-                        return carry
+            def run_plain():
+                def iter_pair(_, carry):
+                    flood_iter(post_ref, tot_ref)
+                    flood_iter(tot_ref, post_ref)
+                    return carry
 
-                    jax.lax.fori_loop(0, max_iter, iter_body, 0)
-                    iters = jnp.full((1, Bt), max_iter, _I32)
-                    return None, iters, (lambda j: post_ref[j])
+                jax.lax.fori_loop(0, max_iter // 2, iter_pair, 0)
+                if max_iter % 2:
+                    flood_iter(post_ref, tot_ref)
+                    return lambda j: tot_ref[j]
+                return lambda j: post_ref[j]
+        else:
+            def layered_iter():
+                def emit(j, s, e, old, new):
+                    c2v_ref[e] = new.astype(c2v_dtype)
+                    post_ref[j] = post_ref[j] + _rot_bwd(new - old, s)
 
-                def iter_body(_, carry):
+                cn_sweep(lambda j: post_ref[j], emit)
+
+            def run_et(done0, iters0):
+                def body(_, carry):
                     done, iters = carry
                     n_active = jnp.sum(jnp.array(1, _C) - done)
 
                     @pl.when(n_active > 0)
                     def _():
-                        d, it = layered_iter(done, iters)
-                        state_done[0] = d
-                        state_iters[0] = it
+                        layered_iter()
+                        latch_hard(done, lambda j: post_ref[j])
 
-                    return state_done[0], state_iters[0]
+                    iters = iters + (jnp.array(1, _C) - done)
+                    done = jnp.maximum(
+                        done, syndrome_ok(lambda j: post_ref[j]))
+                    return done, iters
 
-                state_done[0] = done0
-                state_iters[0] = iters0
-                done, iters = jax.lax.fori_loop(
-                    0, max_iter, iter_body, (done0, iters0))
-                return done, iters, (lambda j: post_ref[j])
+                return jax.lax.fori_loop(0, max_iter, body, (done0, iters0))
 
-        state_done = state_iters = None
+            def run_plain():
+                def body(_, carry):
+                    layered_iter()
+                    return carry
 
-        def scoped(state_done_, state_iters_):
-            nonlocal state_done, state_iters
-            state_done, state_iters = state_done_, state_iters_
-            done0 = (syndrome_ok(lambda j: post_ref[j]) if early_term
-                     else None)
+                jax.lax.fori_loop(0, max_iter, body, 0)
+                return lambda j: post_ref[j]
+
+        if early_term:
+            done0 = syndrome_ok(lambda j: post_ref[j])
+            latch_hard(jnp.zeros((1, Bt), _C), lambda j: post_ref[j])
             iters0 = jnp.zeros((1, Bt), _I32)
-            done, iters, final_read = run(done0, iters0)
+            done, iters = run_et(done0, iters0)
+            iters_ref[...] = iters
+            conv_ref[...] = done.astype(jnp.int8)
+        else:
+            final_read = run_plain()
             for j in range(nb):
                 # i1 -> int32 (same tiling) -> int8: avoids i1 retiling.
                 hard_ref[j] = (final_read(j) < 0).astype(_C).astype(jnp.int8)
-            iters_ref[...] = iters
-            conv = done if early_term else syndrome_ok(final_read)
-            conv_ref[...] = conv.astype(jnp.int8)
-
-        if early_term:
-            pl.run_scoped(
-                scoped,
-                pltpu.VMEM((1, 1, Bt), _C),
-                pltpu.VMEM((1, 1, Bt), _I32),
-            )
-        else:
-            scoped(None, None)
+            iters_ref[...] = jnp.full((1, Bt), max_iter, _I32)
+            conv_ref[...] = syndrome_ok(final_read).astype(jnp.int8)
 
     scratch = [
         pltpu.VMEM((nb, Z, batch_tile), _C),            # post / totals A
