@@ -97,7 +97,7 @@ def cmd_sweep(args) -> int:
     sweep = Sweep(cfg, mesh=mesh, decoder_backend=args.decoder_backend,
                   checkpoint_path=args.checkpoint)
     ebn0 = _parse_ebn0(args.ebn0)
-    res = sweep.run(ebn0)
+    res = sweep.run_fused(ebn0) if args.fused else sweep.run(ebn0)
     if args.out:
         paths = write_outputs(res, args.out)
         if args.plot:
@@ -168,6 +168,8 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["auto", "pallas", "jnp", "qc-jnp"])
     sw.add_argument("--mesh", default=None,
                     help="mesh shape, e.g. 8 or 2x4 (dcn x ici)")
+    sw.add_argument("--fused", action="store_true",
+                    help="advance all SNR points in one fused device program")
     sw.add_argument("--checkpoint", default=None,
                     help="JSON state path for resume")
     sw.add_argument("--out", default=None, help="output prefix (json+csv)")

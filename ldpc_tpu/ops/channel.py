@@ -89,21 +89,33 @@ def modulate(bits: jnp.ndarray, modulation: str) -> jnp.ndarray:
     return lut_j[keys]  # (..., nsym, 2)
 
 
-def awgn(key: jax.Array, x: jnp.ndarray, sigma: float) -> jnp.ndarray:
-    return x + sigma * jax.random.normal(key, x.shape, x.dtype)
+def _bcast_sigma(sigma, x: jnp.ndarray):
+    """Scalar sigma, or per-codeword sigma (B,) broadcast over x (B, ...) —
+    the fused-SNR-sweep path (SURVEY.md §2.3 'sweep parallelism')."""
+    sigma = jnp.asarray(sigma, x.dtype)
+    if sigma.ndim == 0:
+        return sigma
+    return sigma.reshape((-1,) + (1,) * (x.ndim - 1))
 
 
-def demap(y: jnp.ndarray, sigma: float, modulation: str) -> jnp.ndarray:
-    """Received symbols -> per-bit float LLRs (..., n). Max-log for QAM."""
+def awgn(key: jax.Array, x: jnp.ndarray, sigma) -> jnp.ndarray:
+    return x + _bcast_sigma(sigma, x) * jax.random.normal(key, x.shape, x.dtype)
+
+
+def demap(y: jnp.ndarray, sigma, modulation: str) -> jnp.ndarray:
+    """Received symbols -> per-bit float LLRs (..., n). Max-log for QAM.
+    sigma: scalar or per-codeword (B,)."""
     if modulation == "bpsk":
-        return 2.0 * y / (sigma * sigma)
+        sb = _bcast_sigma(sigma, y)
+        return 2.0 * y / (sb * sb)
     m = BITS_PER_SYM[modulation]
     ba = m // 2
     levels, labels = _gray_levels(ba)
     norm = _axis_norm(ba)
     lev = jnp.asarray(levels * norm, jnp.float32)  # (L,)
     lab = np.asarray(labels, bool)  # (L, ba)
-    n0 = 2.0 * sigma * sigma
+    sb = _bcast_sigma(sigma, y)
+    n0 = 2.0 * sb * sb
     # y: (..., nsym, 2); per-axis distances to each level
     d2 = (y[..., None] - lev) ** 2  # (..., nsym, 2, L)
     big = jnp.float32(1e30)

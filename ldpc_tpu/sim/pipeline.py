@@ -113,11 +113,17 @@ def make_run_batch(
     decoder_backend: str = "auto",
     batch_tile: int = 256,
     interpret: bool = False,
+    n_points: int = 1,
 ) -> Callable[[jax.Array, jnp.ndarray], Tuple[jnp.ndarray, ...]]:
     """Returns jitted run_batch(key, sigma) -> (frames, bit_errs, frame_errs,
-    iter_sum, converged) int32 scalars. sigma is a traced scalar so one
-    compilation covers the whole SNR sweep. With a mesh, the batch dimension
-    is sharded over every mesh axis via explicit constraints."""
+    iter_sum, converged) int32. sigma is a traced scalar so one compilation
+    covers the whole SNR sweep. With a mesh, the batch dimension is sharded
+    over every mesh axis via explicit constraints.
+
+    n_points > 1 is the fused-SNR-sweep mode (SURVEY.md §2.3 'sweep
+    parallelism'): sigma becomes a (n_points,) vector, lane b simulates point
+    b % n_points, and every counter comes back with shape (n_points,) — all
+    SNR points of a sweep advance inside one sharded device program."""
     B = batch or cfg.run.batch
     mod = cfg.channel.modulation
     enc = make_encoder(code)
@@ -171,12 +177,19 @@ def make_run_batch(
     else:
         keep_j = None
 
+    if n_points > 1 and B % n_points:
+        raise ValueError(f"batch {B} not divisible by n_points {n_points}")
+
     def run_batch(key: jax.Array, sigma: jnp.ndarray):
         kinfo, knoise = jax.random.split(key)
         info = shard_b(
             jax.random.bernoulli(kinfo, 0.5, (B, code.k)).astype(jnp.uint8))
         if keep_j is not None:
             info = info * keep_j
+        if n_points > 1:
+            point = jax.lax.rem(
+                jax.lax.broadcasted_iota(jnp.int32, (B,), 0), n_points)
+            sigma = jnp.asarray(sigma)[point]  # (B,) per-lane noise level
         cw = enc(info)
         tx = cw[:, tx_pos] if punctured else cw
         x = ch.modulate(tx, mod)
@@ -191,9 +204,14 @@ def make_run_batch(
                     else quantize(llr, cfg.quant))
         hard, iters, conv = dec(q)
         info_err = hard[:, info_pos] != info
-        bit_errs = jnp.sum(info_err, dtype=jnp.int32)
-        frame_errs = jnp.sum(jnp.any(info_err, axis=-1), dtype=jnp.int32)
-        return (jnp.int32(B), bit_errs, frame_errs,
+        lane_bits = jnp.sum(info_err, axis=-1, dtype=jnp.int32)
+        lane_frame = jnp.any(info_err, axis=-1).astype(jnp.int32)
+        if n_points > 1:
+            seg = lambda v: jax.ops.segment_sum(  # noqa: E731
+                v.astype(jnp.int32), point, num_segments=n_points)
+            return (jnp.full((n_points,), B // n_points, jnp.int32),
+                    seg(lane_bits), seg(lane_frame), seg(iters), seg(conv))
+        return (jnp.int32(B), jnp.sum(lane_bits), jnp.sum(lane_frame),
                 jnp.sum(iters, dtype=jnp.int32),
                 jnp.sum(conv, dtype=jnp.int32))
 

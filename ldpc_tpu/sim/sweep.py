@@ -98,6 +98,45 @@ class Sweep:
         k = jax.random.fold_in(k, snr_idx)
         return jax.random.fold_in(k, batch_idx)
 
+    def run_fused(self, ebn0_list: Sequence[float],
+                  target_frame_errors: Optional[int] = None,
+                  max_frames: Optional[int] = None) -> SweepResult:
+        """Fused-SNR sweep: every superbatch advances ALL points at once
+        (lanes striped over points; SURVEY.md §2.3 'sweep parallelism').
+        Runs until every point hits its frame-error target or budget."""
+        rc = self.cfg.run
+        target_fe = (rc.target_frame_errors if target_frame_errors is None
+                     else target_frame_errors)
+        max_fr = rc.max_frames if max_frames is None else max_frames
+        P = len(ebn0_list)
+        rb = make_run_batch(self.code, self.cfg, batch=self.batch,
+                            mesh=self.mesh, decoder_backend=self.backend,
+                            n_points=P)
+        sigmas = np.asarray(
+            [sigma_for(e, self.code.rate, self.cfg.channel.modulation)
+             for e in ebn0_list], np.float32)
+        points = [SnrPoint(ebn0_db=float(e)) for e in ebn0_list]
+        result = SweepResult(config=self.cfg, code_name=self.code.name,
+                             k=self.code.k_eff, n=self.code.n,
+                             points=points, decoder_backend=self.backend)
+        batch_idx = 0
+        while any(p.frame_errs < target_fe and p.frames < max_fr
+                  for p in points):
+            t0 = time.time()
+            out = rb(self._key(0, batch_idx), sigmas)
+            wall = time.time() - t0
+            frames, bit_e, frame_e, it_s, conv = (np.asarray(o) for o in out)
+            for i, p in enumerate(points):
+                p.wall_s += wall / P
+                p.frames += int(frames[i])
+                p.bit_errs += int(bit_e[i])
+                p.frame_errs += int(frame_e[i])
+                p.iter_sum += int(it_s[i])
+                p.converged += int(conv[i])
+                p.batches += 1
+            batch_idx += 1
+        return result
+
     def run(self, ebn0_list: Sequence[float],
             target_frame_errors: Optional[int] = None,
             max_frames: Optional[int] = None) -> SweepResult:

@@ -110,3 +110,18 @@ def test_wilson():
     assert lo < 0.01 < hi
     assert rates_compatible(10, 1000, 14, 1000)
     assert not rates_compatible(10, 1000, 400, 1000)
+
+
+def test_fused_snr_sweep():
+    """Fused mode (SURVEY.md §2.3 sweep parallelism): all points advance in
+    one device program; rates agree with the sequential driver within
+    Monte-Carlo error."""
+    from ldpc_tpu.sim.stats import rates_compatible
+    cfg = _toy_cfg(batch=64)
+    s = Sweep(cfg, decoder_backend="jnp")
+    fused = s.run_fused([1.0, 3.0], target_frame_errors=25, max_frames=400)
+    seq = s.run([1.0, 3.0], target_frame_errors=25, max_frames=400)
+    for pf, ps in zip(fused.points, seq.points):
+        assert pf.frames > 0
+        assert rates_compatible(pf.frame_errs, pf.frames,
+                                ps.frame_errs, ps.frames)
