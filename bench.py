@@ -25,6 +25,11 @@ import numpy as np
 def main() -> None:
     import jax
 
+    # Persistent compile cache: first compile over the tunneled toolchain
+    # costs minutes; subsequent bench runs hit the cache.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ldpc_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     from ldpc_tpu.config import PRESETS
     from ldpc_tpu.sim import build_code, make_run_batch
     from ldpc_tpu.ops.channel import sigma_for

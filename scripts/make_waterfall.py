@@ -17,6 +17,9 @@ from ldpc_tpu.sim.report import plot_waterfall, write_outputs
 
 
 def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ldpc_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     outdir = sys.argv[1] if len(sys.argv) > 1 else "results"
     os.makedirs(outdir, exist_ok=True)
     base = PRESETS["wifi-648-r12-minsum"]
