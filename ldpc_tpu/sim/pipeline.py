@@ -114,11 +114,19 @@ def make_run_batch(
     batch_tile: int = 256,
     interpret: bool = False,
     n_points: int = 1,
+    superbatches: int = 1,
 ) -> Callable[[jax.Array, jnp.ndarray], Tuple[jnp.ndarray, ...]]:
-    """Returns jitted run_batch(key, sigma) -> (frames, bit_errs, frame_errs,
-    iter_sum, converged) int32. sigma is a traced scalar so one compilation
-    covers the whole SNR sweep. With a mesh, the batch dimension is sharded
-    over every mesh axis via explicit constraints.
+    """Returns jitted run_batch(key, sigma) -> int32 array (5,) stacking
+    (frames, bit_errs, frame_errs, iter_sum, converged). sigma is a traced
+    scalar so one compilation covers the whole SNR sweep. With a mesh, the
+    batch dimension is sharded over every mesh axis via explicit constraints.
+
+    superbatches > 1 accumulates that many sub-batches inside ONE device
+    call (lax.fori_loop over folded sub-keys): on the tunneled platform each
+    dispatch/fetch costs ~4 round trips (~200 ms), so a single call must
+    carry enough compute to amortize it. Counters sum exactly; the RNG key
+    space is (call_key, sub_index), so resume stays sample-exact at call
+    granularity.
 
     n_points > 1 is the fused-SNR-sweep mode (SURVEY.md §2.3 'sweep
     parallelism'): sigma becomes a (n_points,) vector, lane b simulates point
@@ -206,14 +214,29 @@ def make_run_batch(
         info_err = hard[:, info_pos] != info
         lane_bits = jnp.sum(info_err, axis=-1, dtype=jnp.int32)
         lane_frame = jnp.any(info_err, axis=-1).astype(jnp.int32)
+        # ONE stacked output => one device->host transfer per batch; on the
+        # tunneled platform each separate scalar fetch costs a full RTT.
         if n_points > 1:
             seg = lambda v: jax.ops.segment_sum(  # noqa: E731
                 v.astype(jnp.int32), point, num_segments=n_points)
-            return (jnp.full((n_points,), B // n_points, jnp.int32),
-                    seg(lane_bits), seg(lane_frame), seg(iters), seg(conv))
-        return (jnp.int32(B), jnp.sum(lane_bits), jnp.sum(lane_frame),
-                jnp.sum(iters, dtype=jnp.int32),
-                jnp.sum(conv, dtype=jnp.int32))
+            return jnp.stack([
+                jnp.full((n_points,), B // n_points, jnp.int32),
+                seg(lane_bits), seg(lane_frame), seg(iters), seg(conv)])
+        return jnp.stack([
+            jnp.int32(B), jnp.sum(lane_bits), jnp.sum(lane_frame),
+            jnp.sum(iters, dtype=jnp.int32),
+            jnp.sum(conv, dtype=jnp.int32)])
+
+    if superbatches > 1:
+        inner = run_batch
+
+        def run_batch(key: jax.Array, sigma: jnp.ndarray):  # noqa: F811
+            def body(i, acc):
+                return acc + inner(jax.random.fold_in(key, i), sigma)
+
+            shape = (5, n_points) if n_points > 1 else (5,)
+            return jax.lax.fori_loop(
+                0, superbatches, body, jnp.zeros(shape, jnp.int32))
 
     if mesh is not None:
         repl = NamedSharding(mesh, P())

@@ -79,7 +79,10 @@ class Sweep:
     def __init__(self, cfg: SimConfig, mesh=None, decoder_backend: str = "auto",
                  batch: Optional[int] = None, batch_tile: int = 256,
                  interpret: bool = False,
-                 checkpoint_path: Optional[str] = None):
+                 checkpoint_path: Optional[str] = None,
+                 lookahead: int = 4, superbatches: int = 1):
+        self.lookahead = max(1, lookahead)
+        self.superbatches = max(1, superbatches)
         self.cfg = cfg
         self.mesh = mesh
         self.code = build_code(cfg)
@@ -91,7 +94,7 @@ class Sweep:
         self.run_batch = make_run_batch(
             self.code, cfg, batch=self.batch, mesh=mesh,
             decoder_backend=self.backend, batch_tile=batch_tile,
-            interpret=interpret)
+            interpret=interpret, superbatches=self.superbatches)
 
     def _key(self, snr_idx: int, batch_idx: int) -> jax.Array:
         k = jax.random.PRNGKey(self.cfg.run.seed)
@@ -123,9 +126,9 @@ class Sweep:
         while any(p.frame_errs < target_fe and p.frames < max_fr
                   for p in points):
             t0 = time.time()
-            out = rb(self._key(0, batch_idx), sigmas)
+            out = np.asarray(rb(self._key(0, batch_idx), sigmas))
             wall = time.time() - t0
-            frames, bit_e, frame_e, it_s, conv = (np.asarray(o) for o in out)
+            frames, bit_e, frame_e, it_s, conv = out
             for i, p in enumerate(points):
                 p.wall_s += wall / P
                 p.frames += int(frames[i])

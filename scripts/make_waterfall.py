@@ -45,7 +45,7 @@ def main():
     results = []
     for name, cfg in runs.items():
         t0 = time.time()
-        sweep = Sweep(cfg, batch=16384, batch_tile=512,
+        sweep = Sweep(cfg, batch=16384, batch_tile=512, superbatches=8,
                       checkpoint_path=os.path.join(outdir, name + ".state"))
         res = sweep.run(ebn0, target_frame_errors=200,
                         max_frames=2_000_000)
