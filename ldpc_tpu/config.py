@@ -159,13 +159,16 @@ PRESETS = {
                               max_iter=20, early_term=True),
         run=RunConfig(batch=256),
     ),
-    # BASELINE.json:10 — DVB-S2 long codes, HBM-resident messages.
+    # BASELINE.json:10 — DVB-S2 long codes, HBM-resident messages. Layered
+    # with fixed iterations: the HBM-streaming kernel's domain (layered
+    # needs half the iterations of flooding for equal BER, and per-iteration
+    # syndrome passes are not worth their bandwidth in this regime).
     "dvbs2-64800-r12": SimConfig(
         code=CodeConfig(family="dvbs2", n=64800, rate="1/2"),
         channel=ChannelConfig(modulation="bpsk", ebn0_db=1.5),
         quant=QuantConfig(bits=8, scale=4.0, beta_lsb=2),
-        decoder=DecoderConfig(algorithm="offset-min-sum", schedule="flooding",
-                              max_iter=20, early_term=True),
+        decoder=DecoderConfig(algorithm="offset-min-sum", schedule="layered",
+                              max_iter=20, early_term=False),
         run=RunConfig(batch=8192),
     ),
     # BASELINE.json:11 — multi-host full-chain SDR workload.

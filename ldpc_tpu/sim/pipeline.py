@@ -74,6 +74,15 @@ def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
         if mp.vmem_bytes(code, bt, cfg.decoder.schedule, dt) > VMEM_BUDGET:
             dt = jnp.int8
         if mp.vmem_bytes(code, bt, cfg.decoder.schedule, dt) > VMEM_BUDGET:
+            # HBM-resident regime: the streaming Pallas kernel where its
+            # domain applies (aligned Z, layered, fixed iterations), else
+            # the QC-structured XLA decoder.
+            if (code.Z % 8 == 0 and cfg.decoder.schedule == "layered"
+                    and not cfg.decoder.early_term):
+                from . import pipeline  # noqa: F401
+                from ..kernels.minsum_stream import make_decoder as make_st
+                return make_st(code, cfg.decoder, cfg.quant,
+                               interpret=interpret), "pallas-stream"
             backend = "qc-jnp"
         else:
             return mp.make_decoder(code, cfg.decoder, cfg.quant,

@@ -44,7 +44,11 @@ def test_auto_selection_large_code_uses_qc_jnp(monkeypatch):
     from ldpc_tpu.config import PRESETS
     from ldpc_tpu.sim import build_code
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    import dataclasses
     cfg = PRESETS["dvbs2-64800-r12"]
+    # flooding/early-term variants are outside the streaming kernel's domain
+    cfg = dataclasses.replace(cfg, decoder=dataclasses.replace(
+        cfg.decoder, schedule="flooding", early_term=True))
     code = build_code(cfg)
     _, backend = pl.select_decoder(code, cfg)
     assert backend == "qc-jnp"
@@ -52,3 +56,39 @@ def test_auto_selection_large_code_uses_qc_jnp(monkeypatch):
     cfg2 = PRESETS["wifi-648-r12-minsum"]
     _, backend2 = pl.select_decoder(build_code(cfg2), cfg2)
     assert backend2 == "pallas"
+
+
+class TestStreamKernel:
+    """HBM-streaming kernel (kernels/minsum_stream.py) in interpret mode —
+    compiled-mode bit-exactness is asserted on hardware (docs/PERFORMANCE)."""
+
+    def test_stream_bitexact_interpret(self, rng):
+        from ldpc_tpu.codes.toy import toy_qc
+        from ldpc_tpu.kernels.minsum_stream import make_stream_decoder
+        code = toy_qc(8)
+        B = 128
+        chan = _llrs(rng, B, code.n)
+        dec = make_stream_decoder(code, max_iter=5, beta=2, qmax=127,
+                                  batch_tile=128, interpret=True)
+        h, it, cv = map(np.asarray, dec(chan))
+        ho, ito, cvo = oracle.decode_batch(chan, code, max_iter=5, beta=2,
+                                           qmax=127, schedule="layered",
+                                           early_term=False)
+        np.testing.assert_array_equal(h, ho)
+        np.testing.assert_array_equal(cv, cvo)
+
+    def test_unaligned_z_rejected(self):
+        from ldpc_tpu.codes.ieee80211n import make_code
+        from ldpc_tpu.kernels.minsum_stream import make_stream_decoder
+        with pytest.raises(ValueError, match="sublane-aligned"):
+            make_stream_decoder(make_code(648, "1/2"))  # Z=27
+
+    def test_auto_dispatch_dvbs2_stream(self, monkeypatch):
+        import jax
+        import ldpc_tpu.sim.pipeline as pl_mod
+        from ldpc_tpu.config import PRESETS
+        from ldpc_tpu.sim import build_code
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        cfg = PRESETS["dvbs2-64800-r12"]
+        _, backend = pl_mod.select_decoder(build_code(cfg), cfg)
+        assert backend == "pallas-stream"
