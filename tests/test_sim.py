@@ -125,3 +125,25 @@ def test_fused_snr_sweep():
         assert pf.frames > 0
         assert rates_compatible(pf.frame_errs, pf.frames,
                                 ps.frame_errs, ps.frames)
+
+
+def test_multihost_qam_chain_preset():
+    """BASELINE.json:11 capability: the full 16-QAM chain preset (n=1944
+    r=3/4 OMS layered) runs end-to-end on the 8-device mesh with sane
+    counters."""
+    import dataclasses
+    from ldpc_tpu.config import PRESETS
+    from ldpc_tpu.sim import build_code, make_run_batch
+    from ldpc_tpu.parallel import make_mesh
+    from ldpc_tpu.ops.channel import sigma_for
+    cfg = PRESETS["multihost-qam-chain"]
+    cfg = dataclasses.replace(cfg, run=dataclasses.replace(cfg.run, batch=64))
+    code = build_code(cfg)
+    mesh = make_mesh(shape=(2, 4), axes=("dcn", "ici"))
+    rb = make_run_batch(code, cfg, batch=64, mesh=mesh, decoder_backend="jnp")
+    sigma = np.float32(sigma_for(8.0, code.rate, "16qam"))
+    out = np.asarray(rb(jax.random.PRNGKey(0), sigma))
+    frames, bit_e, frame_e, it_s, conv = map(int, out)
+    assert frames == 64
+    assert frame_e < 64  # high SNR: most frames decode
+    assert conv > 0
