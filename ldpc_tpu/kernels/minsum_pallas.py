@@ -30,8 +30,10 @@ tolerance. Semantics pinned by the golden model:
     magnitude argmin resolve to the first entry (stable), matching golden,
   * sign(0) = +1; posteriors accumulate exactly in int32 (|post| <=
     qmax*(dv+1) — the golden model's exact-accumulation contract),
-  * hard bit = 1 iff posterior < 0; early termination freezes converged
-    lanes per-codeword and reports iterations actually run.
+  * hard bit = 1 iff posterior < 0; early termination LATCHES a lane's
+    outputs (hard bits, iteration count) at its first syndrome success while
+    the datapath runs unmasked — bit-identical to the golden per-codeword
+    stop because lanes are independent.
 """
 from __future__ import annotations
 
@@ -126,15 +128,23 @@ def _cn_minsum(v2cs, beta: int):
 
 
 def vmem_bytes(code: LDPCCode, batch_tile: int = 256,
-               schedule: str = "layered", c2v_dtype=jnp.int32) -> int:
-    """Rough VMEM footprint of the decoder state for one batch tile."""
+               schedule: str = "layered", c2v_dtype=jnp.int32,
+               early_term: bool = False) -> int:
+    """Estimated VMEM footprint of the decoder for one batch tile, including
+    the double-buffered IO blocks and a margin for Mosaic stack temporaries
+    (calibrated against observed scoped-vmem usage: the early-termination
+    path's latch/syndrome machinery costs ~40% extra on top of state+IO;
+    plain fixed-iteration ~15%)."""
     qc = compile_qc_layout(code)
     n_entries = int((qc.layer_mask).sum())
     itemsize = jnp.dtype(c2v_dtype).itemsize
-    post = qc.nb * qc.Z * batch_tile * 4
+    tile = qc.nb * qc.Z * batch_tile
+    post = tile * 4
     bufs = 2 if schedule == "flooding" else 1
     c2v = n_entries * qc.Z * batch_tile * itemsize
-    return bufs * post + c2v
+    io = 2 * (tile + tile)  # chan in + hard out, double-buffered int8
+    margin = 1.4 if early_term else 1.15
+    return int((bufs * post + c2v + io) * margin)
 
 
 def make_pallas_decoder(

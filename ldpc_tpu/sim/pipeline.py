@@ -66,14 +66,17 @@ def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
         # VMEM; beyond that, the HBM-resident regime (SURVEY.md §5.7) uses
         # the QC-structured XLA decoder — same math, same rolls, fused
         # elementwise streams over HBM (DVB-S2 n=64800, NR Z=384).
-        VMEM_BUDGET = 13 * 2 ** 20
+        VMEM_BUDGET = 14 * 2 ** 20
+        et = cfg.decoder.early_term
         bt, dt = batch_tile, jnp.int32
         while bt > 128 and mp.vmem_bytes(code, bt, cfg.decoder.schedule,
-                                         dt) > VMEM_BUDGET:
+                                         dt, et) > VMEM_BUDGET:
             bt //= 2
-        if mp.vmem_bytes(code, bt, cfg.decoder.schedule, dt) > VMEM_BUDGET:
+        if mp.vmem_bytes(code, bt, cfg.decoder.schedule, dt,
+                         et) > VMEM_BUDGET:
             dt = jnp.int8
-        if mp.vmem_bytes(code, bt, cfg.decoder.schedule, dt) > VMEM_BUDGET:
+        if mp.vmem_bytes(code, bt, cfg.decoder.schedule, dt,
+                         et) > VMEM_BUDGET:
             # HBM-resident regime: the streaming Pallas kernel where its
             # domain applies (aligned Z, layered, fixed iterations), else
             # the QC-structured XLA decoder.
