@@ -1,0 +1,3 @@
+from .profiling import compiled_cost, timed, trace
+
+__all__ = ["trace", "timed", "compiled_cost"]
