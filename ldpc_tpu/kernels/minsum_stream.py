@@ -98,7 +98,7 @@ def make_stream_decoder(
             min1 = jnp.full((Z, batch_tile), big, _C)
             min2 = jnp.full((Z, batch_tile), big, _C)
             negpar = jnp.zeros((Z, batch_tile), _C)
-            vs, mags, negs, olds = [], [], [], []
+            mags, negs, olds = [], [], []
             for s in range(D):
                 sh = lshifts_ref[l, s]
                 rolled = pltpu.roll(pbuf[s], Z - sh, 0)
@@ -110,7 +110,6 @@ def make_stream_decoder(
                 min2 = jnp.minimum(min2, jnp.maximum(min1, mag))
                 min1 = jnp.minimum(min1, mag)
                 negpar = negpar ^ neg
-                vs.append(v)
                 mags.append(mag)
                 negs.append(neg)
                 olds.append(old)

@@ -173,8 +173,6 @@ def make_run_batch(
     if mesh is not None:
         if B % mesh.size:
             raise ValueError(f"batch {B} not divisible by mesh size {mesh.size}")
-        bspec = NamedSharding(mesh, P(mesh.axis_names))
-
         def shard_b(x):
             return jax.lax.with_sharding_constraint(
                 x, NamedSharding(mesh, P(mesh.axis_names,
