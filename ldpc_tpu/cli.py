@@ -77,6 +77,8 @@ def _build_config(args) -> SimConfig:
                  ("target_frame_errors", args.target_errors)):
         if v is not None:
             run = dataclasses.replace(run, **{f: v})
+    if args.all_zeros:
+        run = dataclasses.replace(run, all_zeros=True)
     return SimConfig(code=code, channel=chan, quant=quant, decoder=dec, run=run)
 
 
@@ -125,6 +127,23 @@ def cmd_codes(args) -> int:
     return 0
 
 
+def cmd_report(args) -> int:
+    import json as _json
+    import types
+    from .sim.report import plot_waterfall
+
+    results = []
+    for path in args.jsons:
+        d = _json.load(open(path))
+        r = types.SimpleNamespace(
+            code_name=d["code"], decoder_backend=d["decoder_backend"],
+            rows=lambda rows=d["results"]: rows)
+        results.append(r)
+    plot_waterfall(results, args.out, metric=args.metric)
+    print(f"wrote {args.out}")
+    return 0
+
+
 def cmd_config(args) -> int:
     print(_build_config(args).to_json())
     return 0
@@ -162,6 +181,8 @@ def build_parser() -> argparse.ArgumentParser:
         q.add_argument("--max-frames", dest="max_frames", type=int, default=None)
         q.add_argument("--target-errors", dest="target_errors", type=int,
                        default=None)
+        q.add_argument("--all-zeros", action="store_true",
+                       help="transmit the all-zeros codeword (skip encoder)")
     sw.add_argument("--ebn0", default="1.0:3.0:0.5",
                     help="lo:hi:step or comma list (dB)")
     sw.add_argument("--decoder-backend", default="auto",
@@ -180,6 +201,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("presets", help="list named workload presets")
     sub.add_parser("codes", help="list built-in 802.11n codes")
+    rp = sub.add_parser("report", help="plot waterfalls from saved results")
+    rp.add_argument("jsons", nargs="+", help="result .json files")
+    rp.add_argument("--out", required=True, help="output PNG path")
+    rp.add_argument("--metric", default="ber", choices=["ber", "fer"])
     return p
 
 
@@ -188,7 +213,8 @@ def main(argv=None) -> int:
                         format="%(asctime)s %(name)s %(message)s")
     args = build_parser().parse_args(argv)
     return {"sweep": cmd_sweep, "presets": cmd_presets,
-            "codes": cmd_codes, "config": cmd_config}[args.cmd](args)
+            "codes": cmd_codes, "config": cmd_config,
+            "report": cmd_report}[args.cmd](args)
 
 
 if __name__ == "__main__":

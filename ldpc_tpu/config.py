@@ -100,6 +100,9 @@ class RunConfig:
     target_frame_errors: int = 100
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axes: Tuple[str, ...] = ("batch",)
+    # The reference's classic shortcut: transmit the all-zeros codeword
+    # (valid for any linear code + symmetric channel), skipping the encoder.
+    all_zeros: bool = False
 
 
 @dataclass(frozen=True)

@@ -198,17 +198,22 @@ def make_run_batch(
     if n_points > 1 and B % n_points:
         raise ValueError(f"batch {B} not divisible by n_points {n_points}")
 
+    all_zeros = cfg.run.all_zeros
+
     def run_batch(key: jax.Array, sigma: jnp.ndarray):
         kinfo, knoise = jax.random.split(key)
-        info = shard_b(
-            jax.random.bernoulli(kinfo, 0.5, (B, code.k)).astype(jnp.uint8))
+        if all_zeros:
+            info = shard_b(jnp.zeros((B, code.k), jnp.uint8))
+        else:
+            info = shard_b(jax.random.bernoulli(
+                kinfo, 0.5, (B, code.k)).astype(jnp.uint8))
         if keep_j is not None:
             info = info * keep_j
         if n_points > 1:
             point = jax.lax.rem(
                 jax.lax.broadcasted_iota(jnp.int32, (B,), 0), n_points)
             sigma = jnp.asarray(sigma)[point]  # (B,) per-lane noise level
-        cw = enc(info)
+        cw = jnp.zeros((B, code.n), jnp.uint8) if all_zeros else enc(info)
         tx = cw[:, tx_pos] if punctured else cw
         x = ch.modulate(tx, mod)
         y = ch.awgn(knoise, x, sigma)

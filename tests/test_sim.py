@@ -147,3 +147,24 @@ def test_multihost_qam_chain_preset():
     assert frames == 64
     assert frame_e < 64  # high SNR: most frames decode
     assert conv > 0
+
+
+def test_all_zeros_mode():
+    """The reference's all-zeros-codeword shortcut: same channel statistics,
+    no encoder in the pipeline."""
+    import dataclasses
+    cfg = _toy_cfg(batch=64)
+    cfg = dataclasses.replace(cfg, run=dataclasses.replace(cfg.run,
+                                                           all_zeros=True))
+    code = build_code(cfg)
+    rb = make_run_batch(code, cfg, decoder_backend="jnp")
+    out = np.asarray(rb(jax.random.PRNGKey(1), np.float32(0.8)))
+    frames, bit_e, frame_e, _, _ = map(int, out)
+    assert frames == 64 and 0 <= frame_e <= 64
+    # rates statistically consistent with the random-codeword pipeline
+    cfg2 = _toy_cfg(batch=64)
+    out2 = np.asarray(make_run_batch(build_code(cfg2), cfg2,
+                                     decoder_backend="jnp")(
+        jax.random.PRNGKey(1), np.float32(0.8)))
+    from ldpc_tpu.sim.stats import rates_compatible
+    assert rates_compatible(frame_e, 64, int(out2[2]), 64)
