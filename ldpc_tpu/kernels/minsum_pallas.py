@@ -211,20 +211,34 @@ def make_pallas_decoder(
                 unsat = u if unsat is None else unsat + u
             return (unsat == 0).astype(_C)
 
-        def cn_sweep(read, emit):
+        def cn_sweep(read, emit, with_synd=False):
             """One full CN sweep. read(j): totals the update consumes.
-            emit(j, s, e, old, new): handle the result (freeze-aware)."""
+            emit(j, s, e, old, new): handle the result.
+
+            with_synd: also return the (1, Bt) syndrome-ok mask of the STATE
+            BEING READ, computed from the rolled posteriors the sweep gathers
+            anyway — ~3 ops/entry cheaper than a dedicated syndrome pass."""
+            unsat = None
             for li, ents in enumerate(layers):
-                v2cs, olds = [], []
+                v2cs, olds, acc = [], [], None
                 for (j, s) in ents:
                     e = entry_of[li][len(olds)]
                     old = c2v_ref[e].astype(_C)
-                    v = _rot_fwd(read(j), s) - old
-                    v2cs.append(jnp.clip(v, -qmax, qmax))
+                    rolled = _rot_fwd(read(j), s)
+                    if with_synd:
+                        h = (rolled < 0).astype(_C)
+                        acc = h if acc is None else acc ^ h
+                    v2cs.append(jnp.clip(rolled - old, -qmax, qmax))
                     olds.append(old)
+                if with_synd:
+                    u = jnp.sum(acc, axis=0, keepdims=True)
+                    unsat = u if unsat is None else unsat + u
                 news = _cn_minsum(v2cs, beta)
                 for (j, s), e, old, new in zip(ents, entry_of[li], olds, news):
                     emit(j, s, e, old, new)
+            if with_synd:
+                return (unsat == 0).astype(_C)
+            return None
 
         def latch_hard(done_prev, read):
             """Latched outputs make early termination bit-exact WITHOUT
@@ -241,9 +255,11 @@ def make_pallas_decoder(
                 hard_ref[j] = (prev * keep + cur * inv).astype(jnp.int8)
 
         if flooding:
-            def flood_iter(src, dst):
+            def flood_iter(src, dst, with_synd=False):
                 """Unmasked: totals in src are complete for the previous
                 messages; build the next totals in dst = chan + new c2v.
+                with_synd: return the syndrome-ok mask of SRC (fused into
+                the sweep's gathers).
 
                 (A first-touch initialization — first writer of a column
                 stores chan + delta, skipping this init pass — was tried and
@@ -256,22 +272,30 @@ def make_pallas_decoder(
                     c2v_ref[e] = new.astype(c2v_dtype)
                     dst[j] = dst[j] + _rot_bwd(new, s)
 
-                cn_sweep(lambda j: src[j], emit)
+                return cn_sweep(lambda j: src[j], emit, with_synd)
 
-            def run_et(done0, iters0):
+            def run_et(done0, iters0, synd_state):
+                """Deferred-syndrome scheme: iteration k's sweep reads state
+                k-1, so its fused syndrome IS state k-1's convergence —
+                published through a VMEM cell because the sweep runs under
+                pl.when. The done carry therefore lags one state; latching
+                still captures each lane's FIRST converged state exactly
+                (latch at iteration k stores state k-1 values for any lane
+                not yet latched). A final dedicated pass closes the last
+                state. Bit-identical to the golden per-codeword stop."""
                 def one(src, dst, done, iters):
                     n_active = jnp.sum(jnp.array(1, _C) - done)
 
                     @pl.when(n_active > 0)
                     def _():
-                        flood_iter(src, dst)
-                        latch_hard(done, lambda j: dst[j])
+                        latch_hard(done, lambda j: src[j])
+                        ok_prev = flood_iter(src, dst, with_synd=True)
+                        synd_state[0] = ok_prev
 
-                    # When the sweep was skipped (all done), dst was not
-                    # written — but then done==1 everywhere, so the pure
-                    # carry updates below are no-ops regardless.
+                    # Skipped sweep => every lane done => the stale mask in
+                    # synd_state is irrelevant under maximum().
+                    done = jnp.maximum(done, synd_state[0])
                     iters = iters + (jnp.array(1, _C) - done)
-                    done = jnp.maximum(done, syndrome_ok(lambda j: dst[j]))
                     return done, iters
 
                 def iter_pair(_, carry):
@@ -280,10 +304,17 @@ def make_pallas_decoder(
                     done, iters = one(tot_ref, post_ref, done, iters)
                     return done, iters
 
+                synd_state[0] = jnp.zeros((1, Bt), _C)
                 done, iters = jax.lax.fori_loop(
                     0, max_iter // 2, iter_pair, (done0, iters0))
                 if max_iter % 2:
                     done, iters = one(post_ref, tot_ref, done, iters)
+                    final_read = lambda j: tot_ref[j]  # noqa: E731
+                else:
+                    final_read = lambda j: post_ref[j]  # noqa: E731
+                # Close the final state: latch + syndrome once.
+                latch_hard(done, final_read)
+                done = jnp.maximum(done, syndrome_ok(final_read))
                 return done, iters
 
             def run_plain():
@@ -331,12 +362,23 @@ def make_pallas_decoder(
                 return lambda j: post_ref[j]
 
         if early_term:
-            done0 = syndrome_ok(lambda j: post_ref[j])
-            latch_hard(jnp.zeros((1, Bt), _C), lambda j: post_ref[j])
-            iters0 = jnp.zeros((1, Bt), _I32)
-            done, iters = run_et(done0, iters0)
-            iters_ref[...] = iters
-            conv_ref[...] = done.astype(jnp.int8)
+            zeros = jnp.zeros((1, Bt), _C)
+            if flooding:
+                # Deferred-syndrome scheme: state 0's convergence comes out
+                # of the first sweep; the carry starts all-zero.
+                def scoped(synd_state):
+                    done, iters = run_et(zeros, jnp.zeros((1, Bt), _I32),
+                                         synd_state)
+                    iters_ref[...] = iters
+                    conv_ref[...] = done.astype(jnp.int8)
+
+                pl.run_scoped(scoped, pltpu.VMEM((1, 1, Bt), _C))
+            else:
+                done0 = syndrome_ok(lambda j: post_ref[j])
+                latch_hard(zeros, lambda j: post_ref[j])
+                done, iters = run_et(done0, jnp.zeros((1, Bt), _I32))
+                iters_ref[...] = iters
+                conv_ref[...] = done.astype(jnp.int8)
         else:
             final_read = run_plain()
             for j in range(nb):
