@@ -165,10 +165,10 @@ def make_run_batch(
         short_pos = (jnp.asarray(code.shortened_vns)
                      if len(code.shortened_vns) else None)
         bps = ch.BITS_PER_SYM[mod]
-        if n_tx % (2 * bps) and mod != "bpsk":
+        if mod != "bpsk" and n_tx % bps:
             raise ValueError(
                 f"transmitted length {n_tx} not a multiple of the {mod} "
-                f"symbol size")
+                f"symbol size ({bps} bits)")
 
     if mesh is not None:
         if B % mesh.size:

@@ -149,9 +149,17 @@ class Sweep:
         max_fr = rc.max_frames if max_frames is None else max_frames
 
         points = [SnrPoint(ebn0_db=float(e)) for e in ebn0_list]
+        meta = {"batch": self.batch, "superbatches": self.superbatches,
+                "seed": self.cfg.run.seed}
         if self.checkpoint_path:
             state = ckpt.load(self.checkpoint_path)
             if state is not None:
+                if state.get("meta") and state["meta"] != meta:
+                    raise ValueError(
+                        f"checkpoint {self.checkpoint_path} was written with "
+                        f"{state['meta']}, resume requires the same "
+                        f"batch/superbatches/seed (got {meta}) for "
+                        f"sample-exact continuation")
                 saved = {p.ebn0_db: p for p in state["points"]}
                 points = [saved.get(p.ebn0_db, p) for p in points]
                 log.info("resumed checkpoint %s", self.checkpoint_path)

@@ -172,3 +172,29 @@ class TestChannel:
             ref = ((m1 - m0) / n0).reshape(rx.shape[0], -1)
             got = llr.reshape(rx.shape[0], -1, m)[:, :, b]
             assert np.allclose(got, ref, rtol=1e-4, atol=1e-4), (mod, b)
+
+
+class TestPerLaneSigma:
+    """Per-codeword sigma broadcasting (the fused-SNR-sweep path) must equal
+    per-row scalar-sigma calls for both BPSK and QAM."""
+
+    @pytest.mark.parametrize("mod", ["bpsk", "16qam"])
+    def test_vector_sigma_matches_scalar(self, mod, rng):
+        import jax
+        from ldpc_tpu.ops import channel as ch
+        B, nbits = 4, 48
+        bits = jnp.asarray(rng.integers(0, 2, size=(B, nbits), dtype=np.uint8))
+        x = ch.modulate(bits, mod)
+        key = jax.random.PRNGKey(3)
+        sigmas = np.array([0.3, 0.5, 0.8, 1.1], np.float32)
+        y_vec = np.asarray(ch.awgn(key, x, jnp.asarray(sigmas)))
+        llr_vec = np.asarray(ch.demap(jnp.asarray(y_vec),
+                                      jnp.asarray(sigmas), mod))
+        noise = (np.asarray(ch.awgn(key, x, 1.0)) - np.asarray(x))
+        for b in range(B):
+            y_b = np.asarray(x)[b] + sigmas[b] * noise[b]
+            np.testing.assert_allclose(y_vec[b], y_b, rtol=1e-5, atol=1e-5)
+            llr_b = np.asarray(ch.demap(jnp.asarray(y_vec[b:b + 1]),
+                                        float(sigmas[b]), mod))
+            np.testing.assert_allclose(llr_vec[b], llr_b[0], rtol=1e-4,
+                                       atol=1e-4)
