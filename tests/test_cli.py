@@ -1,0 +1,74 @@
+"""CLI surface tests: argument parsing -> config resolution, presets/codes
+listings, and report generation (the sweep path itself is covered by
+tests/test_sim.py and the CPU smoke in CI use)."""
+import json
+
+import pytest
+
+from ldpc_tpu.cli import _parse_ebn0, build_parser, _build_config, cmd_report
+
+
+def _cfg(argv):
+    args = build_parser().parse_args(argv)
+    return _build_config(args)
+
+
+def test_parse_ebn0():
+    assert _parse_ebn0("1.0:2.0:0.5") == [1.0, 1.5, 2.0]
+    assert _parse_ebn0("2.5") == [2.5]
+    assert _parse_ebn0("1,2.25,3") == [1.0, 2.25, 3.0]
+
+
+def test_preset_resolution():
+    cfg = _cfg(["sweep", "--preset", "wifi-648-r12-minsum"])
+    assert cfg.code.n == 648 and cfg.decoder.algorithm == "min-sum"
+    assert not cfg.decoder.early_term
+
+
+def test_overrides_compose_with_preset():
+    cfg = _cfg(["sweep", "--preset", "wifi-648-r12-minsum", "--n", "1296",
+                "--algorithm", "offset-min-sum", "--schedule", "layered",
+                "--beta-lsb", "3", "--batch", "2048", "--all-zeros"])
+    assert cfg.code.n == 1296
+    assert cfg.decoder.algorithm == "offset-min-sum"
+    assert cfg.decoder.schedule == "layered"
+    assert cfg.quant.beta_lsb == 3
+    assert cfg.run.batch == 2048
+    assert cfg.run.all_zeros
+
+
+def test_nr_flags():
+    cfg = _cfg(["sweep", "--family", "5gnr", "--base-graph", "2", "--Z", "64",
+                "--rate", "1/3", "--k-info", "500"])
+    assert cfg.code.family == "5gnr"
+    assert cfg.code.base_graph == 2 and cfg.code.Z == 64
+    assert cfg.code.k_info == 500
+
+
+def test_config_roundtrip_json():
+    cfg = _cfg(["config", "--preset", "dvbs2-64800-r12"])
+    d = json.loads(cfg.to_json())
+    assert d["code"]["family"] == "dvbs2"
+    from ldpc_tpu.config import SimConfig
+    assert SimConfig.from_json(cfg.to_json()) == cfg
+
+
+def test_report_from_json(tmp_path):
+    payload = {
+        "config": {}, "code": "x", "k": 1, "n": 2, "decoder_backend": "jnp",
+        "results": [
+            {"ebn0_db": 1.0, "ber": 1e-2, "fer": 1e-1},
+            {"ebn0_db": 2.0, "ber": 1e-4, "fer": 1e-3},
+        ],
+    }
+    src = tmp_path / "r.json"
+    src.write_text(json.dumps(payload))
+    out = tmp_path / "out.png"
+
+    class A:
+        jsons = [str(src)]
+        out = str(tmp_path / "out.png")
+        metric = "ber"
+
+    assert cmd_report(A) == 0
+    assert (tmp_path / "out.png").exists()
