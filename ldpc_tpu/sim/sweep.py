@@ -106,7 +106,12 @@ class Sweep:
                   max_frames: Optional[int] = None) -> SweepResult:
         """Fused-SNR sweep: every superbatch advances ALL points at once
         (lanes striped over points; SURVEY.md §2.3 'sweep parallelism').
-        Runs until every point hits its frame-error target or budget."""
+        Runs until every point hits its frame-error target or budget.
+
+        Note: this mode synchronizes per batch and does not checkpoint —
+        use the sequential run() (pipelined, superbatched, resumable) for
+        long sweeps; fused mode shines when many points need similar frame
+        counts."""
         rc = self.cfg.run
         target_fe = (rc.target_frame_errors if target_frame_errors is None
                      else target_frame_errors)
