@@ -168,3 +168,15 @@ def test_all_zeros_mode():
         jax.random.PRNGKey(1), np.float32(0.8)))
     from ldpc_tpu.sim.stats import rates_compatible
     assert rates_compatible(frame_e, 64, int(out2[2]), 64)
+
+
+def test_checkpoint_meta_mismatch_rejected(tmp_path):
+    """Resuming with different batch/superbatches must fail loudly —
+    sample-exactness would silently break otherwise."""
+    cfg = _toy_cfg(batch=32)
+    path = str(tmp_path / "s.json")
+    Sweep(cfg, decoder_backend="jnp", checkpoint_path=path).run(
+        [2.0], max_frames=32)
+    with pytest.raises(ValueError, match="sample-exact"):
+        Sweep(cfg, decoder_backend="jnp", checkpoint_path=path,
+              batch=64).run([2.0], max_frames=64)
