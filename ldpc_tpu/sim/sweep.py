@@ -188,7 +188,8 @@ class Sweep:
                 pt.converged += conv
                 pt.batches += 1
                 if self.checkpoint_path:
-                    ckpt.save(self.checkpoint_path, self.cfg.to_json(), points)
+                    ckpt.save(self.checkpoint_path, self.cfg.to_json(),
+                              points, meta=meta)
             log.info("EbN0=%.2f dB: frames=%d BER=%.3e FER=%.3e avg_it=%.2f",
                      pt.ebn0_db, pt.frames,
                      pt.bit_errs / max(pt.frames * self.code.k, 1),
