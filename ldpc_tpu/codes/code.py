@@ -58,9 +58,16 @@ class LDPCCode:
         return self.k - len(self.shortened_vns)
 
     @property
+    def n_tx(self) -> int:
+        """Transmitted codeword length: n minus the union of punctured and
+        shortened positions (5G NR heavy shortening can overlap the two sets —
+        the union avoids double-subtracting, keeping Eb/N0 calibration honest)."""
+        excluded = set(map(int, self.punct_vns)) | set(map(int, self.shortened_vns))
+        return self.n - len(excluded)
+
+    @property
     def rate(self) -> float:
-        n_tx = self.n - len(self.punct_vns) - len(self.shortened_vns)
-        return self.k_eff / n_tx
+        return self.k_eff / self.n_tx
 
     @property
     def num_edges(self) -> int:

@@ -63,6 +63,12 @@ def make_stream_decoder(
             f"block DMAs reject unaligned shapes (DVB-S2 Z=360 and NR "
             f"Z=384 qualify; use the VMEM or qc-jnp decoder otherwise)")
     qc = compile_qc_layout(code)
+    if not (qc.layer_mask.sum(axis=1) >= 2).all():
+        # A degree-1 base row would leave min2 at the 1<<14 sentinel and
+        # truncate c2v = +-(1<<14 - beta) through int8 — error out instead
+        # (the VMEM kernel's _qc_entries asserts the same invariant).
+        raise ValueError(f"{code.name}: degree-1 base rows unsupported in "
+                         f"the streaming kernel")
     Z, nb, mb, D = qc.Z, qc.nb, qc.mb, qc.max_row_deg
     n = code.n
     # Layer-major padded metadata. Padded slots read block/entry 0 harmlessly
@@ -187,12 +193,12 @@ def make_stream_decoder(
             num_scalar_prefetch=4,
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # c2v init (zeros)
-                pl.BlockSpec(memory_space=pltpu.ANY),  # post init (chan32)
+                pl.BlockSpec(memory_space=pl.ANY),  # c2v init (zeros)
+                pl.BlockSpec(memory_space=pl.ANY),  # post init (chan32)
             ],
             out_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # post
-                pl.BlockSpec(memory_space=pltpu.ANY),  # c2v
+                pl.BlockSpec(memory_space=pl.ANY),  # post
+                pl.BlockSpec(memory_space=pl.ANY),  # c2v
             ],
             scratch_shapes=[
                 pltpu.VMEM((D, Z, batch_tile), _C),

@@ -133,3 +133,19 @@ def demap(y: jnp.ndarray, sigma, modulation: str) -> jnp.ndarray:
 
 def llrs_bpsk_exact(y: jnp.ndarray, sigma: float) -> jnp.ndarray:
     return demap(y, sigma, "bpsk")
+
+
+def bsc(key: jax.Array, bits: jnp.ndarray, p) -> jnp.ndarray:
+    """Binary symmetric channel: flip each bit independently with probability
+    p. The SURVEY.md §5.3 stress-test fault injector (`bitflip_channel`) —
+    hard bit-flip faults rather than soft AWGN noise."""
+    flips = jax.random.bernoulli(key, p, bits.shape)
+    return jnp.bitwise_xor(bits.astype(jnp.uint8), flips.astype(jnp.uint8))
+
+
+def bsc_llr(bits: jnp.ndarray, p) -> jnp.ndarray:
+    """Channel LLRs for hard BSC observations: LLR = (1 - 2y) * log((1-p)/p)
+    (> 0 favors bit 0, matching the demap sign convention)."""
+    p = jnp.asarray(p, jnp.float32)
+    mag = jnp.log((1.0 - p) / p)
+    return (1 - 2 * bits.astype(jnp.float32)) * mag

@@ -155,11 +155,14 @@ def make_run_batch(
     # Rate matching (5G NR): punctured variables are never transmitted and
     # enter the decoder with LLR 0; shortened variables are known zeros and
     # enter saturated positive (SURVEY.md §7.1 stage 6).
-    n_tx = code.n - len(code.punct_vns) - len(code.shortened_vns)
     punctured = len(code.punct_vns) or len(code.shortened_vns)
     if punctured:
+        # n_tx counts the UNION of punctured and shortened positions (heavy
+        # NR shortening can overlap the 2Z punctured range; double-counting
+        # would bias the Eb/N0 -> sigma calibration).
         excluded = set(map(int, code.punct_vns)) | set(
             map(int, code.shortened_vns))
+        n_tx = code.n - len(excluded)
         tx_pos = jnp.asarray(
             [v for v in range(code.n) if v not in excluded], jnp.int32)
         short_pos = (jnp.asarray(code.shortened_vns)

@@ -165,6 +165,14 @@ class Sweep:
                         f"{state['meta']}, resume requires the same "
                         f"batch/superbatches/seed (got {meta}) for "
                         f"sample-exact continuation")
+                import json as _json
+                want = _json.loads(self.cfg.to_json())
+                if state.get("config") and state["config"] != want:
+                    raise ValueError(
+                        f"checkpoint {self.checkpoint_path} was written for a "
+                        f"different SimConfig; resuming would merge counters "
+                        f"from a different simulation. Stored: "
+                        f"{state['config']}")
                 saved = {p.ebn0_db: p for p in state["points"]}
                 points = [saved.get(p.ebn0_db, p) for p in points]
                 log.info("resumed checkpoint %s", self.checkpoint_path)
@@ -172,15 +180,40 @@ class Sweep:
         result = SweepResult(config=self.cfg, code_name=self.code.name,
                              k=self.code.k_eff, n=self.code.n,
                              points=points, decoder_backend=self.backend)
+        from collections import deque
+        frames_per_call = self.batch * self.superbatches
         for si, pt in enumerate(points):
             sigma = sigma_for(pt.ebn0_db, self.code.rate,
                               self.cfg.channel.modulation)
-            while pt.frame_errs < target_fe and pt.frames < max_fr:
-                t0 = time.time()
-                out = self.run_batch(self._key(si, pt.batches),
-                                     np.float32(sigma))
+
+            # Pipelined dispatch: keep up to `lookahead` device calls in
+            # flight (JAX dispatch is async; only the np.asarray consume
+            # blocks). On the tunneled platform a dispatch+fetch costs ~4
+            # RTTs, so back-to-back synchronous calls are latency-bound;
+            # overlap hides it. Batches are consumed strictly in key order,
+            # so counters and checkpoints stay sample-exact; over-issued
+            # batches past the stop condition are consumed too (their frames
+            # are valid samples, the key space stays contiguous).
+            inflight: deque = deque()
+            issued = pt.batches
+            frames_issued = pt.frames
+
+            def need_more() -> bool:
+                return pt.frame_errs < target_fe and pt.frames < max_fr
+
+            t_last = time.time()
+            while need_more() or inflight:
+                while (need_more() and len(inflight) < self.lookahead
+                       and frames_issued < max_fr):
+                    inflight.append(self.run_batch(self._key(si, issued),
+                                                   np.float32(sigma)))
+                    issued += 1
+                    frames_issued += frames_per_call
+                out = np.asarray(inflight.popleft())  # blocks on device
                 frames, bit_e, frame_e, it_s, conv = map(int, out)
-                pt.wall_s += time.time() - t0
+                now = time.time()
+                pt.wall_s += now - t_last
+                t_last = now
                 pt.frames += frames
                 pt.bit_errs += bit_e
                 pt.frame_errs += frame_e
@@ -192,6 +225,6 @@ class Sweep:
                               points, meta=meta)
             log.info("EbN0=%.2f dB: frames=%d BER=%.3e FER=%.3e avg_it=%.2f",
                      pt.ebn0_db, pt.frames,
-                     pt.bit_errs / max(pt.frames * self.code.k, 1),
+                     pt.bit_errs / max(pt.frames * self.code.k_eff, 1),
                      pt.fer, pt.avg_iters)
         return result

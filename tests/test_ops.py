@@ -198,3 +198,43 @@ class TestPerLaneSigma:
                                         float(sigmas[b]), mod))
             np.testing.assert_allclose(llr_vec[b], llr_b[0], rtol=1e-4,
                                        atol=1e-4)
+
+
+class TestBSC:
+    """Bit-flip fault injector (SURVEY.md §5.3 `bitflip_channel`)."""
+
+    def test_flip_rate(self):
+        import jax
+        bits = jnp.zeros((2000, 100), jnp.uint8)
+        p = 0.1
+        out = np.asarray(ch.bsc(jax.random.PRNGKey(1), bits, p))
+        assert out.dtype == np.uint8
+        rate = out.mean()
+        assert abs(rate - p) < 0.005  # 200k trials, ~30 sigma margin
+
+    def test_llr_sign_convention(self):
+        llr = np.asarray(ch.bsc_llr(jnp.asarray([0, 1], jnp.uint8), 0.05))
+        assert llr[0] > 0 and llr[1] < 0  # LLR > 0 means bit 0
+        mag = np.log(0.95 / 0.05)
+        np.testing.assert_allclose(np.abs(llr), mag, rtol=1e-5)
+
+    def test_decoder_corrects_bsc_faults(self, rng):
+        """Stress test: min-sum over BSC LLRs corrects most flips at p=2%
+        on the n=648 r=1/2 code (far below the BSC capacity limit)."""
+        import jax
+        from ldpc_tpu.config import QuantConfig
+        code = wifi.make_code(648, "1/2")
+        quant = QuantConfig(bits=8, scale=4.0, beta_lsb=0)
+        dec = make_flooding_decoder(code, max_iter=20, beta=0,
+                                    qmax=quant.qmax, early_term=True)
+        B, p = 64, 0.02
+        info = rng.integers(0, 2, size=(B, code.k)).astype(np.uint8)
+        cw = jnp.asarray(g_encode(code, info))
+        rx = ch.bsc(jax.random.PRNGKey(7), cw, p)
+        flips_in = int(np.sum(np.asarray(rx) != np.asarray(cw)))
+        q = quantize(ch.bsc_llr(rx, p), quant)
+        hard, iters, conv = dec(q)
+        errs_out = int(np.sum(np.asarray(hard) != np.asarray(cw)))
+        assert flips_in > 500  # the channel did inject faults
+        assert errs_out < flips_in / 10  # decoder corrected the bulk
+        assert np.asarray(conv).mean() > 0.9

@@ -180,3 +180,40 @@ def test_checkpoint_meta_mismatch_rejected(tmp_path):
     with pytest.raises(ValueError, match="sample-exact"):
         Sweep(cfg, decoder_backend="jnp", checkpoint_path=path,
               batch=64).run([2.0], max_frames=64)
+
+
+def test_checkpoint_config_mismatch_rejected(tmp_path):
+    """Resuming a checkpoint written for a DIFFERENT SimConfig (code/decoder/
+    channel/quant) must fail loudly — merging counters across simulations
+    would silently corrupt BER/FER statistics."""
+    import dataclasses
+    cfg = _toy_cfg(batch=32)
+    path = str(tmp_path / "s.json")
+    Sweep(cfg, decoder_backend="jnp", checkpoint_path=path).run(
+        [2.0], max_frames=32)
+    cfg2 = dataclasses.replace(
+        cfg, decoder=dataclasses.replace(cfg.decoder, max_iter=7))
+    with pytest.raises(ValueError, match="different SimConfig"):
+        Sweep(cfg2, decoder_backend="jnp", checkpoint_path=path).run(
+            [2.0], max_frames=64)
+
+
+def test_run_lookahead_pipelining_exact(tmp_path):
+    """Pipelined dispatch (lookahead > 1) must produce identical counters to
+    the synchronous path — batches are consumed in key order either way."""
+    cfg = _toy_cfg(batch=32)
+    r1 = Sweep(cfg, decoder_backend="jnp", lookahead=1).run(
+        [2.0], max_frames=128, target_frame_errors=3)
+    r4 = Sweep(cfg, decoder_backend="jnp", lookahead=4).run(
+        [2.0], max_frames=128, target_frame_errors=3)
+    p1, p4 = r1.points[0], r4.points[0]
+    # lookahead may legitimately consume MORE batches (over-issue); the
+    # prefix it shares with the sync run is identical, so counters per
+    # frame agree on the common prefix: compare the sync-run-length prefix
+    # by re-running lookahead with the sync run's exact frame budget.
+    r4b = Sweep(cfg, decoder_backend="jnp", lookahead=4).run(
+        [2.0], max_frames=p1.frames, target_frame_errors=10**9)
+    p4b = r4b.points[0]
+    assert (p4b.frames, p4b.bit_errs, p4b.frame_errs) == (
+        p1.frames, p1.bit_errs, p1.frame_errs)
+    assert p4.frames >= p1.frames
