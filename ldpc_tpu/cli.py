@@ -86,6 +86,20 @@ def cmd_sweep(args) -> int:
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    if args.num_processes and args.num_processes > 1:
+        # Multi-host launch path (SURVEY.md §3.5): one process per host,
+        # bootstrapped over the TCP coordinator BEFORE any other jax use;
+        # the mesh then spans every process's devices and XLA psums the
+        # counters over ICI/DCN. Example (2 hosts):
+        #   host0: ... sweep --coordinator h0:1234 --num-processes 2 --process-id 0 --mesh 2x4
+        #   host1: ... sweep --coordinator h0:1234 --num-processes 2 --process-id 1 --mesh 2x4
+        if args.coordinator is None or args.process_id is None:
+            raise SystemExit("--num-processes requires --coordinator and "
+                             "--process-id")
+        from .parallel import init_distributed
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
+    import jax
     from .sim import Sweep
     from .sim.report import plot_waterfall, to_csv, write_outputs
 
@@ -96,10 +110,16 @@ def cmd_sweep(args) -> int:
         shape = tuple(int(x) for x in args.mesh.split("x"))
         axes = ("dcn", "ici")[-len(shape):] if len(shape) > 1 else ("batch",)
         mesh = make_mesh(shape=shape, axes=axes)
+    elif args.num_processes and args.num_processes > 1:
+        from .parallel import make_mesh
+        mesh = make_mesh()  # all global devices on one flat axis
     sweep = Sweep(cfg, mesh=mesh, decoder_backend=args.decoder_backend,
-                  checkpoint_path=args.checkpoint)
+                  checkpoint_path=args.checkpoint,
+                  lookahead=args.lookahead, superbatches=args.superbatches)
     ebn0 = _parse_ebn0(args.ebn0)
     res = sweep.run_fused(ebn0) if args.fused else sweep.run(ebn0)
+    if jax.process_index() != 0:
+        return 0  # host 0 owns reporting; counters are psum-replicated
     if args.out:
         paths = write_outputs(res, args.out)
         if args.plot:
@@ -193,6 +213,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="advance all SNR points in one fused device program")
     sw.add_argument("--checkpoint", default=None,
                     help="JSON state path for resume")
+    sw.add_argument("--lookahead", type=int, default=4,
+                    help="device calls kept in flight (latency hiding)")
+    sw.add_argument("--superbatches", type=int, default=1,
+                    help="sub-batches accumulated inside one device call")
+    sw.add_argument("--coordinator", default=None,
+                    help="multi-host: coordinator address host:port")
+    sw.add_argument("--num-processes", dest="num_processes", type=int,
+                    default=None, help="multi-host: total process count")
+    sw.add_argument("--process-id", dest="process_id", type=int, default=None,
+                    help="multi-host: this process's index")
     sw.add_argument("--out", default=None, help="output prefix (json+csv)")
     sw.add_argument("--plot", action="store_true", help="also write PNG")
     sw.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],

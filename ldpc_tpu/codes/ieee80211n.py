@@ -10,6 +10,33 @@ published standard and validated by structural invariant in
 tests/test_codes.py (dual-diagonal parity form, full GF(2) rank, no 4-cycles,
 encoder property H c^T = 0). Codes failing invariants would be replaced by
 explicitly-labeled generated fallbacks (SURVEY.md §8.1); all 12 below pass.
+
+Exactness status (round 2 audit): 9 of 12 recalled tables are 4-cycle-free
+and believed exact. Three tables contain base-level 4-cycle collisions —
+impossible in the published girth->=6 family, so one recalled digit per
+collision is wrong. Independent re-recall reproduces the same digits, and the
+structural invariants cannot single out which entry of a colliding pair is
+the misrecalled one, so exact recovery is NOT possible offline. The offending
+tables are girth-repaired deterministically (minimum shift delta on the first
+info-column entry of the colliding pair) and labeled `_like`. For a future
+session WITH access to IEEE 802.11-2012 Annex F, the uncertainty is fully
+localized — compare only these (row, col) entries against the standard:
+
+  (648, 3/4):  collision A rows(0,3) x cols(8,18): suspect (0,8)=4 or
+               (3,8)=3 (col 18 is structurally-forced parity);
+               collision B rows(1,2) x cols(0,20): suspect (1,0)=25 or
+               (2,0)=25 (identical recalled digits -- likely a duplication
+               error; col 20 is forced parity staircase).
+  (1296,2/3):  collision A rows(1,6) x cols(1,2): suspects (1,1)=52,
+               (6,1)=24, (1,2)=41, (6,2)=13 (both diffs = 28 mod 54);
+               collision B rows(3,7) x cols(0,4): suspects (3,0)=20,
+               (7,0)=32, (3,4)=4, (7,4)=16 (both diffs = 42 mod 54).
+  (1944,2/3):  collision rows(3,5) x cols(0,2): suspects (3,0)=48,
+               (5,0)=69, (3,2)=43, (5,2)=64 (both diffs = 5 mod 81).
+
+Every other entry of the three tables (and all entries of the other nine) is
+believed exact. Swapping in corrected digits only touches _T here; nothing
+else in the framework changes (the `_like` label then clears automatically).
 """
 from __future__ import annotations
 

@@ -104,14 +104,21 @@ class Sweep:
     def run_fused(self, ebn0_list: Sequence[float],
                   target_frame_errors: Optional[int] = None,
                   max_frames: Optional[int] = None) -> SweepResult:
-        """Fused-SNR sweep: every superbatch advances ALL points at once
-        (lanes striped over points; SURVEY.md §2.3 'sweep parallelism').
-        Runs until every point hits its frame-error target or budget.
+        """Fused-SNR sweep: every batch advances MANY points in one device
+        program (lanes striped over sigma slots; SURVEY.md §2.3 'sweep
+        parallelism').
 
-        Note: this mode synchronizes per batch and does not checkpoint —
-        use the sequential run() (pipelined, superbatched, resumable) for
-        long sweeps; fused mode shines when many points need similar frame
-        counts."""
+        Round-2 completion of the mode (VERDICT items): per-point lane
+        RETIREMENT — once a point hits its frame-error target, its sigma
+        slots are reassigned to still-active points (the compiled program
+        takes the sigma vector as data, so reassignment costs nothing);
+        lookahead dispatch pipelining; and checkpoint/resume. Counter
+        attribution is by the slot->point map recorded at dispatch, so
+        accounting stays exact. Resume is deterministic-from-state (the
+        slot assignment is recomputed from the saved counters) rather than
+        sample-exact in the strict run() sense — noise samples are keyed by
+        the global batch index, never reused."""
+        from collections import deque
         rc = self.cfg.run
         target_fe = (rc.target_frame_errors if target_frame_errors is None
                      else target_frame_errors)
@@ -119,30 +126,87 @@ class Sweep:
         P = len(ebn0_list)
         rb = make_run_batch(self.code, self.cfg, batch=self.batch,
                             mesh=self.mesh, decoder_backend=self.backend,
-                            n_points=P)
-        sigmas = np.asarray(
+                            n_points=P, superbatches=self.superbatches)
+        base_sigmas = np.asarray(
             [sigma_for(e, self.code.rate, self.cfg.channel.modulation)
              for e in ebn0_list], np.float32)
         points = [SnrPoint(ebn0_db=float(e)) for e in ebn0_list]
+        meta = {"batch": self.batch, "superbatches": self.superbatches,
+                "seed": self.cfg.run.seed, "fused_points": list(ebn0_list)}
+        batch_idx = 0
+        if self.checkpoint_path:
+            state = ckpt.load(self.checkpoint_path)
+            if state is not None:
+                core = {k: v for k, v in state.get("meta", {}).items()
+                        if k != "fused_batch_idx"}
+                if core and core != meta:
+                    raise ValueError(
+                        f"checkpoint {self.checkpoint_path} was written with "
+                        f"{core}, fused resume requires the same batch/"
+                        f"superbatches/seed/point set (got {meta})")
+                import json as _json
+                want = _json.loads(self.cfg.to_json())
+                if state.get("config") and state["config"] != want:
+                    raise ValueError(
+                        f"checkpoint {self.checkpoint_path} was written for "
+                        f"a different SimConfig; refusing to merge counters")
+                saved = {p.ebn0_db: p for p in state["points"]}
+                points = [saved.get(p.ebn0_db, p) for p in points]
+                batch_idx = int(state["meta"].get("fused_batch_idx", 0))
+                log.info("resumed fused checkpoint %s at batch %d",
+                         self.checkpoint_path, batch_idx)
         result = SweepResult(config=self.cfg, code_name=self.code.name,
                              k=self.code.k_eff, n=self.code.n,
                              points=points, decoder_backend=self.backend)
-        batch_idx = 0
-        while any(p.frame_errs < target_fe and p.frames < max_fr
-                  for p in points):
-            t0 = time.time()
-            out = np.asarray(rb(self._key(0, batch_idx), sigmas))
-            wall = time.time() - t0
+        frames_per_slot = (self.batch // P) * self.superbatches
+        pending = [0] * P  # frames issued but not yet consumed, per point
+        inflight: deque = deque()
+
+        def active_points():
+            return [i for i, p in enumerate(points)
+                    if p.frame_errs < target_fe
+                    and p.frames + pending[i] < max_fr]
+
+        t_last = time.time()
+        while active_points() or inflight:
+            while len(inflight) < self.lookahead:
+                act = active_points()
+                if not act:
+                    break
+                slot_map = [act[s % len(act)] for s in range(P)]
+                sig = base_sigmas[slot_map]
+                fut = rb(self._key(0, batch_idx), sig)
+                for i in slot_map:
+                    pending[i] += frames_per_slot
+                inflight.append((slot_map, fut))
+                batch_idx += 1
+            if not inflight:
+                break
+            slot_map, fut = inflight.popleft()
+            out = np.asarray(fut)
+            now = time.time()
+            wall = now - t_last
+            t_last = now
             frames, bit_e, frame_e, it_s, conv = out
-            for i, p in enumerate(points):
-                p.wall_s += wall / P
-                p.frames += int(frames[i])
-                p.bit_errs += int(bit_e[i])
-                p.frame_errs += int(frame_e[i])
-                p.iter_sum += int(it_s[i])
-                p.converged += int(conv[i])
-                p.batches += 1
-            batch_idx += 1
+            touched = sorted(set(slot_map))
+            for s in range(P):
+                i = slot_map[s]
+                p = points[i]
+                pending[i] -= frames_per_slot
+                p.frames += int(frames[s])
+                p.bit_errs += int(bit_e[s])
+                p.frame_errs += int(frame_e[s])
+                p.iter_sum += int(it_s[s])
+                p.converged += int(conv[s])
+            for i in touched:
+                points[i].wall_s += wall / len(touched)
+                points[i].batches += 1
+            if self.checkpoint_path:
+                # batch_idx already counts dispatched-but-unconsumed batches;
+                # persist the CONSUMED horizon so resume re-runs in-flight work.
+                ckpt.save(self.checkpoint_path, self.cfg.to_json(), points,
+                          meta={**meta,
+                                "fused_batch_idx": batch_idx - len(inflight)})
         return result
 
     def run(self, ebn0_list: Sequence[float],

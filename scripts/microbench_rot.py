@@ -64,7 +64,7 @@ def rot_flat(x, s):
 
 # ---- gather+accumulate sweeps (rotation cost isolation) ----
 
-def make_sweep(shape3, use_rot):
+def make_sweep(shape3, use_rot, iters=500):
     """dst[j] = sum over entries rot(src[j], s); ping-pong buffers."""
     def kernel(chan_ref, out_ref, a_ref, b_ref):
         for j in range(NB):
@@ -82,7 +82,7 @@ def make_sweep(shape3, use_rot):
             sweep(b_ref, a_ref)
             return 0
 
-        jax.lax.fori_loop(0, ITERS // 2, body, 0)
+        jax.lax.fori_loop(0, iters // 2, body, 0)
         for j in range(NB):
             out_ref[j] = a_ref[j].astype(jnp.int8)
 
@@ -101,8 +101,9 @@ def make_sweep(shape3, use_rot):
 
 # ---- full flooding min-sum sweep (both layouts) ----
 
-def make_minsum(shape3, qmax=127):
+def make_minsum(shape3, qmax=127, c2v_dtype=None, vmem_mb=None, iters=500):
     ND = len(ENTS)
+    c2v_dtype = c2v_dtype or jnp.int32
     def kernel(chan_ref, out_ref, a_ref, b_ref, c2v_ref):
         for j in range(NB):
             a_ref[j] = chan_ref[j].astype(jnp.int32)
@@ -140,7 +141,7 @@ def make_minsum(shape3, qmax=127):
                     mag = jnp.where(m == min1, min2, min1)
                     t2 = negacc ^ v             # bit31 = parity excl. self
                     new = jnp.where(t2 < 0, -mag, mag)
-                    c2v_ref[e] = new
+                    c2v_ref[e] = new.astype(c2v_ref.dtype)
                     sb = Z - s
                     r = rot_flat(new, sb % Z)
                     dst[j] = dst[j] + r
@@ -150,12 +151,16 @@ def make_minsum(shape3, qmax=127):
             sweep(b_ref, a_ref)
             return 0
 
-        jax.lax.fori_loop(0, ITERS // 2, body, 0)
+        jax.lax.fori_loop(0, iters // 2, body, 0)
         for j in range(NB):
             out_ref[j] = a_ref[j].astype(jnp.int8)
 
     full = (NB,) + shape3
     c2v_full = (ND,) + shape3
+    params = {}
+    if vmem_mb:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 2**20)
     def run(chan):
         return pl.pallas_call(
             kernel,
@@ -164,7 +169,8 @@ def make_minsum(shape3, qmax=127):
             out_shape=jax.ShapeDtypeStruct(full, jnp.int8),
             scratch_shapes=[pltpu.VMEM(full, jnp.int32),
                             pltpu.VMEM(full, jnp.int32),
-                            pltpu.VMEM(c2v_full, jnp.int32)],
+                            pltpu.VMEM(c2v_full, c2v_dtype)],
+            **params,
         )(chan)
     return jax.jit(run), full
 
@@ -215,27 +221,56 @@ def int16_test():
               file=sys.stderr)
 
 
+def fetch_timed(fn, chan, reps=4, trials=4):
+    """Seconds per call, synced by HOST FETCH (block_until_ready does not
+    reliably block on the tunneled axon platform — bench.py methodology)."""
+    import time
+    np.asarray(fn(chan))  # compile + warm
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.time()
+        for _ in range(reps):
+            out = fn(chan)
+        np.asarray(out)  # forces the whole queued burst to completion
+        best = min(best, (time.time() - t0) / reps)
+    return best
+
+
 def main():
     variant = sys.argv[1]
     if variant == "int16":
         int16_test()
         return
-    layout, kind = variant.split("_")
+    layout, kind = variant.split("_", 1)
     if layout == "flat":
-        shape3, bt = (512,), 512
+        shape3, bt = (Z, 512), 512
     else:
-        shape3, bt = (8, 128), 1024
-    if kind in ("rot", "base"):
-        fn, full = make_sweep(shape3, use_rot=(kind == "rot"))
-    else:
-        fn, full = make_minsum(shape3)
+        shape3, bt = (Z, 8, 128), 1024
+    I1, I2 = 200, 800
+
+    def build(iters):
+        if kind in ("rot", "base"):
+            return make_sweep(shape3, use_rot=(kind == "rot"), iters=iters)
+        if kind == "minsum":
+            return make_minsum(shape3, iters=iters)
+        if kind == "minsum16":
+            return make_minsum(shape3, c2v_dtype=jnp.int16, iters=iters)
+        if kind == "minsum32v":
+            return make_minsum(shape3, c2v_dtype=jnp.int32, vmem_mb=32,
+                               iters=iters)
+        raise ValueError(kind)
+
     rng = np.random.default_rng(0)
+    f1, full = build(I1)
+    f2, _ = build(I2)
     chan = jnp.asarray(rng.integers(-100, 100, size=full).astype(np.int8))
-    sec = timed(fn, chan, reps=5, trials=4)
-    us_per_sweep = sec / ITERS * 1e6
+    t1 = fetch_timed(f1, chan)
+    t2 = fetch_timed(f2, chan)
+    us_per_sweep = (t2 - t1) / (I2 - I1) * 1e6
     kelem = NB * Z * bt / 1000.0
     print(json.dumps({
         "variant": variant, "batch_tile": bt,
+        "t_small_ms": round(t1 * 1e3, 3), "t_big_ms": round(t2 * 1e3, 3),
         "us_per_sweep": round(us_per_sweep, 3),
         "ns_per_kelem": round(us_per_sweep * 1000 / kelem, 3),
     }))

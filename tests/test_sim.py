@@ -217,3 +217,41 @@ def test_run_lookahead_pipelining_exact(tmp_path):
     assert (p4b.frames, p4b.bit_errs, p4b.frame_errs) == (
         p1.frames, p1.bit_errs, p1.frame_errs)
     assert p4.frames >= p1.frames
+
+
+def test_fused_retirement_and_checkpoint(tmp_path):
+    """Round-2 fused mode: (a) lanes of finished points are reassigned to
+    active ones (a much-harder point keeps advancing with MORE than its
+    striped share once easy points retire); (b) checkpoint + resume
+    continues to completion with consistent totals."""
+    cfg = _toy_cfg(batch=64)
+    s = Sweep(cfg, decoder_backend="jnp", lookahead=2)
+    # Point at 6 dB converges almost always (few frame errors); point at
+    # -2 dB almost never. Easy point retires early; hard one inherits lanes.
+    fused = s.run_fused([6.0, -2.0], target_frame_errors=8, max_frames=2000)
+    clean, noisy = fused.points
+    # the noisy point errors on ~every frame -> hits its target in the first
+    # batch and RETIRES; the clean point almost never errors -> runs to its
+    # frame budget, inheriting the retired point's lanes along the way
+    assert noisy.frame_errs >= 8
+    assert clean.frames >= 2000
+    assert clean.frames > noisy.frames
+
+    # checkpoint path: interrupt by frame budget, then resume to completion
+    path = str(tmp_path / "fused.json")
+    s1 = Sweep(cfg, decoder_backend="jnp", checkpoint_path=path, lookahead=1)
+    r1 = s1.run_fused([6.0, -2.0], target_frame_errors=50, max_frames=128)
+    assert os.path.exists(path)
+    mid_frames = [p.frames for p in r1.points]
+    s2 = Sweep(cfg, decoder_backend="jnp", checkpoint_path=path, lookahead=1)
+    r2 = s2.run_fused([6.0, -2.0], target_frame_errors=50, max_frames=512)
+    for pm, p2 in zip(mid_frames, r2.points):
+        assert p2.frames >= pm  # resumed, not restarted
+    # resumed totals are sane: bit errors never exceed total bits
+    for p in r2.points:
+        assert 0 <= p.bit_errs <= p.frames * build_code(cfg).k
+
+    # wrong point set must be rejected
+    with pytest.raises(ValueError, match="fused resume"):
+        Sweep(cfg, decoder_backend="jnp", checkpoint_path=path).run_fused(
+            [6.0, -1.0], target_frame_errors=50, max_frames=256)
