@@ -38,7 +38,7 @@ def main() -> None:
     code = build_code(cfg)
     batch = 16384
     run_batch = make_run_batch(code, cfg, batch=batch,
-                               decoder_backend="auto", batch_tile=512)
+                               decoder_backend="auto", batch_tile=1024)
     sigma = np.float32(sigma_for(cfg.channel.ebn0_db, code.rate,
                                  cfg.channel.modulation))
     key = jax.random.PRNGKey(0)

@@ -6,16 +6,26 @@ message-passing loop ... fixed-point saturation arithmetic'). The reference
 walks checks one at a time on a CPU; here one kernel instance decodes a full
 batch tile, with
 
-  * batch on the VPU lane axis (128 lanes — batch >= 128 always holds for the
-    Monte-Carlo workload, SURVEY.md §7.3 item 1),
-  * the QC lifting dimension Z on the sublane axis, so one base-matrix entry
-    is one (Z, B_tile) vector op and the Z checks of a layer run in lockstep,
-  * circulant shifts realized as static sublane rotations (compile-time
-    constants from the base matrix — no gathers in the inner loop),
-  * all decoder state (int32 posteriors, int8 c2v messages) VMEM-resident;
-    only channel LLRs in and hard bits out touch HBM,
-  * the base-graph entry loops fully unrolled at trace time (<= ~90 entries
-    for 802.11n), so Mosaic sees straight-line vector code per iteration.
+  * batch split (sublane, lane) = (Bs, 128): every per-(base-column, Z-row)
+    slot is a whole number of (8, 128) vregs when Bs % 8 == 0, so ALL
+    elementwise work runs at 100% lane utilization,
+  * the QC lifting dimension Z on the LEADING axis of each (Z, Bs, 128)
+    block: a circulant rotation is a concatenation of two VREG-ALIGNED
+    slices — pure addressing, no cross-sublane shuffles. (Round 1 put batch
+    on lanes and Z on sublanes; with Z=27 every rotation then crossed vreg
+    rows and Mosaic emitted shuffle chains — measured 1.9x slower per
+    element, scripts/microbench_rot.py.)
+  * circulant shifts are compile-time constants from the base matrix — no
+    gathers in the inner loop,
+  * all decoder state (int32 posteriors, c2v messages in a configurable
+    storage dtype) is VMEM-resident; only channel LLRs in and hard bits out
+    touch HBM,
+  * the base-graph entry loops are fully unrolled at trace time (<= ~90
+    entries for 802.11n), so Mosaic sees straight-line vector code,
+  * sign bookkeeping rides in bit 31: the CN sign product is a running XOR
+    of the raw int32 messages (bit31(a ^ b) = sign(a) XOR sign(b)), and the
+    self-excluded sign is one more XOR — cheaper than materializing 0/1
+    sign masks (which also cost i1-relayout workarounds on this toolchain).
 
 Bit-exactness contract: both schedules must match ldpc_tpu.golden.decoder
 .decode_fixed exactly on identical int8 inputs (SURVEY.md §3.4/§4.2) —
@@ -28,12 +38,17 @@ tolerance. Semantics pinned by the golden model:
     column at most once, asserted by codes/layout.py),
   * CN: c2v = signprod * sign(v2c) * max(minmag_excl - beta, 0); ties in the
     magnitude argmin resolve to the first entry (stable), matching golden,
-  * sign(0) = +1; posteriors accumulate exactly in int32 (|post| <=
-    qmax*(dv+1) — the golden model's exact-accumulation contract),
+  * sign(0) = +1 (bit 31 of 0 is clear, so the XOR form agrees exactly);
+    posteriors accumulate exactly in int32 (|post| <= qmax*(dv+1) — the
+    golden model's exact-accumulation contract),
   * hard bit = 1 iff posterior < 0; early termination LATCHES a lane's
     outputs (hard bits, iteration count) at its first syndrome success while
     the datapath runs unmasked — bit-identical to the golden per-codeword
     stop because lanes are independent.
+
+Compute dtype is int32 throughout: this Mosaic toolchain fails to legalize
+packed int16 vector compute (arith.maxsi on vector<...xi16> — re-verified
+round 2, scripts/microbench_rot.py int16), so int8/int16 are storage-only.
 """
 from __future__ import annotations
 
@@ -50,17 +65,16 @@ from ..codes.layout import compile_qc_layout
 from ..config import DecoderConfig, QuantConfig
 
 _I32 = jnp.int32
-# Compute dtype is int32: this Mosaic toolchain miscompiles packed-int16
-# vector compute (maxsi/abs/select on vector<...xi16> fail to legalize), so
-# messages are stored int8 in VMEM and widened to int32 for arithmetic.
-_C = jnp.int32
+_C = jnp.int32  # compute dtype (see module docstring)
+
+LANES = 128
 
 
 def _rot_fwd(x: jnp.ndarray, s: int) -> jnp.ndarray:
-    """y[r] = x[(r + s) % Z] along axis 0 (static s): gather the circulant.
+    """y[r] = x[(r + s) % Z] along axis 0 (static s).
 
-    Static-slice concatenate beats pltpu.roll by ~1.4x on this toolchain
-    (measured n=648 flooding: 7.4 ms vs 10.5 ms per 16k batch)."""
+    Axis 0 indexes whole (Bs, 128) vreg blocks, so both slices and the
+    concatenate are vreg-granular — no sublane shuffles."""
     if s == 0:
         return x
     return jnp.concatenate([x[s:], x[:s]], axis=0)
@@ -91,25 +105,27 @@ def _qc_entries(code: LDPCCode):
 def _cn_minsum(v2cs, beta: int):
     """Unrolled min-sum CN update over one layer's entries.
 
-    v2cs: list of (Z, B) int32 messages (already clipped to +-qmax).
-    Returns list of (Z, B) int32 c2v messages.
+    v2cs: list of (Z, Bs, 128) int32 messages (already clipped to +-qmax).
+    Returns list of (Z, Bs, 128) int32 c2v messages.
 
     Exclusion by value, not argmin: excl_t = (|v_t| == min1 ? min2 : min1).
     Ties give min2 == min1, so every tied entry gets min1 — identical to the
     golden model's stable-argmin semantics, two vector ops cheaper per entry.
     min1/min2 via the merge min2' = min(min2, max(min1, m)); min1' = min(min1,
-    m), which needs no select chains. All operands share the int32 compute
-    dtype (Mosaic cannot relayout i1 masks between native tilings).
+    m), which needs no select chains. Sign parity is a running XOR of the RAW
+    messages: bit 31 of the accumulator is the product sign, and one more XOR
+    with v_t removes v_t's own sign — golden's sign(0) = +1 holds because
+    bit 31 of zero is clear.
     """
     mags = [jnp.abs(v) for v in v2cs]
     min1 = mags[0]
     min2 = jnp.full_like(min1, jnp.array(1 << 14, _C))
-    negpar = v2cs[0] < 0
+    negacc = v2cs[0]
     for t in range(1, len(v2cs)):
         m = mags[t]
         min2 = jnp.minimum(min2, jnp.maximum(min1, m))
         min1 = jnp.minimum(min1, m)
-        negpar = jnp.logical_xor(negpar, v2cs[t] < 0)
+        negacc = negacc ^ v2cs[t]
     # The offset applies to the post-exclusion magnitude, so the raw min1 must
     # survive for the |v| == min1 comparison; offset min1/min2 once per layer.
     if beta:
@@ -122,8 +138,8 @@ def _cn_minsum(v2cs, beta: int):
     out = []
     for v, m in zip(v2cs, mags):
         mag = jnp.where(m == min1, min2_o, min1_o)
-        neg = jnp.logical_xor(negpar, v < 0)
-        out.append(jnp.where(neg, -mag, mag))
+        excl = negacc ^ v  # bit31 = sign product excluding v itself
+        out.append(jnp.where(excl < 0, -mag, mag))
     return out
 
 
@@ -161,11 +177,12 @@ def make_pallas_decoder(
     """Build decode(chan_i8[B, n]) -> (hard[B, n] u8, iters[B] i32, conv[B] bool).
 
     B must be a multiple of batch_tile (the sweep driver pads). State per
-    tile: posteriors (nb, Z, Bt) int32 and messages (n_entries, Z, Bt) in
-    c2v_dtype, all in VMEM scratch; the grid iterates over batch tiles.
-    c2v_dtype=int32 avoids two per-entry conversions and wins ~5% when the
-    arrays fit VMEM; pass int8 to quarter the message footprint for larger
-    codes.
+    tile: posteriors (nb, Z, Bs, 128) int32 and messages (n_entries, Z, Bs,
+    128) in c2v_dtype, all VMEM scratch; the grid iterates over batch tiles.
+    batch_tile % 1024 == 0 selects the vreg-exact layout — the fast path;
+    other tile sizes use the flat (Z, batch_tile) layout.
+    c2v_dtype=int32 avoids two per-entry conversions when VMEM allows; int16/
+    int8 halve/quarter the message footprint for bigger codes.
     """
     if code.base is None or code.Z is None:
         raise ValueError(f"{code.name}: Pallas decoder requires QC structure")
@@ -174,6 +191,14 @@ def make_pallas_decoder(
     qc, layers = _qc_entries(code)
     Z, nb = qc.Z, qc.nb
     n = code.n
+    # Layout selection: the (Z, Bs, 128) vreg layout needs Bs % 8 == 0 to be
+    # vreg-exact; smaller tiles (VMEM-constrained codes, tiny test tiles)
+    # would waste 8/Bs of every vreg there, so they keep the flat (Z, Bt)
+    # layout (batch on lanes, Z on sublanes — rotations pay sublane shuffles
+    # but lanes stay full).
+    vreg_layout = batch_tile % (8 * LANES) == 0
+    Bs = batch_tile // LANES if vreg_layout else 0
+    bshape = (Bs, LANES) if vreg_layout else (batch_tile,)
     assert n == nb * Z
     # Flat entry index for c2v storage: entries ordered (layer, position).
     entry_of, off = [], 0
@@ -183,10 +208,10 @@ def make_pallas_decoder(
     n_entries = off
 
     flooding = schedule == "flooding"
+    mshape = (1,) + bshape  # per-lane masks/counters
 
     def kernel(chan_ref, hard_ref, iters_ref, conv_ref, post_ref, c2v_ref,
                *maybe_tot):
-        Bt = chan_ref.shape[2]
         tot_ref = maybe_tot[0] if maybe_tot else None
 
         # Convergence masks are int32 0/1 (not bool): Mosaic rejects broadcast
@@ -200,14 +225,15 @@ def make_pallas_decoder(
         c2v_ref[...] = jnp.zeros(c2v_ref.shape, c2v_ref.dtype)
 
         def syndrome_ok(read):
-            """(1, Bt) int32 — 1 where every check is satisfied."""
+            """(1, Bs, 128) int32 — 1 where every check is satisfied."""
             unsat = None
             for ents in layers:
                 acc = None
                 for (j, s) in ents:
-                    h = (_rot_fwd(read(j), s) < 0).astype(_C)
+                    h = _rot_fwd(read(j), s)
                     acc = h if acc is None else acc ^ h
-                u = jnp.sum(acc.astype(_I32), axis=0, keepdims=True)
+                # bit 31 of acc = XOR of the signs = this check's parity
+                u = jnp.sum((acc < 0).astype(_I32), axis=0, keepdims=True)
                 unsat = u if unsat is None else unsat + u
             return (unsat == 0).astype(_C)
 
@@ -215,9 +241,10 @@ def make_pallas_decoder(
             """One full CN sweep. read(j): totals the update consumes.
             emit(j, s, e, old, new): handle the result.
 
-            with_synd: also return the (1, Bt) syndrome-ok mask of the STATE
-            BEING READ, computed from the rolled posteriors the sweep gathers
-            anyway — ~3 ops/entry cheaper than a dedicated syndrome pass."""
+            with_synd: also return the (1, Bs, 128) syndrome-ok mask of the
+            STATE BEING READ, computed from the rolled posteriors the sweep
+            gathers anyway — the sign-parity XOR rides bit 31 of the raw
+            values, so it costs ONE xor per entry."""
             unsat = None
             for li, ents in enumerate(layers):
                 v2cs, olds, acc = [], [], None
@@ -226,12 +253,11 @@ def make_pallas_decoder(
                     old = c2v_ref[e].astype(_C)
                     rolled = _rot_fwd(read(j), s)
                     if with_synd:
-                        h = (rolled < 0).astype(_C)
-                        acc = h if acc is None else acc ^ h
+                        acc = rolled if acc is None else acc ^ rolled
                     v2cs.append(jnp.clip(rolled - old, -qmax, qmax))
                     olds.append(old)
                 if with_synd:
-                    u = jnp.sum(acc, axis=0, keepdims=True)
+                    u = jnp.sum((acc < 0).astype(_I32), axis=0, keepdims=True)
                     unsat = u if unsat is None else unsat + u
                 news = _cn_minsum(v2cs, beta)
                 for (j, s), e, old, new in zip(ents, entry_of[li], olds, news):
@@ -247,7 +273,7 @@ def make_pallas_decoder(
             (identical to the golden model's per-codeword stop, since lanes
             are independent). Lanes not yet converged get the current bits
             (overwritten next iteration)."""
-            keep = done_prev  # (1, Bt) int32 0/1
+            keep = done_prev  # (1, Bs, 128) int32 0/1
             inv = jnp.array(1, _C) - keep
             for j in range(nb):
                 cur = (read(j) < 0).astype(_C)
@@ -263,13 +289,13 @@ def make_pallas_decoder(
 
                 (A first-touch initialization — first writer of a column
                 stores chan + delta, skipping this init pass — was tried and
-                reverted: it blew Mosaic compile time from ~3 min to >25 min
-                for a ~10% runtime saving.)"""
+                reverted in round 1: it blew Mosaic compile time from ~3 min
+                to >25 min for a ~10% runtime saving.)"""
                 for j in range(nb):
                     dst[j] = chan32(j)
 
                 def emit(j, s, e, old, new):
-                    c2v_ref[e] = new.astype(c2v_dtype)
+                    c2v_ref[e] = new.astype(c2v_ref.dtype)
                     dst[j] = dst[j] + _rot_bwd(new, s)
 
                 return cn_sweep(lambda j: src[j], emit, with_synd)
@@ -304,7 +330,7 @@ def make_pallas_decoder(
                     done, iters = one(tot_ref, post_ref, done, iters)
                     return done, iters
 
-                synd_state[0] = jnp.zeros((1, Bt), _C)
+                synd_state[0] = jnp.zeros(mshape, _C)
                 done, iters = jax.lax.fori_loop(
                     0, max_iter // 2, iter_pair, (done0, iters0))
                 if max_iter % 2:
@@ -331,7 +357,7 @@ def make_pallas_decoder(
         else:
             def layered_iter():
                 def emit(j, s, e, old, new):
-                    c2v_ref[e] = new.astype(c2v_dtype)
+                    c2v_ref[e] = new.astype(c2v_ref.dtype)
                     post_ref[j] = post_ref[j] + _rot_bwd(new - old, s)
 
                 cn_sweep(lambda j: post_ref[j], emit)
@@ -362,21 +388,21 @@ def make_pallas_decoder(
                 return lambda j: post_ref[j]
 
         if early_term:
-            zeros = jnp.zeros((1, Bt), _C)
+            zeros = jnp.zeros(mshape, _C)
             if flooding:
                 # Deferred-syndrome scheme: state 0's convergence comes out
                 # of the first sweep; the carry starts all-zero.
                 def scoped(synd_state):
-                    done, iters = run_et(zeros, jnp.zeros((1, Bt), _I32),
+                    done, iters = run_et(zeros, jnp.zeros(mshape, _I32),
                                          synd_state)
                     iters_ref[...] = iters
                     conv_ref[...] = done.astype(jnp.int8)
 
-                pl.run_scoped(scoped, pltpu.VMEM((1, 1, Bt), _C))
+                pl.run_scoped(scoped, pltpu.VMEM((1,) + mshape, _C))
             else:
                 done0 = syndrome_ok(lambda j: post_ref[j])
                 latch_hard(zeros, lambda j: post_ref[j])
-                done, iters = run_et(done0, jnp.zeros((1, Bt), _I32))
+                done, iters = run_et(done0, jnp.zeros(mshape, _I32))
                 iters_ref[...] = iters
                 conv_ref[...] = done.astype(jnp.int8)
         else:
@@ -384,47 +410,71 @@ def make_pallas_decoder(
             for j in range(nb):
                 # i1 -> int32 (same tiling) -> int8: avoids i1 retiling.
                 hard_ref[j] = (final_read(j) < 0).astype(_C).astype(jnp.int8)
-            iters_ref[...] = jnp.full((1, Bt), max_iter, _I32)
+            iters_ref[...] = jnp.full(mshape, max_iter, _I32)
             conv_ref[...] = syndrome_ok(final_read).astype(jnp.int8)
 
     scratch = [
-        pltpu.VMEM((nb, Z, batch_tile), _C),            # post / totals A
-        pltpu.VMEM((n_entries, Z, batch_tile), c2v_dtype),  # c2v messages
+        pltpu.VMEM((nb, Z) + bshape, _C),                # post / totals A
+        pltpu.VMEM((n_entries, Z) + bshape, c2v_dtype),  # c2v messages
     ]
     if flooding:
-        scratch.append(pltpu.VMEM((nb, Z, batch_tile), _C))  # totals B
+        scratch.append(pltpu.VMEM((nb, Z) + bshape, _C))  # totals B
 
     def decode(chan: jnp.ndarray):
         B = chan.shape[0]
         assert B % batch_tile == 0, (B, batch_tile)
         n_tiles = B // batch_tile
-        # (B, n) -> (nb, Z, B): variable v = j*Z + r lands at [j, r, b].
-        chan_t = chan.astype(jnp.int8).reshape(B, nb, Z).transpose(1, 2, 0)
+        if vreg_layout:
+            # (B, n) -> (nb, Z, T*Bs, 128): variable v = j*Z + r of codeword
+            # b = t*Bt + u*128 + l lands at [j, r, t*Bs + u, l].
+            chan_t = (chan.astype(jnp.int8)
+                      .reshape(n_tiles * Bs, LANES, nb, Z)
+                      .transpose(2, 3, 0, 1))
+            state_block = (nb, Z, Bs, LANES)
+            state_idx = lambda i: (0, 0, i, 0)  # noqa: E731
+            mask_block = (1, Bs, LANES)
+            mask_idx = lambda i: (0, i, 0)  # noqa: E731
+            state_full = (nb, Z, n_tiles * Bs, LANES)
+            mask_full = (1, n_tiles * Bs, LANES)
+        else:
+            # (B, n) -> (nb, Z, B): batch on lanes, Z on sublanes.
+            chan_t = (chan.astype(jnp.int8)
+                      .reshape(B, nb, Z).transpose(1, 2, 0))
+            state_block = (nb, Z, batch_tile)
+            state_idx = lambda i: (0, 0, i)  # noqa: E731
+            mask_block = (1, batch_tile)
+            mask_idx = lambda i: (0, i)  # noqa: E731
+            state_full = (nb, Z, B)
+            mask_full = (1, B)
         hard_t, iters, conv = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec((nb, Z, batch_tile), lambda i: (0, 0, i),
+                pl.BlockSpec(state_block, state_idx,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((nb, Z, batch_tile), lambda i: (0, 0, i),
+                pl.BlockSpec(state_block, state_idx,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, batch_tile), lambda i: (0, i),
+                pl.BlockSpec(mask_block, mask_idx,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, batch_tile), lambda i: (0, i),
+                pl.BlockSpec(mask_block, mask_idx,
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((nb, Z, B), jnp.int8),
-                jax.ShapeDtypeStruct((1, B), _I32),
-                jax.ShapeDtypeStruct((1, B), jnp.int8),
+                jax.ShapeDtypeStruct(state_full, jnp.int8),
+                jax.ShapeDtypeStruct(mask_full, _I32),
+                jax.ShapeDtypeStruct(mask_full, jnp.int8),
             ],
             scratch_shapes=scratch,
             interpret=interpret,
         )(chan_t)
-        hard = hard_t.transpose(2, 0, 1).reshape(B, n).astype(jnp.uint8)
-        return hard, iters[0], conv[0].astype(jnp.bool_)
+        if vreg_layout:
+            hard = (hard_t.transpose(2, 3, 0, 1)
+                    .reshape(B, n).astype(jnp.uint8))
+        else:
+            hard = hard_t.transpose(2, 0, 1).reshape(B, n).astype(jnp.uint8)
+        return (hard, iters.reshape(B), conv.reshape(B).astype(jnp.bool_))
 
     return decode
 

@@ -42,7 +42,7 @@ def is_float_mode(cfg: SimConfig) -> bool:
 
 
 def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
-                   batch_tile: int = 256, interpret: bool = False):
+                   batch_tile: int = 1024, interpret: bool = False):
     """Decoder dispatch: the Pallas kernel on TPU, the jnp reference op
     elsewhere (SURVEY.md §2.1 C8: kernel + pure-XLA fallback); float
     algorithms always use the jnp float decoder."""
@@ -62,21 +62,24 @@ def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
         from ..kernels import minsum_pallas as mp
         if code.base is None or code.Z is None:
             return make_jnp_decoder(code, cfg.decoder, cfg.quant), "jnp"
-        # Shrink the batch tile (>= 128 lanes) until the decoder state fits
-        # VMEM; beyond that, the HBM-resident regime (SURVEY.md §5.7) uses
-        # the QC-structured XLA decoder — same math, same rolls, fused
-        # elementwise streams over HBM (DVB-S2 n=64800, NR Z=384).
+        # Pick (batch_tile, c2v dtype): big vreg-aligned tiles (multiples of
+        # 1024 lanes run the 100%-utilization (Z, Bs, 128) layout) beat wide
+        # c2v storage, so narrow the dtype BEFORE shrinking the tile. Beyond
+        # 128 lanes + int8, the HBM-resident regime (SURVEY.md §5.7) takes
+        # over (DVB-S2 n=64800, NR Z=384).
         VMEM_BUDGET = 14 * 2 ** 20
         et = cfg.decoder.early_term
-        bt, dt = batch_tile, jnp.int32
-        while bt > 128 and mp.vmem_bytes(code, bt, cfg.decoder.schedule,
-                                         dt, et) > VMEM_BUDGET:
+        bt, dt, fits = batch_tile, jnp.int32, False
+        while True:
+            for dt in (jnp.int32, jnp.int16, jnp.int8):
+                if mp.vmem_bytes(code, bt, cfg.decoder.schedule, dt,
+                                 et) <= VMEM_BUDGET:
+                    fits = True
+                    break
+            if fits or bt <= 128:
+                break
             bt //= 2
-        if mp.vmem_bytes(code, bt, cfg.decoder.schedule, dt,
-                         et) > VMEM_BUDGET:
-            dt = jnp.int8
-        if mp.vmem_bytes(code, bt, cfg.decoder.schedule, dt,
-                         et) > VMEM_BUDGET:
+        if not fits:
             # HBM-resident regime: the streaming Pallas kernel where its
             # domain applies (aligned Z, layered, fixed iterations), else
             # the QC-structured XLA decoder.
@@ -123,7 +126,7 @@ def make_run_batch(
     batch: Optional[int] = None,
     mesh: Optional[Mesh] = None,
     decoder_backend: str = "auto",
-    batch_tile: int = 256,
+    batch_tile: int = 1024,
     interpret: bool = False,
     n_points: int = 1,
     superbatches: int = 1,

@@ -69,3 +69,21 @@ def rates_compatible(errs_a: int, trials_a: int, errs_b: int, trials_b: int,
     lo_a, hi_a = wilson_interval(errs_a, trials_a, z)
     lo_b, hi_b = wilson_interval(errs_b, trials_b, z)
     return lo_a <= hi_b and lo_b <= hi_a
+
+
+def snr_at_ber(rows, target_ber: float):
+    """Eb/N0 (dB) at which a measured waterfall crosses `target_ber`,
+    log-linearly interpolated between the bracketing sweep points.
+
+    rows: iterables with 'ebn0_db' and 'ber' keys (the results schema).
+    Returns None if the curve never crosses the target. This is the
+    BASELINE.md row-3 methodology: the fixed-point quantization bound is
+    snr_at_ber(fixed) - snr_at_ber(float) at the same target BER.
+    """
+    pts = sorted(((float(r["ebn0_db"]), float(r["ber"])) for r in rows
+                  if r["ber"] > 0), key=lambda t: t[0])
+    for (x0, b0), (x1, b1) in zip(pts, pts[1:]):
+        if (b0 - target_ber) * (b1 - target_ber) <= 0 and b0 != b1:
+            l0, l1, lt = math.log10(b0), math.log10(b1), math.log10(target_ber)
+            return x0 + (x1 - x0) * (lt - l0) / (l1 - l0)
+    return None

@@ -77,7 +77,7 @@ class Sweep:
     """
 
     def __init__(self, cfg: SimConfig, mesh=None, decoder_backend: str = "auto",
-                 batch: Optional[int] = None, batch_tile: int = 256,
+                 batch: Optional[int] = None, batch_tile: int = 1024,
                  interpret: bool = False,
                  checkpoint_path: Optional[str] = None,
                  lookahead: int = 4, superbatches: int = 1):

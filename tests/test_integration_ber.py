@@ -55,3 +55,34 @@ def test_waterfall_slope():
     ber_lo = lo.bit_errs / (lo.frames * k)
     ber_hi = hi.bit_errs / (hi.frames * k)
     assert ber_lo > 10 * max(ber_hi, 1e-9)
+
+
+class TestQuantizationBound:
+    """BASELINE.md row 3 made concrete: the 8-bit fixed-point OMS waterfall
+    must sit within 0.2 dB of the float OMS waterfall at BER 1e-4. Evaluated
+    on the TPU-generated artifacts in results/ (wifi648, 2M frames at the
+    deep points; both curves share the sweep methodology and seed)."""
+
+    def _rows(self, name):
+        import json
+        import os
+        path = os.path.join(os.path.dirname(__file__), "..", "results", name)
+        if not os.path.exists(path):
+            pytest.skip(f"artifact {name} not present")
+        return json.load(open(path))["results"]
+
+    def test_fixed_vs_float_gap_at_1e4(self):
+        from ldpc_tpu.sim.stats import snr_at_ber
+        fixed = snr_at_ber(self._rows("wifi648_oms.json"), 1e-4)
+        flt = snr_at_ber(self._rows("wifi648_oms_float.json"), 1e-4)
+        assert fixed is not None and flt is not None
+        gap = fixed - flt
+        # measured round 1: +0.002 dB (quantization is transparent at this
+        # operating point); the bound is 0.2 dB (BASELINE.md row 3)
+        assert -0.1 <= gap <= 0.2, gap
+
+    def test_interpolator(self):
+        from ldpc_tpu.sim.stats import snr_at_ber
+        rows = [{"ebn0_db": 1.0, "ber": 1e-3}, {"ebn0_db": 2.0, "ber": 1e-5}]
+        assert abs(snr_at_ber(rows, 1e-4) - 1.5) < 1e-9
+        assert snr_at_ber(rows, 1e-7) is None

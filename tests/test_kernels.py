@@ -82,3 +82,44 @@ def test_all_zero_noiseless(rng):
     assert not hard.any()
     assert (iters == 0).all()
     assert conv.all()
+
+
+@pytest.mark.parametrize("kw", [
+    dict(schedule="flooding", beta=0, early_term=False, max_iter=4),
+    dict(schedule="flooding", beta=0, early_term=True, max_iter=4),
+    dict(schedule="layered", beta=2, early_term=True, max_iter=3),
+])
+def test_vreg_layout_matches_flat(rng, kw):
+    """The vreg-exact (Z, Bs, 128) layout (batch_tile % 1024 == 0 — the TPU
+    fast path) must be bit-identical to the flat layout on the same inputs;
+    flat is golden-verified above, so transitivity covers vreg vs golden.
+    One 1024-lane tile on the toy code keeps interpret mode affordable."""
+    code = toy_qc(Z=4)
+    B = 1024
+    chan = _random_llrs(rng, B, code.n)
+    d_vreg = make_pallas_decoder(code, qmax=127, batch_tile=1024,
+                                 interpret=True, **kw)
+    d_flat = make_pallas_decoder(code, qmax=127, batch_tile=256,
+                                 interpret=True, **kw)
+    h1, i1, c1 = map(np.asarray, d_vreg(chan))
+    h2, i2, c2 = map(np.asarray, d_flat(chan))
+    np.testing.assert_array_equal(h1, h2)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(c1, c2)
+
+
+def test_vreg_layout_c2v_dtypes(rng):
+    """int16/int8 c2v STORAGE must not change results (values are clipped to
+    +-qmax before storing, so narrower storage is lossless)."""
+    import jax.numpy as jnp
+    code = toy_qc(Z=4)
+    chan = _random_llrs(rng, 1024, code.n)
+    outs = []
+    for dt in (jnp.int32, jnp.int16, jnp.int8):
+        dec = make_pallas_decoder(code, qmax=127, batch_tile=1024,
+                                  schedule="flooding", early_term=False,
+                                  max_iter=4, interpret=True, c2v_dtype=dt)
+        outs.append(tuple(map(np.asarray, dec(chan))))
+    for o in outs[1:]:
+        for a, b in zip(outs[0], o):
+            np.testing.assert_array_equal(a, b)
