@@ -153,13 +153,16 @@ PRESETS = {
                               max_iter=20, early_term=True),
         run=RunConfig(batch=1024),
     ),
-    # BASELINE.json:9 — 5G NR layered.
+    # BASELINE.json:9 — 5G NR layered. Fixed-iteration like the DVB preset:
+    # Z=384 state exceeds VMEM, and in the HBM-streaming regime the
+    # pipelined stream kernel (fixed iters, layered) beats the XLA path
+    # with early termination (measured round 2, docs/PERFORMANCE.md).
     "nr-bg1-layered": SimConfig(
         code=CodeConfig(family="5gnr", base_graph=1, Z=384, rate="1/2"),
         channel=ChannelConfig(modulation="bpsk", ebn0_db=2.0),
         quant=QuantConfig(bits=8, scale=4.0, beta_lsb=2),
         decoder=DecoderConfig(algorithm="offset-min-sum", schedule="layered",
-                              max_iter=20, early_term=True),
+                              max_iter=20, early_term=False),
         run=RunConfig(batch=256),
     ),
     # BASELINE.json:10 — DVB-S2 long codes, HBM-resident messages. Layered

@@ -92,3 +92,37 @@ class TestStreamKernel:
         cfg = PRESETS["dvbs2-64800-r12"]
         _, backend = pl_mod.select_decoder(build_code(cfg), cfg)
         assert backend == "pallas-stream"
+
+
+class TestStreamKernelPipelined:
+    """Round-2 pipelined stream kernel: the conflict-aware forward table
+    must preserve bit-exactness on codes where consecutive layers genuinely
+    share posterior columns (NR BG2: dual-diagonal core + extension rows
+    re-reading systematic columns -> dense cross-layer conflicts)."""
+
+    def test_nr_bg2_conflicts_bitexact(self, rng):
+        from ldpc_tpu.codes.nr_bg import make_code as make_nr
+        from ldpc_tpu.kernels.minsum_stream import make_stream_decoder
+        from ldpc_tpu.ops.decode_qc import make_qc_decoder
+        code = make_nr(base_graph=2, Z=16)
+        import numpy as np_
+        # sanity: the forward table is actually exercised
+        from ldpc_tpu.codes.layout import compile_qc_layout
+        qc = compile_qc_layout(code)
+        shared = 0
+        for l in range(qc.mb):
+            prev = set(qc.layer_cols[(l - 1) % qc.mb][
+                qc.layer_mask[(l - 1) % qc.mb]])
+            shared += sum(1 for j in qc.layer_cols[l][qc.layer_mask[l]]
+                          if j in prev)
+        assert shared > 0, "test code has no cross-layer conflicts"
+        B = 256  # two tiles of 128 — exercises the grid dimension too
+        chan = _llrs(rng, B, code.n)
+        dec = make_stream_decoder(code, max_iter=6, beta=2, qmax=127,
+                                  batch_tile=128, interpret=True)
+        ref = make_qc_decoder(code, max_iter=6, beta=2, qmax=127,
+                              schedule="layered", early_term=False)
+        h, it, cv = map(np.asarray, dec(chan))
+        ho, ito, cvo = map(np.asarray, ref(chan))
+        np.testing.assert_array_equal(h, ho)
+        np.testing.assert_array_equal(cv, cvo)
