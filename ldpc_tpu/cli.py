@@ -61,7 +61,8 @@ def _build_config(args) -> SimConfig:
         chan = dataclasses.replace(chan, modulation=args.modulation)
     dec = cfg.decoder
     for f, v in (("algorithm", args.algorithm), ("schedule", args.schedule),
-                 ("max_iter", args.max_iter)):
+                 ("max_iter", args.max_iter),
+                 ("phase1_iters", args.phase1_iters)):
         if v:
             dec = dataclasses.replace(dec, **{f: v})
     if args.no_early_term:
@@ -193,6 +194,11 @@ def build_parser() -> argparse.ArgumentParser:
         q.add_argument("--schedule", default=None,
                        choices=["flooding", "layered"])
         q.add_argument("--max-iter", dest="max_iter", type=int, default=None)
+        q.add_argument("--phase1-iters", dest="phase1_iters", type=int,
+                       default=None,
+                       help="two-phase early termination: iterations before "
+                            "repacking unconverged lanes (TPU operating-"
+                            "point optimization; bit-exact)")
         q.add_argument("--no-early-term", action="store_true")
         q.add_argument("--bits", type=int, default=None)
         q.add_argument("--beta-lsb", dest="beta_lsb", type=int, default=None)

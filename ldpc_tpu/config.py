@@ -84,6 +84,13 @@ class DecoderConfig:
     schedule: str = "flooding"  # 'flooding' | 'layered'
     max_iter: int = 20
     early_term: bool = True
+    # Two-phase early termination (TPU operating-point optimization): run
+    # phase1_iters on the whole batch, then COMPACT the unconverged lanes
+    # (a static-capacity gather) and restart only those with the full
+    # max_iter budget. Bit-exact: integer min-sum is deterministic, so the
+    # restart replays the identical trajectory and the per-lane first-
+    # convergence latch sees the same states. None = single-phase.
+    phase1_iters: Optional[int] = None
 
     @property
     def beta_enabled(self) -> bool:

@@ -42,10 +42,15 @@ def is_float_mode(cfg: SimConfig) -> bool:
 
 
 def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
-                   batch_tile: int = 1024, interpret: bool = False):
+                   batch_tile: int = 1024, interpret: bool = False,
+                   batch: Optional[int] = None):
     """Decoder dispatch: the Pallas kernel on TPU, the jnp reference op
     elsewhere (SURVEY.md §2.1 C8: kernel + pure-XLA fallback); float
-    algorithms always use the jnp float decoder."""
+    algorithms always use the jnp float decoder.
+
+    When cfg.decoder.phase1_iters is set (and early_term, and the caller
+    supplies `batch`), the returned decoder is the two-phase repacking
+    wrapper (make_two_phase_decoder) around the chosen backend."""
     if is_float_mode(cfg):
         from ..ops.decode_ref import make_float_decoder
         alg = cfg.decoder.algorithm.replace("-float", "")
@@ -55,49 +60,121 @@ def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
         return make_float_decoder(
             code, max_iter=cfg.decoder.max_iter, algorithm=alg, beta=beta_f,
             early_term=cfg.decoder.early_term), "jnp-float"
-    if backend == "auto":
-        plat = jax.default_backend()
-        backend = "pallas" if plat in ("tpu", "axon") else "jnp"
-    if backend == "pallas":
-        from ..kernels import minsum_pallas as mp
-        if code.base is None or code.Z is None:
-            return make_jnp_decoder(code, cfg.decoder, cfg.quant), "jnp"
-        # Pick (batch_tile, c2v dtype): big vreg-aligned tiles (multiples of
-        # 1024 lanes run the 100%-utilization (Z, Bs, 128) layout) beat wide
-        # c2v storage, so narrow the dtype BEFORE shrinking the tile. Beyond
-        # 128 lanes + int8, the HBM-resident regime (SURVEY.md §5.7) takes
-        # over (DVB-S2 n=64800, NR Z=384).
-        VMEM_BUDGET = 14 * 2 ** 20
-        et = cfg.decoder.early_term
-        bt, dt, fits = batch_tile, jnp.int32, False
-        while True:
-            for dt in (jnp.int32, jnp.int16, jnp.int8):
-                if mp.vmem_bytes(code, bt, cfg.decoder.schedule, dt,
-                                 et) <= VMEM_BUDGET:
-                    fits = True
+
+    chosen_bt = [1]  # batch-tile granularity of the built decoder
+
+    def build(dec_cfg):
+        """Decoder for an arbitrary DecoderConfig on the resolved backend."""
+        b = backend
+        if b == "auto":
+            plat = jax.default_backend()
+            b = "pallas" if plat in ("tpu", "axon") else "jnp"
+        if b == "pallas":
+            from ..kernels import minsum_pallas as mp
+            if code.base is None or code.Z is None:
+                return make_jnp_decoder(code, dec_cfg, cfg.quant), "jnp"
+            # Pick (batch_tile, c2v dtype): big vreg-aligned tiles beat wide
+            # c2v storage, so narrow the dtype BEFORE shrinking the tile.
+            # Beyond 128 lanes + int8, the HBM-resident regime (SURVEY.md
+            # §5.7) takes over (DVB-S2 n=64800, NR Z=384).
+            VMEM_BUDGET = 14 * 2 ** 20
+            et = dec_cfg.early_term
+            bt, dt, fits = batch_tile, jnp.int32, False
+            while True:
+                for dt in (jnp.int32, jnp.int16, jnp.int8):
+                    if mp.vmem_bytes(code, bt, dec_cfg.schedule, dt,
+                                     et) <= VMEM_BUDGET:
+                        fits = True
+                        break
+                if fits or bt <= 128:
                     break
-            if fits or bt <= 128:
-                break
-            bt //= 2
-        if not fits:
-            # HBM-resident regime: the streaming Pallas kernel where its
-            # domain applies (aligned Z, layered, fixed iterations), else
-            # the QC-structured XLA decoder.
-            if (code.Z % 8 == 0 and cfg.decoder.schedule == "layered"
-                    and not cfg.decoder.early_term):
-                from . import pipeline  # noqa: F401
-                from ..kernels.minsum_stream import make_decoder as make_st
-                return make_st(code, cfg.decoder, cfg.quant,
-                               interpret=interpret), "pallas-stream"
-            backend = "qc-jnp"
-        else:
-            return mp.make_decoder(code, cfg.decoder, cfg.quant,
-                                   batch_tile=bt, interpret=interpret,
-                                   c2v_dtype=dt), "pallas"
-    if backend == "qc-jnp":
-        from ..ops.decode_qc import make_decoder as make_qc
-        return make_qc(code, cfg.decoder, cfg.quant), "qc-jnp"
-    return make_jnp_decoder(code, cfg.decoder, cfg.quant), "jnp"
+                bt //= 2
+            if not fits:
+                # HBM-resident regime: the streaming Pallas kernel where its
+                # domain applies (aligned Z, layered, fixed iterations),
+                # else the QC-structured XLA decoder.
+                if (code.Z % 8 == 0 and dec_cfg.schedule == "layered"
+                        and not dec_cfg.early_term):
+                    from ..kernels.minsum_stream import make_decoder as m_st
+                    return m_st(code, dec_cfg, cfg.quant,
+                                interpret=interpret), "pallas-stream"
+                b = "qc-jnp"
+            else:
+                chosen_bt[0] = bt
+                return mp.make_decoder(code, dec_cfg, cfg.quant,
+                                       batch_tile=bt, interpret=interpret,
+                                       c2v_dtype=dt), "pallas"
+        if b == "qc-jnp":
+            from ..ops.decode_qc import make_decoder as make_qc
+            return make_qc(code, dec_cfg, cfg.quant), "qc-jnp"
+        return make_jnp_decoder(code, dec_cfg, cfg.quant), "jnp"
+
+    dec, label = build(cfg.decoder)
+    p1 = cfg.decoder.phase1_iters
+    if (p1 and cfg.decoder.early_term and batch
+            and p1 < cfg.decoder.max_iter):
+        import dataclasses
+        dec_p1, _ = build(dataclasses.replace(cfg.decoder, max_iter=p1))
+        # capacity: a quarter of the batch, rounded up to the decoder's
+        # batch-tile granularity (phase-2 shapes must divide the tile).
+        g = chosen_bt[0]
+        cap = min(batch, -(-max(batch // 4, g) // g) * g)
+        if batch % g == 0 and cap % g != 0:
+            cap = min(batch, -(-cap // g) * g)
+        return make_two_phase_decoder(dec_p1, dec, cap), label + "-2phase"
+    return dec, label
+
+
+def make_two_phase_decoder(dec_p1, dec_full, capacity: int):
+    """Early termination that PAYS on TPU (VERDICT round-1 item 2).
+
+    A single straggler lane pins a whole SIMD batch tile at max_iter, so
+    in-kernel per-lane early termination saves little wall time. Instead:
+
+      phase 1: dec_p1 (ET kernel, few iterations) on the full batch —
+               latches every lane that converges early;
+      repack:  gather the unconverged lanes into a `capacity`-lane batch
+               (static shape; jnp.nonzero with size=);
+      phase 2: dec_full (ET kernel, full max_iter) on the compacted batch,
+               RESTARTING from channel LLRs — bit-exact because integer
+               min-sum is deterministic: the restart replays the identical
+               iteration trajectory, so hard bits, convergence flags, and
+               first-success iteration counts equal the single-phase run;
+      overflow: if more than `capacity` lanes are unconverged (wrong
+               operating point), fall back to dec_full on the whole batch
+               via lax.cond — still exact, just not faster.
+
+    Gather fill positions point at a padding row appended to the batch, so
+    scatter-back indices for REAL lanes are unique (no write races).
+    """
+    def decode(q: jnp.ndarray):
+        B = q.shape[0]
+        h1, it1, cv1 = dec_p1(q)
+        uncv = jnp.logical_not(cv1)
+        n_uncv = jnp.sum(uncv, dtype=jnp.int32)
+
+        def two_phase(_):
+            # fill entries index the padding row B — harmless gather, and
+            # their scatter writes land on the padding row (sliced off).
+            idx = jnp.nonzero(uncv, size=capacity, fill_value=B)[0]
+            qpad = jnp.concatenate([q, jnp.zeros((1,) + q.shape[1:],
+                                                 q.dtype)], axis=0)
+            h2, it2, cv2 = dec_full(qpad[idx])
+            hp = jnp.concatenate([h1, jnp.zeros((1,) + h1.shape[1:],
+                                                h1.dtype)], axis=0)
+            itp = jnp.concatenate([it1, jnp.zeros((1,), it1.dtype)])
+            cvp = jnp.concatenate([cv1, jnp.zeros((1,), cv1.dtype)])
+            hp = hp.at[idx].set(h2)
+            itp = itp.at[idx].set(it2)
+            cvp = cvp.at[idx].set(cv2)
+            return hp[:B], itp[:B], cvp[:B]
+
+        def full(_):
+            return dec_full(q)
+
+        return jax.lax.cond(n_uncv <= capacity, two_phase, full, None)
+
+    return decode
 
 
 @dataclass(frozen=True)
@@ -151,7 +228,7 @@ def make_run_batch(
     mod = cfg.channel.modulation
     enc = make_encoder(code)
     dec, _ = select_decoder(code, cfg, decoder_backend,
-                            min(batch_tile, B), interpret)
+                            min(batch_tile, B), interpret, batch=B)
     float_mode = is_float_mode(cfg)
     info_pos = jnp.asarray(info_positions(code))
 

@@ -90,7 +90,8 @@ class Sweep:
         self.checkpoint_path = checkpoint_path
         from .pipeline import select_decoder
         _, self.backend = select_decoder(self.code, cfg, decoder_backend,
-                                         batch_tile, interpret)
+                                         batch_tile, interpret,
+                                         batch=self.batch)
         self.run_batch = make_run_batch(
             self.code, cfg, batch=self.batch, mesh=mesh,
             decoder_backend=self.backend, batch_tile=batch_tile,

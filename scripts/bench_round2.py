@@ -86,7 +86,7 @@ def wifi_decode():
             "info_gbps": round(batch * code.k / sec / 1e9, 4)}
 
 
-def wifi_et(schedule):
+def wifi_et(schedule, phase1=None):
     jax = setup()
     import dataclasses
     from ldpc_tpu.config import PRESETS
@@ -95,7 +95,7 @@ def wifi_et(schedule):
     cfg = PRESETS["wifi-648-r12-minsum"]
     cfg = dataclasses.replace(cfg, decoder=dataclasses.replace(
         cfg.decoder, early_term=True, schedule=schedule,
-        algorithm="offset-min-sum"),
+        algorithm="offset-min-sum", phase1_iters=phase1),
         quant=dataclasses.replace(cfg.quant, beta_lsb=2))
     code = build_code(cfg)
     batch = 16384
@@ -105,7 +105,8 @@ def wifi_et(schedule):
     key = jax.random.PRNGKey(0)
     sec = fetch_timed(lambda k: rb(k, sigma), key, reps=10, trials=5)
     out = np.asarray(rb(key, sigma))
-    return {"variant": f"wifi_oms_et_{schedule}_2.0dB",
+    tag = f"_2p{phase1}" if phase1 else ""
+    return {"variant": f"wifi_oms_et_{schedule}{tag}_2.0dB",
             "ms_per_batch": round(sec * 1e3, 3),
             "info_gbps": round(batch * code.k / sec / 1e9, 4),
             "avg_iters": round(float(out[3]) / batch, 2),
@@ -189,6 +190,8 @@ def main():
         "wifi_decode": wifi_decode,
         "wifi_et": lambda: wifi_et("flooding"),
         "wifi_et_layered": lambda: wifi_et("layered"),
+        "wifi_et_2p": lambda: wifi_et("flooding", phase1=8),
+        "wifi_et_2p6": lambda: wifi_et("flooding", phase1=6),
         "dvbs2": dvbs2,
         "dvbs2_exact": dvbs2_exact,
         "nr": nr,

@@ -123,3 +123,70 @@ def test_vreg_layout_c2v_dtypes(rng):
     for o in outs[1:]:
         for a, b in zip(outs[0], o):
             np.testing.assert_array_equal(a, b)
+
+
+class TestTwoPhaseET:
+    """Two-phase repacking early termination (pipeline.make_two_phase_decoder)
+    must be BIT-EXACT vs the single-phase ET decoder: integer min-sum is
+    deterministic, so restarting an unconverged lane replays its trajectory."""
+
+    def _cfg(self, p1):
+        from ldpc_tpu.config import (ChannelConfig, CodeConfig, DecoderConfig,
+                                     QuantConfig, RunConfig, SimConfig)
+        return SimConfig(
+            code=CodeConfig(family="toy", Z=8),
+            channel=ChannelConfig(),
+            quant=QuantConfig(bits=8, scale=4.0, beta_lsb=0),
+            decoder=DecoderConfig(algorithm="min-sum", schedule="flooding",
+                                  max_iter=12, early_term=True,
+                                  phase1_iters=p1),
+            run=RunConfig(batch=256))
+
+    def test_bitexact_vs_single_phase(self, rng):
+        import dataclasses
+        from ldpc_tpu.codes.toy import toy_qc
+        from ldpc_tpu.sim.pipeline import select_decoder
+        code = toy_qc(8)
+        B = 256
+        # channel-realistic LLRs at a sigma where ~10% of lanes miss the
+        # phase-1 budget (tuned: sigma=0.8 -> ~40/256 unconverged at 12 it)
+        sigma = 0.8
+        y = 1.0 + sigma * rng.standard_normal((B, code.n))
+        chan = np.clip(np.round(2 * y / sigma**2 * 4.0),
+                       -127, 127).astype(np.int8)
+        cfg2 = self._cfg(3)
+        cfg1 = dataclasses.replace(
+            cfg2, decoder=dataclasses.replace(cfg2.decoder,
+                                              phase1_iters=None))
+        d2, lbl2 = select_decoder(code, cfg2, "jnp", batch=B)
+        d1, lbl1 = select_decoder(code, cfg1, "jnp", batch=B)
+        assert lbl2.endswith("-2phase") and not lbl1.endswith("-2phase")
+        h2, it2, cv2 = map(np.asarray, d2(chan))
+        h1, it1, cv1 = map(np.asarray, d1(chan))
+        assert 0 < (~cv1).sum() <= B // 4, "operating point off for the test"
+        np.testing.assert_array_equal(h2, h1)
+        np.testing.assert_array_equal(it2, it1)
+        np.testing.assert_array_equal(cv2, cv1)
+
+    def test_overflow_falls_back_exactly(self, rng):
+        """More unconverged lanes than capacity -> full-batch fallback, same
+        results."""
+        import dataclasses
+        from ldpc_tpu.codes.toy import toy_qc
+        from ldpc_tpu.sim.pipeline import select_decoder
+        code = toy_qc(8)
+        B = 256
+        chan = (rng.integers(-6, 6, size=(B, code.n))).astype(np.int8)  # junk
+        # junk LLRs: nearly nothing converges -> capacity overflow
+        cfg2 = self._cfg(2)
+        cfg1 = dataclasses.replace(
+            cfg2, decoder=dataclasses.replace(cfg2.decoder,
+                                              phase1_iters=None))
+        d2, _ = select_decoder(code, cfg2, "jnp", batch=B)
+        d1, _ = select_decoder(code, cfg1, "jnp", batch=B)
+        h2, it2, cv2 = map(np.asarray, d2(chan))
+        h1, it1, cv1 = map(np.asarray, d1(chan))
+        assert (~cv1).sum() > B // 4  # genuinely overflows capacity
+        np.testing.assert_array_equal(h2, h1)
+        np.testing.assert_array_equal(it2, it1)
+        np.testing.assert_array_equal(cv2, cv1)
