@@ -6,20 +6,47 @@ second per chip on the canonical config (802.11n n=648 rate-1/2, BPSK/AWGN,
 using the full jitted pipeline (encode -> modulate -> AWGN -> demap ->
 quantize -> Pallas decode -> counters).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "vs_prev"}.
 vs_baseline is value / 1e9 — the >= 1 Gbit/s/chip target (BASELINE.md row 4;
-the reference publishes no numbers, BASELINE.json:13).
+the reference publishes no numbers, BASELINE.json:13). vs_prev is value /
+recorded-previous value (bench_baselines.json) — the SURVEY.md §4.2
+throughput-regression row: the process exits 1 when the measurement falls
+more than 15% below the recorded baseline.
+
+Also prints (stderr) the roofline ratio: measured vs the VPU-bound model of
+docs/PERFORMANCE.md — ~14 essential int32 vector ops per base-matrix entry
+per flooding sweep at the per-op throughput measured on this chip
+(scripts/microbench_rot.py flat_base: 0.78 ns per kilo-element per op).
 
 Timing methodology: the tunneled single-chip platform has bursty dispatch
 latency (observed 10 ms..200 ms for the identical program), so the metric is
 the best of several trials, each trial timing a pipelined burst of calls
 synced once by a host fetch of the scalar counters at the end.
+
+`python bench.py --record` re-records the baseline after an intentional
+improvement.
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+BASELINES_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench_baselines.json")
+CONFIG = "wifi-648-r12-minsum"
+
+# VPU-bound roofline model (docs/PERFORMANCE.md): per kilo-element of
+# decoder state per flooding sweep, ~14 essential vector ops/entry at the
+# measured 0.78 ns/kelem/op; plus ~12% measured non-decode pipeline cost.
+ROOFLINE_NS_PER_KELEM_SWEEP = 14 * 0.78
+PIPELINE_OVERHEAD = 1.12
+
+
+def roofline_info_bps(k: int, n: int, iters: int) -> float:
+    ns_per_cw = ROOFLINE_NS_PER_KELEM_SWEEP * (n / 1000.0) * iters
+    return k / (ns_per_cw * PIPELINE_OVERHEAD) * 1e9
 
 
 def main() -> None:
@@ -34,11 +61,11 @@ def main() -> None:
     from ldpc_tpu.sim import build_code, make_run_batch
     from ldpc_tpu.ops.channel import sigma_for
 
-    cfg = PRESETS["wifi-648-r12-minsum"]
+    cfg = PRESETS[CONFIG]
     code = build_code(cfg)
     batch = 16384
     run_batch = make_run_batch(code, cfg, batch=batch,
-                               decoder_backend="auto", batch_tile=1024)
+                               decoder_backend="auto", batch_tile=512)
     sigma = np.float32(sigma_for(cfg.channel.ebn0_db, code.rate,
                                  cfg.channel.modulation))
     key = jax.random.PRNGKey(0)
@@ -55,15 +82,37 @@ def main() -> None:
         best = min(best, (time.time() - t0) / reps)
     info_bps = batch * code.k / best
 
+    prev = None
+    if os.path.exists(BASELINES_PATH):
+        prev = json.load(open(BASELINES_PATH)).get(CONFIG, {}).get("info_bps")
+    vs_prev = round(info_bps / prev, 4) if prev else None
+
     print(json.dumps({
         "metric": "decoded_info_bits_per_s_per_chip",
         "value": round(info_bps, 1),
         "unit": "bit/s",
         "vs_baseline": round(info_bps / 1e9, 4),
+        "vs_prev": vs_prev,
     }))
-    print(f"# config=wifi-648-r12-minsum batch={batch} "
+    roof = roofline_info_bps(code.k, code.n, cfg.decoder.max_iter)
+    print(f"# config={CONFIG} batch={batch} "
           f"platform={jax.default_backend()} ms/batch={best*1e3:.2f} "
+          f"roofline_ratio={info_bps/roof:.2f} (model {roof/1e9:.2f} Gb/s) "
           f"full pipeline encode..decode(20 it)..count", file=sys.stderr)
+
+    if "--record" in sys.argv:
+        data = (json.load(open(BASELINES_PATH))
+                if os.path.exists(BASELINES_PATH) else {})
+        data[CONFIG] = {"info_bps": round(info_bps, 1),
+                        "recorded": time.strftime("%Y-%m-%d")}
+        json.dump(data, open(BASELINES_PATH, "w"), indent=1)
+        print(f"# recorded baseline {info_bps:.3e} -> {BASELINES_PATH}",
+              file=sys.stderr)
+    elif prev and info_bps < 0.85 * prev:
+        print(f"# PERF REGRESSION: {info_bps:.3e} bit/s is "
+              f"{info_bps/prev:.1%} of the recorded baseline {prev:.3e} "
+              f"(limit 85%)", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

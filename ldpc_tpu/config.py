@@ -90,7 +90,12 @@ class DecoderConfig:
     # max_iter budget. Bit-exact: integer min-sum is deterministic, so the
     # restart replays the identical trajectory and the per-lane first-
     # convergence latch sees the same states. None = single-phase.
+    # phase2_frac sizes the compacted batch (fraction of the full batch,
+    # rounded up to the kernel tile); pick it a safe margin above the
+    # unconverged fraction at phase1_iters (overflow falls back to a
+    # full-batch decode — exact but not faster).
     phase1_iters: Optional[int] = None
+    phase2_frac: float = 0.25
 
     @property
     def beta_enabled(self) -> bool:

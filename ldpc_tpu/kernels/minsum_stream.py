@@ -164,7 +164,33 @@ def make_stream_decoder(
                 def _():
                     pbuf[slot, s] = pbuf[nslot, fwd_ref[l, s]]
 
-            # 3. CN update: min1/min2 with value-exclusion (golden tie
+            # 3. Prefetch layer step+1 into the other slot BEFORE computing
+            #    this layer, so the DMAs overlap the compute. The slot was
+            #    last used by layer step-1 — its writebacks must have left
+            #    the buffers (and, for any column shared with step+1, have
+            #    landed in HBM) first. A fetched (non-forwarded) column of
+            #    layer step+1 is by construction absent from layer step, so
+            #    it cannot race this step's writebacks.
+            @pl.when(jnp.logical_and(step + 1 < total, step > 0))
+            def _():
+                for s in range(D):
+                    @pl.when(lmask_ref[lprev, s] > 0)
+                    def _():
+                        p_wb(nslot, lprev, s).wait()
+                        c_wb(nslot, lprev, s).wait()
+
+            @pl.when(step + 1 < total)
+            def _():
+                for s in range(D):
+                    @pl.when(pfetch_ref[lnext, s] > 0)
+                    def _():
+                        p_fetch(nslot, lnext, s).start()
+
+                    @pl.when(lmask_ref[lnext, s] > 0)
+                    def _():
+                        c_fetch(nslot, lnext, s).start()
+
+            # 4. CN update: min1/min2 with value-exclusion (golden tie
             #    semantics; see minsum_pallas._cn_minsum).
             big = jnp.array(1 << 14, _C)
             min1 = jnp.full((Z, batch_tile), big, _C)
@@ -203,37 +229,14 @@ def make_stream_decoder(
                                      + pltpu.roll(new - olds[s], sh, 0))
                     cbuf[slot, s] = new.astype(jnp.int8)
 
-            # 4. Start this layer's writebacks (async; later layers that
-            #    read these columns from HBM are ordered by the slot-reuse
-            #    wait in phase 5, or get the value forwarded in phase 2).
+            # 5. Start this layer's writebacks (async; they drain during the
+            #    next layer's compute and are waited before their slot is
+            #    reused in phase 3 two steps from now).
             for s in range(D):
                 @pl.when(lmask_ref[l, s] > 0)
                 def _():
                     p_wb(slot, l, s).start()
                     c_wb(slot, l, s).start()
-
-            # 5. Prefetch layer step+1 into the other slot. That slot was
-            #    last used by layer step-1 — its writebacks must have left
-            #    the buffers (and, for any column shared with step+1, have
-            #    landed in HBM) before new data streams in.
-            @pl.when(jnp.logical_and(step + 1 < total, step > 0))
-            def _():
-                for s in range(D):
-                    @pl.when(lmask_ref[lprev, s] > 0)
-                    def _():
-                        p_wb(nslot, lprev, s).wait()
-                        c_wb(nslot, lprev, s).wait()
-
-            @pl.when(step + 1 < total)
-            def _():
-                for s in range(D):
-                    @pl.when(pfetch_ref[lnext, s] > 0)
-                    def _():
-                        p_fetch(nslot, lnext, s).start()
-
-                    @pl.when(lmask_ref[lnext, s] > 0)
-                    def _():
-                        c_fetch(nslot, lnext, s).start()
 
             return 0
 

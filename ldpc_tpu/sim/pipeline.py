@@ -115,12 +115,11 @@ def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
             and p1 < cfg.decoder.max_iter):
         import dataclasses
         dec_p1, _ = build(dataclasses.replace(cfg.decoder, max_iter=p1))
-        # capacity: a quarter of the batch, rounded up to the decoder's
+        # capacity: phase2_frac of the batch, rounded up to the decoder's
         # batch-tile granularity (phase-2 shapes must divide the tile).
         g = chosen_bt[0]
-        cap = min(batch, -(-max(batch // 4, g) // g) * g)
-        if batch % g == 0 and cap % g != 0:
-            cap = min(batch, -(-cap // g) * g)
+        want = max(int(batch * cfg.decoder.phase2_frac), g)
+        cap = min(batch, -(-want // g) * g)
         return make_two_phase_decoder(dec_p1, dec, cap), label + "-2phase"
     return dec, label
 

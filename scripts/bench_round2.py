@@ -86,7 +86,7 @@ def wifi_decode():
             "info_gbps": round(batch * code.k / sec / 1e9, 4)}
 
 
-def wifi_et(schedule, phase1=None):
+def wifi_et(schedule, phase1=None, frac=0.25):
     jax = setup()
     import dataclasses
     from ldpc_tpu.config import PRESETS
@@ -95,7 +95,7 @@ def wifi_et(schedule, phase1=None):
     cfg = PRESETS["wifi-648-r12-minsum"]
     cfg = dataclasses.replace(cfg, decoder=dataclasses.replace(
         cfg.decoder, early_term=True, schedule=schedule,
-        algorithm="offset-min-sum", phase1_iters=phase1),
+        algorithm="offset-min-sum", phase1_iters=phase1, phase2_frac=frac),
         quant=dataclasses.replace(cfg.quant, beta_lsb=2))
     code = build_code(cfg)
     batch = 16384
@@ -105,7 +105,7 @@ def wifi_et(schedule, phase1=None):
     key = jax.random.PRNGKey(0)
     sec = fetch_timed(lambda k: rb(k, sigma), key, reps=10, trials=5)
     out = np.asarray(rb(key, sigma))
-    tag = f"_2p{phase1}" if phase1 else ""
+    tag = f"_2p{phase1}f{frac}" if phase1 else ""
     return {"variant": f"wifi_oms_et_{schedule}{tag}_2.0dB",
             "ms_per_batch": round(sec * 1e3, 3),
             "info_gbps": round(batch * code.k / sec / 1e9, 4),
@@ -113,7 +113,7 @@ def wifi_et(schedule, phase1=None):
             "fer": round(float(out[2]) / batch, 5)}
 
 
-def dvbs2():
+def dvbs2(bt=128):
     jax = setup()
     import jax.numpy as jnp
     from ldpc_tpu.config import PRESETS
@@ -123,12 +123,12 @@ def dvbs2():
     cfg = PRESETS["dvbs2-64800-r12"]
     code = build_code(cfg)
     batch = 1024
-    dec = make_st(code, cfg.decoder, cfg.quant)
+    dec = make_st(code, cfg.decoder, cfg.quant, batch_tile=bt)
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.integers(-40, 40, size=(batch, code.n)).astype(np.int8))
     jdec = jax.jit(lambda x: dec(x))
     sec = fetch_timed(jdec, q, reps=3, trials=4)
-    res = {"variant": "dvbs2_stream_decode",
+    res = {"variant": f"dvbs2_stream_decode_bt{bt}",
            "ms_per_batch1024": round(sec * 1e3, 1),
            "info_gbps": round(batch * code.k / sec / 1e9, 4)}
     # full pipeline at the BASELINE batch
@@ -192,7 +192,10 @@ def main():
         "wifi_et_layered": lambda: wifi_et("layered"),
         "wifi_et_2p": lambda: wifi_et("flooding", phase1=8),
         "wifi_et_2p6": lambda: wifi_et("flooding", phase1=6),
+        "wifi_et_2p12": lambda: wifi_et("flooding", phase1=12, frac=0.1875),
+        "wifi_et_2p10": lambda: wifi_et("flooding", phase1=10, frac=0.3125),
         "dvbs2": dvbs2,
+        "dvbs2_256": lambda: dvbs2(256),
         "dvbs2_exact": dvbs2_exact,
         "nr": nr,
     }[v]
