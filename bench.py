@@ -64,22 +64,28 @@ def main() -> None:
     cfg = PRESETS[CONFIG]
     code = build_code(cfg)
     batch = 16384
+    # superbatches: one device call runs 16 sub-batches via fori_loop —
+    # the production sweep driver's amortization of the tunneled
+    # platform's per-call dispatch overhead (~2-3 ms, which does not exist
+    # on directly-attached hardware). Counters sum exactly.
+    superbatches = 16
     run_batch = make_run_batch(code, cfg, batch=batch,
-                               decoder_backend="auto", batch_tile=512)
+                               decoder_backend="auto", batch_tile=512,
+                               superbatches=superbatches)
     sigma = np.float32(sigma_for(cfg.channel.ebn0_db, code.rate,
                                  cfg.channel.modulation))
     key = jax.random.PRNGKey(0)
 
     out = run_batch(key, sigma)          # compile + warm up
     bit_errs = int(out[1])
-    trials, reps = 5, 10
+    trials, reps = 5, 3
     best = float("inf")
     for t in range(trials):
         t0 = time.time()
         for r in range(reps):
             out = run_batch(jax.random.fold_in(key, t * reps + r), sigma)
         bit_errs += int(out[1])          # host fetch forces completion
-        best = min(best, (time.time() - t0) / reps)
+        best = min(best, (time.time() - t0) / (reps * superbatches))
     info_bps = batch * code.k / best
 
     prev = None

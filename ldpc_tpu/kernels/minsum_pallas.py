@@ -222,7 +222,10 @@ def make_pallas_decoder(
 
         for j in range(nb):
             post_ref[j] = chan32(j)
-        c2v_ref[...] = jnp.zeros(c2v_ref.shape, c2v_ref.dtype)
+        if not (flooding and not early_term):
+            # The specialized first flooding sweep below writes every c2v
+            # entry, so the plain-flooding path skips this whole-buffer fill.
+            c2v_ref[...] = jnp.zeros(c2v_ref.shape, c2v_ref.dtype)
 
         def syndrome_ok(read):
             """(1, Bs, 128) int32 — 1 where every check is satisfied."""
@@ -343,17 +346,34 @@ def make_pallas_decoder(
                 done = jnp.maximum(done, syndrome_ok(final_read))
                 return done, iters
 
+            def flood_first():
+                """Specialized iteration 1: every c2v is zero and totals
+                equal the channel LLRs (|q| <= qmax), so v2c = totals with
+                no c2v load, no subtract, no clip — and the sweep WRITES
+                every entry, replacing the whole-buffer zero fill."""
+                for j in range(nb):
+                    tot_ref[j] = chan32(j)
+                for li, ents in enumerate(layers):
+                    v2cs = [_rot_fwd(post_ref[j], s) for (j, s) in ents]
+                    news = _cn_minsum(v2cs, beta)
+                    for (j, s), e, new in zip(ents, entry_of[li], news):
+                        c2v_ref[e] = new.astype(c2v_ref.dtype)
+                        tot_ref[j] = tot_ref[j] + _rot_bwd(new, s)
+
             def run_plain():
+                flood_first()  # post -> tot
+                rem = max_iter - 1
+
                 def iter_pair(_, carry):
-                    flood_iter(post_ref, tot_ref)
                     flood_iter(tot_ref, post_ref)
+                    flood_iter(post_ref, tot_ref)
                     return carry
 
-                jax.lax.fori_loop(0, max_iter // 2, iter_pair, 0)
-                if max_iter % 2:
-                    flood_iter(post_ref, tot_ref)
-                    return lambda j: tot_ref[j]
-                return lambda j: post_ref[j]
+                jax.lax.fori_loop(0, rem // 2, iter_pair, 0)
+                if rem % 2:
+                    flood_iter(tot_ref, post_ref)
+                    return lambda j: post_ref[j]
+                return lambda j: tot_ref[j]
         else:
             def layered_iter():
                 def emit(j, s, e, old, new):

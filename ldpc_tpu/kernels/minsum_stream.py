@@ -305,6 +305,15 @@ def make_stream_decoder(
                 pltpu.SemaphoreType.DMA((2, D)),
             ],
         )
+        # Slot buffers alone can exceed the default 16 MB scoped-VMEM cap
+        # for high-row-degree codes (NR BG1: D=22). The chip has more
+        # physical VMEM (verified by running a 17.5 MB kernel at a raised
+        # limit — scripts/microbench_rot.py vreg_minsum32v); request what
+        # the buffers + Mosaic temporaries need.
+        bufs = 2 * D * Z * batch_tile * (4 + 1)
+        # observed actual stack need for NR BG1 (D=22): 1.98x bufs; leave
+        # real headroom beyond that
+        vmem_limit = max(16 * 2 ** 20, int(bufs * 2.4))
         post, _ = pl.pallas_call(
             kernel,
             out_shape=[
@@ -314,7 +323,8 @@ def make_stream_decoder(
             ],
             grid_spec=gs,
             input_output_aliases={7: 0, 6: 1},
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True, vmem_limit_bytes=vmem_limit),
             interpret=interpret,
         )(lcols_j, lshifts_j, lmask_j, lent_j, fwd_j, pfetch_j,
           jnp.zeros((n_tiles, n_entries, Z, batch_tile), jnp.int8),
