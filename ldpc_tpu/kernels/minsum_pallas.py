@@ -173,6 +173,7 @@ def make_pallas_decoder(
     batch_tile: int = 256,
     interpret: bool = False,
     c2v_dtype=jnp.int32,
+    pre_transposed: bool = False,
 ) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Build decode(chan_i8[B, n]) -> (hard[B, n] u8, iters[B] i32, conv[B] bool).
 
@@ -441,15 +442,23 @@ def make_pallas_decoder(
         scratch.append(pltpu.VMEM((nb, Z) + bshape, _C))  # totals B
 
     def decode(chan: jnp.ndarray):
-        B = chan.shape[0]
+        """chan: (B, n) int8, or (nb, Z, B) when pre_transposed (the
+        transposed-pipeline fast path: the caller's chain runs batch-last,
+        so feeding the kernel layout is a pure reshape — no 10-MB int8
+        transposes in or out)."""
+        B = chan.shape[-1] if pre_transposed else chan.shape[0]
         assert B % batch_tile == 0, (B, batch_tile)
         n_tiles = B // batch_tile
         if vreg_layout:
-            # (B, n) -> (nb, Z, T*Bs, 128): variable v = j*Z + r of codeword
-            # b = t*Bt + u*128 + l lands at [j, r, t*Bs + u, l].
-            chan_t = (chan.astype(jnp.int8)
-                      .reshape(n_tiles * Bs, LANES, nb, Z)
-                      .transpose(2, 3, 0, 1))
+            # kernel layout (nb, Z, T*Bs, 128): variable v = j*Z + r of
+            # codeword b = t*Bt + u*128 + l lands at [j, r, t*Bs + u, l].
+            if pre_transposed:
+                chan_t = chan.astype(jnp.int8).reshape(
+                    nb, Z, n_tiles * Bs, LANES)
+            else:
+                chan_t = (chan.astype(jnp.int8)
+                          .reshape(n_tiles * Bs, LANES, nb, Z)
+                          .transpose(2, 3, 0, 1))
             state_block = (nb, Z, Bs, LANES)
             state_idx = lambda i: (0, 0, i, 0)  # noqa: E731
             mask_block = (1, Bs, LANES)
@@ -457,9 +466,12 @@ def make_pallas_decoder(
             state_full = (nb, Z, n_tiles * Bs, LANES)
             mask_full = (1, n_tiles * Bs, LANES)
         else:
-            # (B, n) -> (nb, Z, B): batch on lanes, Z on sublanes.
-            chan_t = (chan.astype(jnp.int8)
-                      .reshape(B, nb, Z).transpose(1, 2, 0))
+            # kernel layout (nb, Z, B): batch on lanes, Z on sublanes.
+            if pre_transposed:
+                chan_t = chan.astype(jnp.int8).reshape(nb, Z, B)
+            else:
+                chan_t = (chan.astype(jnp.int8)
+                          .reshape(B, nb, Z).transpose(1, 2, 0))
             state_block = (nb, Z, batch_tile)
             state_idx = lambda i: (0, 0, i)  # noqa: E731
             mask_block = (1, batch_tile)
@@ -489,7 +501,9 @@ def make_pallas_decoder(
             scratch_shapes=scratch,
             interpret=interpret,
         )(chan_t)
-        if vreg_layout:
+        if pre_transposed:
+            hard = hard_t.reshape(nb, Z, B).astype(jnp.uint8)
+        elif vreg_layout:
             hard = (hard_t.transpose(2, 3, 0, 1)
                     .reshape(B, n).astype(jnp.uint8))
         else:
@@ -501,7 +515,7 @@ def make_pallas_decoder(
 
 def make_decoder(code: LDPCCode, dec: DecoderConfig, quant: QuantConfig,
                  batch_tile: int = 256, interpret: bool = False,
-                 c2v_dtype=jnp.int32):
+                 c2v_dtype=jnp.int32, pre_transposed: bool = False):
     """Factory from configs, mirroring ops.decode_ref.make_decoder."""
     if dec.algorithm not in ("min-sum", "offset-min-sum"):
         raise ValueError(f"Pallas decoder supports the min-sum family, "
@@ -510,4 +524,5 @@ def make_decoder(code: LDPCCode, dec: DecoderConfig, quant: QuantConfig,
     return make_pallas_decoder(
         code, max_iter=dec.max_iter, beta=beta, qmax=quant.qmax,
         schedule=dec.schedule, early_term=dec.early_term,
-        batch_tile=batch_tile, interpret=interpret, c2v_dtype=c2v_dtype)
+        batch_tile=batch_tile, interpret=interpret, c2v_dtype=c2v_dtype,
+        pre_transposed=pre_transposed)

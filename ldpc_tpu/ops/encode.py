@@ -52,6 +52,32 @@ def make_encoder(code: LDPCCode) -> Callable[[jnp.ndarray], jnp.ndarray]:
     return _make_dense_encoder(code)
 
 
+def make_encoder_t(code: LDPCCode) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Transposed dense encoder: encode_t(info[k, B]) -> codeword[n, B].
+
+    The transposed-pipeline fast path (sim/pipeline.py) keeps batch LAST
+    end-to-end so the decoder's (nb, Z, B) layout is a pure reshape; the
+    parity matmul becomes (m, k) @ (k, B) on the MXU. Same math as
+    make_encoder — H c^T = 0 property-tested for both."""
+    from ..golden.encoder import systematic_form
+
+    P, perm = systematic_form(code)  # (m, k), (n,)
+    Pj = jnp.asarray(P.astype(np.float32), jnp.bfloat16)  # (m, k)
+    identity_perm = bool(np.all(perm == np.arange(code.n)))
+    perm_j = None if identity_perm else jnp.asarray(perm)
+
+    def encode_t(info_t: jnp.ndarray) -> jnp.ndarray:
+        x = info_t.astype(jnp.bfloat16)
+        acc = jnp.dot(Pj, x, preferred_element_type=jnp.float32)
+        parity = (acc.astype(jnp.int32) & 1).astype(jnp.uint8)
+        c = jnp.concatenate([info_t.astype(jnp.uint8), parity], axis=0)
+        if perm_j is not None:
+            c = jnp.zeros_like(c).at[perm_j, :].set(c)
+        return c
+
+    return encode_t
+
+
 def _make_dense_encoder(code: LDPCCode) -> Callable[[jnp.ndarray], jnp.ndarray]:
     from ..golden.encoder import systematic_form
 

@@ -43,7 +43,8 @@ def is_float_mode(cfg: SimConfig) -> bool:
 
 def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
                    batch_tile: int = 1024, interpret: bool = False,
-                   batch: Optional[int] = None):
+                   batch: Optional[int] = None,
+                   pre_transposed: bool = False):
     """Decoder dispatch: the Pallas kernel on TPU, the jnp reference op
     elsewhere (SURVEY.md §2.1 C8: kernel + pure-XLA fallback); float
     algorithms always use the jnp float decoder.
@@ -103,7 +104,8 @@ def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
                 chosen_bt[0] = bt
                 return mp.make_decoder(code, dec_cfg, cfg.quant,
                                        batch_tile=bt, interpret=interpret,
-                                       c2v_dtype=dt), "pallas"
+                                       c2v_dtype=dt,
+                                       pre_transposed=pre_transposed), "pallas"
         if b == "qc-jnp":
             from ..ops.decode_qc import make_decoder as make_qc
             return make_qc(code, dec_cfg, cfg.quant), "qc-jnp"
@@ -226,10 +228,31 @@ def make_run_batch(
     B = batch or cfg.run.batch
     mod = cfg.channel.modulation
     enc = make_encoder(code)
-    dec, _ = select_decoder(code, cfg, decoder_backend,
-                            min(batch_tile, B), interpret, batch=B)
     float_mode = is_float_mode(cfg)
     info_pos = jnp.asarray(info_positions(code))
+
+    # Transposed fast path: run the whole chain batch-LAST so the Pallas
+    # kernel's (nb, Z, B) layout is a pure reshape — the (B, n) <-> kernel
+    # transposes cost ~1.3 ms per 16k batch of int8 on this chip (measured,
+    # scripts/diag_split.py), a sixth of the whole pipeline. Applies to the
+    # elementwise-only chain (BPSK, no rate matching, single sigma) on the
+    # VMEM Pallas decoder; everything else keeps the batch-first layout.
+    transposed = (mod == "bpsk" and not float_mode and n_points == 1
+                  and not cfg.run.all_zeros
+                  and not (cfg.decoder.phase1_iters
+                           and cfg.decoder.early_term)
+                  and not (len(code.punct_vns) or len(code.shortened_vns))
+                  and code.base is not None and code.Z is not None
+                  and code.n <= 4096)
+    if transposed:
+        dec, dec_label = select_decoder(code, cfg, decoder_backend,
+                                        min(batch_tile, B), interpret,
+                                        batch=B, pre_transposed=True)
+        if dec_label != "pallas":
+            transposed = False
+    if not transposed:
+        dec, _ = select_decoder(code, cfg, decoder_backend,
+                                min(batch_tile, B), interpret, batch=B)
 
     # Rate matching (5G NR): punctured variables are never transmitted and
     # enter the decoder with LLR 0; shortened variables are known zeros and
@@ -259,8 +282,16 @@ def make_run_batch(
             return jax.lax.with_sharding_constraint(
                 x, NamedSharding(mesh, P(mesh.axis_names,
                                          *([None] * (x.ndim - 1)))))
+
+        def shard_last(x):
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(*([None] * (x.ndim - 1)),
+                                         mesh.axis_names)))
     else:
         def shard_b(x):
+            return x
+
+        def shard_last(x):
             return x
 
     # Shortened (filler) info bits are known zeros: never random, never in
@@ -282,7 +313,32 @@ def make_run_batch(
 
     all_zeros = cfg.run.all_zeros
 
-    def run_batch(key: jax.Array, sigma: jnp.ndarray):
+    if transposed:
+        from ..ops.encode import make_encoder_t
+        enc_t = make_encoder_t(code)
+        nb, Z = code.base.shape[1], code.Z
+
+        def run_batch(key: jax.Array, sigma: jnp.ndarray):
+            kinfo, knoise = jax.random.split(key)
+            info_t = shard_last(jax.random.bernoulli(
+                kinfo, 0.5, (code.k, B)).astype(jnp.uint8))
+            cw_t = enc_t(info_t)
+            x = ch.modulate(cw_t, "bpsk")
+            y = ch.awgn(knoise, x, sigma)
+            llr = ch.demap(y, sigma, "bpsk")
+            q_t = shard_last(quantize(llr, cfg.quant))
+            hard_t, iters, conv = dec(q_t.reshape(nb, Z, B))
+            info_err = hard_t.reshape(code.n, B)[info_pos] != info_t
+            lane_bits = jnp.sum(info_err, axis=0, dtype=jnp.int32)
+            lane_frame = jnp.any(info_err, axis=0).astype(jnp.int32)
+            return jnp.stack([
+                jnp.int32(B), jnp.sum(lane_bits), jnp.sum(lane_frame),
+                jnp.sum(iters, dtype=jnp.int32),
+                jnp.sum(conv, dtype=jnp.int32)])
+    else:
+        run_batch = None
+
+    def run_batch_bf(key: jax.Array, sigma: jnp.ndarray):
         kinfo, knoise = jax.random.split(key)
         if all_zeros:
             info = shard_b(jnp.zeros((B, code.k), jnp.uint8))
@@ -323,6 +379,9 @@ def make_run_batch(
             jnp.int32(B), jnp.sum(lane_bits), jnp.sum(lane_frame),
             jnp.sum(iters, dtype=jnp.int32),
             jnp.sum(conv, dtype=jnp.int32)])
+
+    if run_batch is None:
+        run_batch = run_batch_bf
 
     if superbatches > 1:
         inner = run_batch

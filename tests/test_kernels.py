@@ -190,3 +190,30 @@ class TestTwoPhaseET:
         np.testing.assert_array_equal(h2, h1)
         np.testing.assert_array_equal(it2, it1)
         np.testing.assert_array_equal(cv2, cv1)
+
+
+def test_pre_transposed_decode_matches(rng):
+    """pre_transposed=True consumes (nb, Z, B) and must produce identical
+    results to the (B, n) entry on the same logical inputs — both layouts,
+    with and without ET."""
+    from ldpc_tpu.codes.ieee80211n import make_code as wifi_code
+    code = wifi_code(648, "1/2")
+    B = 1024
+    chan = _random_llrs(rng, B, code.n)
+    for bt, kw in ((1024, dict(schedule="flooding", early_term=False,
+                               max_iter=4)),
+                   (256, dict(schedule="layered", early_term=True,
+                              max_iter=3, beta=2))):
+        d_n = make_pallas_decoder(code, qmax=127, batch_tile=bt,
+                                  interpret=True, **kw)
+        d_t = make_pallas_decoder(code, qmax=127, batch_tile=bt,
+                                  interpret=True, pre_transposed=True, **kw)
+        nb, Z = code.base.shape[1], code.Z
+        chan_t = np.ascontiguousarray(
+            chan.reshape(B, nb, Z).transpose(1, 2, 0))
+        h1, i1, c1 = map(np.asarray, d_n(chan))
+        h2t, i2, c2 = map(np.asarray, d_t(chan_t))
+        h2 = h2t.reshape(code.n, B).T
+        np.testing.assert_array_equal(h1, h2)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(c1, c2)
