@@ -440,6 +440,9 @@ def make_pallas_decoder(
     ]
     if flooding:
         scratch.append(pltpu.VMEM((nb, Z) + bshape, _C))  # totals B
+    import math as _math
+    scratch_bytes = sum(
+        _math.prod(s.shape) * jnp.dtype(s.dtype).itemsize for s in scratch)
 
     def decode(chan: jnp.ndarray):
         """chan: (B, n) int8, or (nb, Z, B) when pre_transposed (the
@@ -499,6 +502,8 @@ def make_pallas_decoder(
                 jax.ShapeDtypeStruct(mask_full, jnp.int8),
             ],
             scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=max(16 * 2 ** 20, int(scratch_bytes * 1.6))),
             interpret=interpret,
         )(chan_t)
         if pre_transposed:

@@ -60,16 +60,27 @@ def make_stream_decoder(
     qmax: int = 127,
     batch_tile: int = 128,
     interpret: bool = False,
+    static_unroll: bool = True,
 ) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
-    """decode(chan_i8[B, n]) -> (hard u8, iters i32, conv bool)."""
+    """decode(chan_i8[B, n]) -> (hard u8, iters i32, conv bool).
+
+    static_unroll (default, even-mb codes): the layer schedule is unrolled
+    at trace time — exact per-layer degrees (no masked compute; NR BG1 pads
+    22 slots for mostly-degree-5 layers), static concat rotations instead
+    of dynamic pltpu.rolls, static DMA indices, no SMEM metadata. Falls
+    back to the dynamic fori kernel for odd mb (slot parity must alternate
+    per STEP, which is only layer-static when mb is even).
+    """
     if code.base is None or code.Z is None:
         raise ValueError(f"{code.name}: streaming decoder requires QC structure")
-    if code.Z % 8:
+    if code.Z % 8 and not (static_unroll and code.base.shape[0] % 2 == 0):
+        # Only the DYNAMIC kernel needs sublane-aligned Z (its traced-shift
+        # pltpu.rolls and traced-index DMAs reject unaligned shapes); the
+        # static-unrolled kernel uses compile-time shifts and indices.
         raise ValueError(
-            f"{code.name}: streaming decoder requires sublane-aligned Z "
-            f"(multiple of 8), got Z={code.Z} — Mosaic dynamic rolls and "
-            f"block DMAs reject unaligned shapes (DVB-S2 Z=360 and NR "
-            f"Z=384 qualify; use the VMEM or qc-jnp decoder otherwise)")
+            f"{code.name}: the dynamic streaming kernel requires "
+            f"sublane-aligned Z (multiple of 8), got Z={code.Z} — use the "
+            f"static-unrolled path (even mb), or the VMEM/qc-jnp decoder")
     qc = compile_qc_layout(code)
     if not (qc.layer_mask.sum(axis=1) >= 2).all():
         # A degree-1 base row would leave min2 at the 1<<14 sentinel and
@@ -99,6 +110,18 @@ def make_stream_decoder(
             if lmask[l, s] and int(lcols[l, s]) in prev_cols:
                 fwd[l, s] = prev_cols[int(lcols[l, s])]
     pfetch = ((lmask > 0) & (fwd < 0)).astype(np.int32)
+
+    # Static per-layer schedule: LAYERS[l] = [(col, shift, entry, fwd_src)]
+    LAYERS = []
+    for l in range(mb):
+        ents = []
+        for s in range(D):
+            if lmask[l, s]:
+                fw = int(fwd[l, s]) if fwd[l, s] >= 0 else None
+                ents.append((int(lcols[l, s]), int(lshifts[l, s]),
+                             int(lent[l, s]), fw))
+        LAYERS.append(ents)
+    use_static = static_unroll and mb % 2 == 0
 
     total = max_iter * mb
 
@@ -258,6 +281,147 @@ def make_stream_decoder(
                         c2v_ref.at[t, int(lent[l, s])],
                         cw.at[slot, s]).wait()
 
+    def _rot_f(x, sh):
+        # y[r] = x[(r + sh) % Z] (static shift, vreg-level concat)
+        if sh == 0:
+            return x
+        return jnp.concatenate([x[sh:], x[:sh]], axis=0)
+
+    def _rot_b(x, sh):
+        if sh == 0:
+            return x
+        return jnp.concatenate([x[-sh:], x[:-sh]], axis=0)
+
+    def kernel_static(c2v_in_ref, post_in_ref, post_ref, c2v_ref,
+                      pbuf, cbuf, pf, cf, pw, cw):
+        t = pl.program_id(0)
+
+        def pF(slot, col, s):
+            return pltpu.make_async_copy(post_ref.at[t, col],
+                                         pbuf.at[slot, s], pf.at[slot, s])
+
+        def cF(slot, ent, s):
+            return pltpu.make_async_copy(c2v_ref.at[t, ent],
+                                         cbuf.at[slot, s], cf.at[slot, s])
+
+        def pW(slot, col, s):
+            return pltpu.make_async_copy(pbuf.at[slot, s],
+                                         post_ref.at[t, col],
+                                         pw.at[slot, s])
+
+        def cW(slot, ent, s):
+            return pltpu.make_async_copy(cbuf.at[slot, s],
+                                         c2v_ref.at[t, ent], cw.at[slot, s])
+
+        # Prologue: layer 0 fully fetched into slot 0.
+        for s, (col, sh, e, fw) in enumerate(LAYERS[0]):
+            pF(0, col, s).start()
+            cF(0, e, s).start()
+
+        def iter_body(it, _):
+            for l in range(mb):
+                A = l % 2
+                Bs_ = 1 - A
+                ents = LAYERS[l]
+                ln = (l + 1) % mb
+                lp = (l - 1) % mb
+
+                # 1. wait this layer's fetches (forwarded posterior blocks
+                # were only ever fetched by the prologue: l == 0, it == 0).
+                for s, (col, sh, e, fw) in enumerate(ents):
+                    if fw is None:
+                        pF(A, col, s).wait()
+                    elif l == 0:
+                        @pl.when(it == 0)
+                        def _():
+                            pF(0, col, s).wait()
+                    cF(A, e, s).wait()
+
+                # 2. forward shared posterior blocks from the previous layer
+                for s, (col, sh, e, fw) in enumerate(ents):
+                    if fw is not None:
+                        if l == 0:
+                            @pl.when(it > 0)
+                            def _():
+                                pbuf[A, s] = pbuf[Bs_, fw]
+                        else:
+                            pbuf[A, s] = pbuf[Bs_, fw]
+
+                # 3. drain layer l-1's writebacks (they used slot Bs_), then
+                # prefetch layer l+1 into it — BEFORE this layer's compute,
+                # so the DMAs overlap it.
+                def wb_waits(lp=lp, Bs_=Bs_):
+                    for s2, (c2, _s, e2, _f) in enumerate(LAYERS[lp]):
+                        pW(Bs_, c2, s2).wait()
+                        cW(Bs_, e2, s2).wait()
+
+                def next_fetches(ln=ln, Bs_=Bs_):
+                    for s2, (c2, _s, e2, f2) in enumerate(LAYERS[ln]):
+                        if f2 is None:
+                            pF(Bs_, c2, s2).start()
+                        cF(Bs_, e2, s2).start()
+
+                if l == 0:
+                    @pl.when(it > 0)
+                    def _():
+                        wb_waits()
+                    next_fetches()
+                elif l == mb - 1:
+                    wb_waits()
+
+                    @pl.when(it + 1 < max_iter)
+                    def _():
+                        next_fetches()
+                else:
+                    wb_waits()
+                    next_fetches()
+
+                # 4. CN update — exact degree, static rotations, sign parity
+                # in bit 31 (see minsum_pallas._cn_minsum).
+                v2cs, olds = [], []
+                for s, (col, sh, e, fw) in enumerate(ents):
+                    old = cbuf[A, s].astype(_C)
+                    rolled = _rot_f(pbuf[A, s], sh)
+                    v2cs.append(jnp.clip(rolled - old, -qmax, qmax))
+                    olds.append(old)
+                mags = [jnp.abs(v) for v in v2cs]
+                min1 = mags[0]
+                min2 = jnp.full_like(min1, jnp.array(1 << 14, _C))
+                negacc = v2cs[0]
+                for i2 in range(1, len(v2cs)):
+                    m = mags[i2]
+                    min2 = jnp.minimum(min2, jnp.maximum(min1, m))
+                    min1 = jnp.minimum(min1, m)
+                    negacc = negacc ^ v2cs[i2]
+                if beta:
+                    zero = jnp.zeros_like(min1)
+                    bc = jnp.array(beta, _C)
+                    min1_o = jnp.maximum(min1 - bc, zero)
+                    min2_o = jnp.maximum(min2 - bc, zero)
+                else:
+                    min1_o, min2_o = min1, min2
+                for s, (col, sh, e, fw) in enumerate(ents):
+                    mag = jnp.where(mags[s] == min1, min2_o, min1_o)
+                    excl = negacc ^ v2cs[s]
+                    new = jnp.where(excl < 0, -mag, mag)
+                    pbuf[A, s] = pbuf[A, s] + _rot_b(new - olds[s], sh)
+                    cbuf[A, s] = new.astype(jnp.int8)
+
+                # 5. start this layer's writebacks
+                for s, (col, sh, e, fw) in enumerate(ents):
+                    pW(A, col, s).start()
+                    cW(A, e, s).start()
+            return 0
+
+        jax.lax.fori_loop(0, max_iter, iter_body, 0)
+
+        # Epilogue: drain the last two layers' writebacks.
+        for l in ((mb - 2, mb - 1) if mb >= 2 else (mb - 1,)):
+            A = l % 2
+            for s, (col, sh, e, fw) in enumerate(LAYERS[l]):
+                pW(A, col, s).wait()
+                cW(A, e, s).wait()
+
     lcols_j, lshifts_j = jnp.asarray(lcols), jnp.asarray(lshifts)
     lmask_j, lent_j = jnp.asarray(lmask), jnp.asarray(lent)
     fwd_j, pfetch_j = jnp.asarray(fwd), jnp.asarray(pfetch)
@@ -285,26 +449,14 @@ def make_stream_decoder(
                   .reshape(n_tiles, batch_tile, nb, Z)
                   .transpose(0, 2, 3, 1))
         post_init = chan_t.astype(_C)
-        gs = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
-            grid=(n_tiles,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),  # c2v init (zeros)
-                pl.BlockSpec(memory_space=pl.ANY),  # post init (chan32)
-            ],
-            out_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),  # post
-                pl.BlockSpec(memory_space=pl.ANY),  # c2v
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((2, D, Z, batch_tile), _C),
-                pltpu.VMEM((2, D, Z, batch_tile), jnp.int8),
-                pltpu.SemaphoreType.DMA((2, D)),
-                pltpu.SemaphoreType.DMA((2, D)),
-                pltpu.SemaphoreType.DMA((2, D)),
-                pltpu.SemaphoreType.DMA((2, D)),
-            ],
-        )
+        scratch = [
+            pltpu.VMEM((2, D, Z, batch_tile), _C),
+            pltpu.VMEM((2, D, Z, batch_tile), jnp.int8),
+            pltpu.SemaphoreType.DMA((2, D)),
+            pltpu.SemaphoreType.DMA((2, D)),
+            pltpu.SemaphoreType.DMA((2, D)),
+            pltpu.SemaphoreType.DMA((2, D)),
+        ]
         # Slot buffers alone can exceed the default 16 MB scoped-VMEM cap
         # for high-row-degree codes (NR BG1: D=22). The chip has more
         # physical VMEM (verified by running a 17.5 MB kernel at a raised
@@ -314,21 +466,47 @@ def make_stream_decoder(
         # observed actual stack need for NR BG1 (D=22): 1.98x bufs; leave
         # real headroom beyond that
         vmem_limit = max(16 * 2 ** 20, int(bufs * 2.4))
-        post, _ = pl.pallas_call(
-            kernel,
-            out_shape=[
-                jax.ShapeDtypeStruct((n_tiles, nb, Z, batch_tile), _C),
-                jax.ShapeDtypeStruct((n_tiles, n_entries, Z, batch_tile),
-                                     jnp.int8),
-            ],
-            grid_spec=gs,
-            input_output_aliases={7: 0, 6: 1},
-            compiler_params=pltpu.CompilerParams(
-                has_side_effects=True, vmem_limit_bytes=vmem_limit),
-            interpret=interpret,
-        )(lcols_j, lshifts_j, lmask_j, lent_j, fwd_j, pfetch_j,
-          jnp.zeros((n_tiles, n_entries, Z, batch_tile), jnp.int8),
-          post_init)
+        params = pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=vmem_limit)
+        out_shape = [
+            jax.ShapeDtypeStruct((n_tiles, nb, Z, batch_tile), _C),
+            jax.ShapeDtypeStruct((n_tiles, n_entries, Z, batch_tile),
+                                 jnp.int8),
+        ]
+        c2v_init = jnp.zeros((n_tiles, n_entries, Z, batch_tile), jnp.int8)
+        if use_static:
+            gs = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0,
+                grid=(n_tiles,),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+                out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+                scratch_shapes=scratch,
+            )
+            post, _ = pl.pallas_call(
+                kernel_static,
+                out_shape=out_shape,
+                grid_spec=gs,
+                input_output_aliases={1: 0, 0: 1},
+                compiler_params=params,
+                interpret=interpret,
+            )(c2v_init, post_init)
+        else:
+            gs = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=6,
+                grid=(n_tiles,),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+                out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+                scratch_shapes=scratch,
+            )
+            post, _ = pl.pallas_call(
+                kernel,
+                out_shape=out_shape,
+                grid_spec=gs,
+                input_output_aliases={7: 0, 6: 1},
+                compiler_params=params,
+                interpret=interpret,
+            )(lcols_j, lshifts_j, lmask_j, lent_j, fwd_j, pfetch_j,
+              c2v_init, post_init)
         post3 = post.transpose(0, 3, 1, 2).reshape(B, nb, Z)
         hard = (post3 < 0).reshape(B, n).astype(jnp.uint8)
         conv = syndrome_ok(post3)

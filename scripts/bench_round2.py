@@ -67,7 +67,7 @@ def wifi_pipeline(batch_tile):
             "info_gbps": round(batch * code.k / sec / 1e9, 4)}
 
 
-def wifi_decode():
+def wifi_decode(bt=512, c2v=None):
     jax = setup()
     import jax.numpy as jnp
     from ldpc_tpu.config import PRESETS
@@ -76,17 +76,25 @@ def wifi_decode():
     cfg = PRESETS["wifi-648-r12-minsum"]
     code = build_code(cfg)
     batch = 16384
-    dec, backend = select_decoder(code, cfg, "pallas", 512)
+    if c2v is None:
+        dec, backend = select_decoder(code, cfg, "pallas", bt)
+    else:
+        from ldpc_tpu.kernels.minsum_pallas import make_pallas_decoder
+        import jax.numpy as jnp2
+        dec = make_pallas_decoder(code, max_iter=20, beta=0, qmax=127,
+                                  schedule="flooding", early_term=False,
+                                  batch_tile=bt, c2v_dtype=getattr(jnp2, c2v))
+        backend = f"pallas-{c2v}"
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.integers(-40, 40, size=(batch, code.n)).astype(np.int8))
     jdec = jax.jit(lambda x: dec(x))
     sec = fetch_timed(jdec, q, reps=10, trials=5)
-    return {"variant": "wifi_decode_bt512", "backend": backend,
+    return {"variant": f"wifi_decode_bt{bt}", "backend": backend,
             "ms_per_batch": round(sec * 1e3, 3),
             "info_gbps": round(batch * code.k / sec / 1e9, 4)}
 
 
-def wifi_et(schedule, phase1=None, frac=0.25):
+def wifi_et(schedule, phase1=None, frac=0.25, db=2.0):
     jax = setup()
     import dataclasses
     from ldpc_tpu.config import PRESETS
@@ -101,12 +109,12 @@ def wifi_et(schedule, phase1=None, frac=0.25):
     batch = 16384
     rb = make_run_batch(code, cfg, batch=batch, decoder_backend="auto",
                         batch_tile=512)
-    sigma = np.float32(sigma_for(2.0, code.rate, "bpsk"))
+    sigma = np.float32(sigma_for(db, code.rate, "bpsk"))
     key = jax.random.PRNGKey(0)
     sec = fetch_timed(lambda k: rb(k, sigma), key, reps=10, trials=5)
     out = np.asarray(rb(key, sigma))
     tag = f"_2p{phase1}f{frac}" if phase1 else ""
-    return {"variant": f"wifi_oms_et_{schedule}{tag}_2.0dB",
+    return {"variant": f"wifi_oms_et_{schedule}{tag}_{db}dB",
             "ms_per_batch": round(sec * 1e3, 3),
             "info_gbps": round(batch * code.k / sec / 1e9, 4),
             "avg_iters": round(float(out[3]) / batch, 2),
@@ -188,6 +196,13 @@ def main():
         "wifi_flat": lambda: wifi_pipeline(512),
         "wifi_vreg": lambda: wifi_pipeline(1024),
         "wifi_decode": wifi_decode,
+        "wifi_decode_2048": lambda: wifi_decode(2048, "int8"),
+        "wifi_et_25": lambda: wifi_et("flooding", db=2.5),
+        "wifi_et_2p8_25": lambda: wifi_et("flooding", phase1=8, frac=0.1875,
+                                          db=2.5),
+        "wifi_et_2p6_30": lambda: wifi_et("flooding", phase1=6, frac=0.125,
+                                          db=3.0),
+        "wifi_et_30": lambda: wifi_et("flooding", db=3.0),
         "wifi_et": lambda: wifi_et("flooding"),
         "wifi_et_layered": lambda: wifi_et("layered"),
         "wifi_et_2p": lambda: wifi_et("flooding", phase1=8),

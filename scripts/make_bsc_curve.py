@@ -51,7 +51,7 @@ def main():
         hard, iters, conv = dec(q)
         err = hard[:, info_pos] != info
         return jnp.stack([jnp.sum(err, dtype=jnp.int32),
-                          jnp.sum(jnp.any(err, axis=-1), jnp.int32),
+                          jnp.sum(jnp.any(err, axis=-1), dtype=jnp.int32),
                           jnp.sum(conv, dtype=jnp.int32)])
 
     run_j = jax.jit(run)

@@ -2,6 +2,7 @@
 (itself golden-exact) — the HBM-resident decode path for codes whose state
 exceeds VMEM (SURVEY.md §5.7)."""
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -77,11 +78,25 @@ class TestStreamKernel:
         np.testing.assert_array_equal(h, ho)
         np.testing.assert_array_equal(cv, cvo)
 
-    def test_unaligned_z_rejected(self):
+    def test_unaligned_z_dynamic_rejected_static_works(self, rng):
+        """Round 2: the static-unrolled kernel (compile-time shifts/indices)
+        lifts the Z % 8 == 0 restriction; only the dynamic fallback keeps
+        it. Z=27 (802.11n) must decode bit-exactly via the static path."""
         from ldpc_tpu.codes.ieee80211n import make_code
         from ldpc_tpu.kernels.minsum_stream import make_stream_decoder
+        from ldpc_tpu.ops.decode_qc import make_qc_decoder
         with pytest.raises(ValueError, match="sublane-aligned"):
-            make_stream_decoder(make_code(648, "1/2"))  # Z=27
+            make_stream_decoder(make_code(648, "1/2"), static_unroll=False)
+        code = make_code(648, "1/2")  # Z=27, mb=12 (even)
+        chan = _llrs(rng, 128, code.n)
+        dec = make_stream_decoder(code, max_iter=5, beta=2, qmax=127,
+                                  batch_tile=128, interpret=True)
+        ref = make_qc_decoder(code, max_iter=5, beta=2, qmax=127,
+                              schedule="layered", early_term=False)
+        h, _, cv = map(np.asarray, dec(jnp.asarray(chan)))
+        ho, _, cvo = map(np.asarray, ref(jnp.asarray(chan)))
+        np.testing.assert_array_equal(h, ho)
+        np.testing.assert_array_equal(cv, cvo)
 
     def test_auto_dispatch_dvbs2_stream(self, monkeypatch):
         import jax
@@ -126,3 +141,22 @@ class TestStreamKernelPipelined:
         ho, ito, cvo = map(np.asarray, ref(chan))
         np.testing.assert_array_equal(h, ho)
         np.testing.assert_array_equal(cv, cvo)
+
+
+def test_stream_static_equals_dynamic(rng):
+    """Static-unrolled and dynamic stream kernels must agree bit-for-bit
+    where both apply (even mb, Z % 8 == 0)."""
+    from ldpc_tpu.codes.nr_bg import make_code as make_nr
+    from ldpc_tpu.kernels.minsum_stream import make_stream_decoder
+    code = make_nr(base_graph=2, Z=16)
+    chan = _llrs(rng, 128, code.n)
+    ds = make_stream_decoder(code, max_iter=6, beta=2, qmax=127,
+                             batch_tile=128, interpret=True,
+                             static_unroll=True)
+    dd = make_stream_decoder(code, max_iter=6, beta=2, qmax=127,
+                             batch_tile=128, interpret=True,
+                             static_unroll=False)
+    h1, i1, c1 = map(np.asarray, ds(jnp.asarray(chan)))
+    h2, i2, c2 = map(np.asarray, dd(jnp.asarray(chan)))
+    np.testing.assert_array_equal(h1, h2)
+    np.testing.assert_array_equal(c1, c2)
