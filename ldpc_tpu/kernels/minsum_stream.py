@@ -415,12 +415,16 @@ def make_stream_decoder(
 
         jax.lax.fori_loop(0, max_iter, iter_body, 0)
 
-        # Epilogue: drain the last two layers' writebacks.
-        for l in ((mb - 2, mb - 1) if mb >= 2 else (mb - 1,)):
-            A = l % 2
-            for s, (col, sh, e, fw) in enumerate(LAYERS[l]):
-                pW(A, col, s).wait()
-                cW(A, e, s).wait()
+        # Epilogue: ONLY layer mb-1's writebacks are still outstanding —
+        # every other layer l's were waited at layer l+1's phase 3 (the
+        # last layer's wb_waits runs unconditionally, unlike the dynamic
+        # kernel's step-gated variant). Waiting any of them twice would
+        # underflow the DMA semaphore and fault the chip.
+        lE = mb - 1
+        A = lE % 2
+        for s, (col, sh, e, fw) in enumerate(LAYERS[lE]):
+            pW(A, col, s).wait()
+            cW(A, e, s).wait()
 
     lcols_j, lshifts_j = jnp.asarray(lcols), jnp.asarray(lshifts)
     lmask_j, lent_j = jnp.asarray(lmask), jnp.asarray(lent)
