@@ -29,7 +29,7 @@ def main():
         decoder=dataclasses.replace(cfg.decoder, algorithm="offset-min-sum",
                                     early_term=True),
         quant=dataclasses.replace(cfg.quant, beta_lsb=2),
-        run=dataclasses.replace(cfg.run, batch=8192))
+        run=dataclasses.replace(cfg.run, batch=7680))
     ebn0 = [1.0, 1.5, 2.0, 2.5, 3.0, 3.5]
     target_fe, max_fr = 200, 400_000
 
