@@ -226,6 +226,11 @@ def make_run_batch(
     b % n_points, and every counter comes back with shape (n_points,) — all
     SNR points of a sweep advance inside one sharded device program."""
     B = batch or cfg.run.batch
+    # the kernel tile must divide the batch; halve until it does (non-
+    # power-of-two batches, e.g. fused sweeps striping 6 points, land on
+    # a smaller tile automatically)
+    while batch_tile > 128 and B % batch_tile:
+        batch_tile //= 2
     mod = cfg.channel.modulation
     enc = make_encoder(code)
     float_mode = is_float_mode(cfg)

@@ -83,6 +83,7 @@ class Sweep:
                  lookahead: int = 4, superbatches: int = 1):
         self.lookahead = max(1, lookahead)
         self.superbatches = max(1, superbatches)
+        self.batch_tile = batch_tile
         self.cfg = cfg
         self.mesh = mesh
         self.code = build_code(cfg)
@@ -127,6 +128,7 @@ class Sweep:
         P = len(ebn0_list)
         rb = make_run_batch(self.code, self.cfg, batch=self.batch,
                             mesh=self.mesh, decoder_backend=self.backend,
+                            batch_tile=self.batch_tile,
                             n_points=P, superbatches=self.superbatches)
         base_sigmas = np.asarray(
             [sigma_for(e, self.code.rate, self.cfg.channel.modulation)
