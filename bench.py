@@ -68,7 +68,7 @@ def main() -> None:
     # the production sweep driver's amortization of the tunneled
     # platform's per-call dispatch overhead (~2-3 ms, which does not exist
     # on directly-attached hardware). Counters sum exactly.
-    superbatches = 16
+    superbatches = 32
     run_batch = make_run_batch(code, cfg, batch=batch,
                                decoder_backend="auto", batch_tile=512,
                                superbatches=superbatches)
@@ -78,7 +78,7 @@ def main() -> None:
 
     out = run_batch(key, sigma)          # compile + warm up
     bit_errs = int(out[1])
-    trials, reps = 5, 3
+    trials, reps = 6, 2
     best = float("inf")
     for t in range(trials):
         t0 = time.time()

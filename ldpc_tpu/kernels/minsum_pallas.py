@@ -174,6 +174,8 @@ def make_pallas_decoder(
     interpret: bool = False,
     c2v_dtype=jnp.int32,
     pre_transposed: bool = False,
+    input_scale=None,
+    count_info_cols=None,
 ) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Build decode(chan_i8[B, n]) -> (hard[B, n] u8, iters[B] i32, conv[B] bool).
 
@@ -184,6 +186,17 @@ def make_pallas_decoder(
     other tile sizes use the flat (Z, batch_tile) layout.
     c2v_dtype=int32 avoids two per-entry conversions when VMEM allows; int16/
     int8 halve/quarter the message footprint for bigger codes.
+
+    Fused-IO extensions (both require pre_transposed; the Monte-Carlo fast
+    path — measured ~0.8 ms/16k-batch of XLA-side fusions on v5e):
+      input_scale: chan is float32 LLRs; the kernel quantizes during init
+        with golden semantics (round half away from zero, clip to +-qmax),
+        bit-identical to ops/quantize.quantize in float32.
+      count_info_cols=kb: decode(chan_t, info_t[kb, Z, B]) returns
+        (lane_bit_errs[B] i32, lane_frame_err[B] i8, iters[B], conv[B])
+        instead of hard bits — error counting against the systematic info
+        block happens in VMEM and the (nb, Z, B) hard output never touches
+        HBM. Caller must verify info positions are the identity prefix.
     """
     if code.base is None or code.Z is None:
         raise ValueError(f"{code.name}: Pallas decoder requires QC structure")
@@ -210,23 +223,73 @@ def make_pallas_decoder(
 
     flooding = schedule == "flooding"
     mshape = (1,) + bshape  # per-lane masks/counters
+    counting = count_info_cols is not None
+    fused_in = input_scale is not None
+    if (counting or fused_in) and not pre_transposed:
+        raise ValueError("fused-IO modes require pre_transposed=True")
 
-    def kernel(chan_ref, hard_ref, iters_ref, conv_ref, post_ref, c2v_ref,
-               *maybe_tot):
-        tot_ref = maybe_tot[0] if maybe_tot else None
+    def kernel(*refs):
+        it_refs = iter(refs)
+        chan_ref = next(it_refs)
+        info_ref = next(it_refs) if counting else None
+        if counting:
+            bits_ref = next(it_refs)
+            frame_ref = next(it_refs)
+        else:
+            hard_ref = next(it_refs)
+        iters_ref = next(it_refs)
+        conv_ref = next(it_refs)
+        post_ref = next(it_refs)
+        c2v_ref = next(it_refs)
+        tot_ref = next(it_refs) if flooding else None
+        qchan_ref = next(it_refs) if fused_in else None
+        if counting:
+            hard_ref = next(it_refs)  # VMEM scratch, never leaves the chip
 
         # Convergence masks are int32 0/1 (not bool): Mosaic rejects broadcast
         # relayouts of i1 vectors across sublanes, and multiply-by-mask is a
         # plain VPU op. done=1 freezes a lane (golden early-term semantics).
-        def chan32(j):
-            return chan_ref[j].astype(_C)
+        if fused_in:
+            # In-kernel quantizer, bit-identical to ops/quantize.quantize in
+            # float32: round half away from zero, symmetric clip.
+            scale_f = jnp.float32(input_scale)
+            qmax_f = jnp.float32(qmax)
 
-        for j in range(nb):
-            post_ref[j] = chan32(j)
+            def quant32(j):
+                xs = chan_ref[j] * scale_f
+                r = jnp.where(xs >= 0, jnp.floor(xs + 0.5),
+                              jnp.ceil(xs - 0.5))
+                return jnp.clip(r, -qmax_f, qmax_f).astype(_C)
+
+            for j in range(nb):
+                q = quant32(j)
+                qchan_ref[j] = q.astype(jnp.int8)
+                post_ref[j] = q
+
+            def chan32(j):
+                return qchan_ref[j].astype(_C)
+        else:
+            def chan32(j):
+                return chan_ref[j].astype(_C)
+
+            for j in range(nb):
+                post_ref[j] = chan32(j)
         if not (flooding and not early_term):
             # The specialized first flooding sweep below writes every c2v
             # entry, so the plain-flooding path skips this whole-buffer fill.
             c2v_ref[...] = jnp.zeros(c2v_ref.shape, c2v_ref.dtype)
+
+        def emit_counts():
+            """Per-lane info-bit error count + frame flag from the final
+            (latched) hard bits vs the systematic info block — the XLA-side
+            compare/reduce fusions move into VMEM."""
+            bits = None
+            for j in range(count_info_cols):
+                d = hard_ref[j].astype(_C) ^ info_ref[j].astype(_C)
+                s = jnp.sum(d, axis=0, keepdims=True)
+                bits = s if bits is None else bits + s
+            bits_ref[...] = bits
+            frame_ref[...] = (bits > 0).astype(jnp.int8)
 
         def syndrome_ok(read):
             """(1, Bs, 128) int32 — 1 where every check is satisfied."""
@@ -433,6 +496,8 @@ def make_pallas_decoder(
                 hard_ref[j] = (final_read(j) < 0).astype(_C).astype(jnp.int8)
             iters_ref[...] = jnp.full(mshape, max_iter, _I32)
             conv_ref[...] = syndrome_ok(final_read).astype(jnp.int8)
+        if counting:
+            emit_counts()
 
     scratch = [
         pltpu.VMEM((nb, Z) + bshape, _C),                # post / totals A
@@ -440,72 +505,97 @@ def make_pallas_decoder(
     ]
     if flooding:
         scratch.append(pltpu.VMEM((nb, Z) + bshape, _C))  # totals B
+    if fused_in:
+        scratch.append(pltpu.VMEM((nb, Z) + bshape, jnp.int8))  # qchan
+    if counting:
+        scratch.append(pltpu.VMEM((nb, Z) + bshape, jnp.int8))  # hard bits
     import math as _math
     scratch_bytes = sum(
         _math.prod(s.shape) * jnp.dtype(s.dtype).itemsize for s in scratch)
 
-    def decode(chan: jnp.ndarray):
+    in_dtype = jnp.float32 if fused_in else jnp.int8
+
+    def decode(chan: jnp.ndarray, info: jnp.ndarray = None):
         """chan: (B, n) int8, or (nb, Z, B) when pre_transposed (the
         transposed-pipeline fast path: the caller's chain runs batch-last,
         so feeding the kernel layout is a pure reshape — no 10-MB int8
-        transposes in or out)."""
+        transposes in or out). float32 LLRs when input_scale is set.
+        info: (kb, Z, B) uint8 systematic bits when count_info_cols."""
         B = chan.shape[-1] if pre_transposed else chan.shape[0]
         assert B % batch_tile == 0, (B, batch_tile)
+        assert (info is not None) == counting
         n_tiles = B // batch_tile
         if vreg_layout:
             # kernel layout (nb, Z, T*Bs, 128): variable v = j*Z + r of
             # codeword b = t*Bt + u*128 + l lands at [j, r, t*Bs + u, l].
             if pre_transposed:
-                chan_t = chan.astype(jnp.int8).reshape(
+                chan_t = chan.astype(in_dtype).reshape(
                     nb, Z, n_tiles * Bs, LANES)
             else:
-                chan_t = (chan.astype(jnp.int8)
+                chan_t = (chan.astype(in_dtype)
                           .reshape(n_tiles * Bs, LANES, nb, Z)
                           .transpose(2, 3, 0, 1))
-            state_block = (nb, Z, Bs, LANES)
+            bdims = (n_tiles * Bs, LANES)
+            blockb = (Bs, LANES)
             state_idx = lambda i: (0, 0, i, 0)  # noqa: E731
-            mask_block = (1, Bs, LANES)
             mask_idx = lambda i: (0, i, 0)  # noqa: E731
-            state_full = (nb, Z, n_tiles * Bs, LANES)
-            mask_full = (1, n_tiles * Bs, LANES)
         else:
             # kernel layout (nb, Z, B): batch on lanes, Z on sublanes.
             if pre_transposed:
-                chan_t = chan.astype(jnp.int8).reshape(nb, Z, B)
+                chan_t = chan.astype(in_dtype).reshape(nb, Z, B)
             else:
-                chan_t = (chan.astype(jnp.int8)
+                chan_t = (chan.astype(in_dtype)
                           .reshape(B, nb, Z).transpose(1, 2, 0))
-            state_block = (nb, Z, batch_tile)
+            bdims = (B,)
+            blockb = (batch_tile,)
             state_idx = lambda i: (0, 0, i)  # noqa: E731
-            mask_block = (1, batch_tile)
             mask_idx = lambda i: (0, i)  # noqa: E731
-            state_full = (nb, Z, B)
-            mask_full = (1, B)
-        hard_t, iters, conv = pl.pallas_call(
-            kernel,
-            grid=(n_tiles,),
-            in_specs=[
-                pl.BlockSpec(state_block, state_idx,
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec(state_block, state_idx,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(mask_block, mask_idx,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(mask_block, mask_idx,
-                             memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
+        state_block = (nb, Z) + blockb
+        mask_block = (1,) + blockb
+        state_full = (nb, Z) + bdims
+        mask_full = (1,) + bdims
+        state_spec = pl.BlockSpec(state_block, state_idx,
+                                  memory_space=pltpu.VMEM)
+        mask_spec = pl.BlockSpec(mask_block, mask_idx,
+                                 memory_space=pltpu.VMEM)
+        in_specs = [state_spec]
+        inputs = [chan_t]
+        if counting:
+            kb = count_info_cols
+            info_t = info.astype(jnp.int8).reshape((kb, Z) + bdims)
+            in_specs.append(pl.BlockSpec((kb, Z) + blockb, state_idx,
+                                         memory_space=pltpu.VMEM))
+            inputs.append(info_t)
+            out_specs = [mask_spec, mask_spec, mask_spec, mask_spec]
+            out_shape = [
+                jax.ShapeDtypeStruct(mask_full, _I32),     # lane bit errs
+                jax.ShapeDtypeStruct(mask_full, jnp.int8),  # lane frame err
+                jax.ShapeDtypeStruct(mask_full, _I32),     # iters
+                jax.ShapeDtypeStruct(mask_full, jnp.int8),  # conv
+            ]
+        else:
+            out_specs = [state_spec, mask_spec, mask_spec]
+            out_shape = [
                 jax.ShapeDtypeStruct(state_full, jnp.int8),
                 jax.ShapeDtypeStruct(mask_full, _I32),
                 jax.ShapeDtypeStruct(mask_full, jnp.int8),
-            ],
+            ]
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=max(16 * 2 ** 20, int(scratch_bytes * 1.6))),
             interpret=interpret,
-        )(chan_t)
+        )(*inputs)
+        if counting:
+            bits, frame, iters, conv = out
+            return (bits.reshape(B), frame.reshape(B).astype(jnp.int32),
+                    iters.reshape(B), conv.reshape(B).astype(jnp.bool_))
+        hard_t, iters, conv = out
         if pre_transposed:
             hard = hard_t.reshape(nb, Z, B).astype(jnp.uint8)
         elif vreg_layout:
@@ -520,7 +610,8 @@ def make_pallas_decoder(
 
 def make_decoder(code: LDPCCode, dec: DecoderConfig, quant: QuantConfig,
                  batch_tile: int = 256, interpret: bool = False,
-                 c2v_dtype=jnp.int32, pre_transposed: bool = False):
+                 c2v_dtype=jnp.int32, pre_transposed: bool = False,
+                 input_scale=None, count_info_cols=None):
     """Factory from configs, mirroring ops.decode_ref.make_decoder."""
     if dec.algorithm not in ("min-sum", "offset-min-sum"):
         raise ValueError(f"Pallas decoder supports the min-sum family, "
@@ -530,4 +621,5 @@ def make_decoder(code: LDPCCode, dec: DecoderConfig, quant: QuantConfig,
         code, max_iter=dec.max_iter, beta=beta, qmax=quant.qmax,
         schedule=dec.schedule, early_term=dec.early_term,
         batch_tile=batch_tile, interpret=interpret, c2v_dtype=c2v_dtype,
-        pre_transposed=pre_transposed)
+        pre_transposed=pre_transposed, input_scale=input_scale,
+        count_info_cols=count_info_cols)

@@ -44,7 +44,8 @@ def is_float_mode(cfg: SimConfig) -> bool:
 def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
                    batch_tile: int = 1024, interpret: bool = False,
                    batch: Optional[int] = None,
-                   pre_transposed: bool = False):
+                   pre_transposed: bool = False,
+                   fused_io: Optional[tuple] = None):
     """Decoder dispatch: the Pallas kernel on TPU, the jnp reference op
     elsewhere (SURVEY.md §2.1 C8: kernel + pure-XLA fallback); float
     algorithms always use the jnp float decoder.
@@ -102,10 +103,13 @@ def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
                 b = "qc-jnp"
             else:
                 chosen_bt[0] = bt
+                scale, kb = fused_io if fused_io else (None, None)
                 return mp.make_decoder(code, dec_cfg, cfg.quant,
                                        batch_tile=bt, interpret=interpret,
                                        c2v_dtype=dt,
-                                       pre_transposed=pre_transposed), "pallas"
+                                       pre_transposed=pre_transposed,
+                                       input_scale=scale,
+                                       count_info_cols=kb), "pallas"
         if b == "qc-jnp":
             from ..ops.decode_qc import make_decoder as make_qc
             return make_qc(code, dec_cfg, cfg.quant), "qc-jnp"
@@ -249,10 +253,22 @@ def make_run_batch(
                   and not (len(code.punct_vns) or len(code.shortened_vns))
                   and code.base is not None and code.Z is not None
                   and code.n <= 4096)
+    fused_io = None
     if transposed:
+        # Fused-IO upgrade: quantize inside the kernel (float32 LLR input)
+        # and, when the info bits are the identity prefix of the codeword
+        # (systematic QC codes), count info-bit errors in VMEM too — the
+        # XLA-side quantize and compare/reduce fusions cost ~0.8 ms per 16k
+        # batch on v5e (docs/PERFORMANCE.md).
+        ident_info = (code.k % code.Z == 0
+                      and np.array_equal(info_positions(code),
+                                         np.arange(code.k)))
+        fused_io = (float(cfg.quant.scale),
+                    code.k // code.Z if ident_info else None)
         dec, dec_label = select_decoder(code, cfg, decoder_backend,
                                         min(batch_tile, B), interpret,
-                                        batch=B, pre_transposed=True)
+                                        batch=B, pre_transposed=True,
+                                        fused_io=fused_io)
         if dec_label != "pallas":
             transposed = False
     if not transposed:
@@ -322,6 +338,7 @@ def make_run_batch(
         from ..ops.encode import make_encoder_t
         enc_t = make_encoder_t(code)
         nb, Z = code.base.shape[1], code.Z
+        kb = fused_io[1]
 
         def run_batch(key: jax.Array, sigma: jnp.ndarray):
             kinfo, knoise = jax.random.split(key)
@@ -330,12 +347,15 @@ def make_run_batch(
             cw_t = enc_t(info_t)
             x = ch.modulate(cw_t, "bpsk")
             y = ch.awgn(knoise, x, sigma)
-            llr = ch.demap(y, sigma, "bpsk")
-            q_t = shard_last(quantize(llr, cfg.quant))
-            hard_t, iters, conv = dec(q_t.reshape(nb, Z, B))
-            info_err = hard_t.reshape(code.n, B)[info_pos] != info_t
-            lane_bits = jnp.sum(info_err, axis=0, dtype=jnp.int32)
-            lane_frame = jnp.any(info_err, axis=0).astype(jnp.int32)
+            llr = shard_last(ch.demap(y, sigma, "bpsk"))
+            if kb is not None:
+                lane_bits, lane_frame, iters, conv = dec(
+                    llr.reshape(nb, Z, B), info_t.reshape(kb, Z, B))
+            else:
+                hard_t, iters, conv = dec(llr.reshape(nb, Z, B))
+                info_err = hard_t.reshape(code.n, B)[info_pos] != info_t
+                lane_bits = jnp.sum(info_err, axis=0, dtype=jnp.int32)
+                lane_frame = jnp.any(info_err, axis=0).astype(jnp.int32)
             return jnp.stack([
                 jnp.int32(B), jnp.sum(lane_bits), jnp.sum(lane_frame),
                 jnp.sum(iters, dtype=jnp.int32),

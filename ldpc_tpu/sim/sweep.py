@@ -84,6 +84,7 @@ class Sweep:
         self.lookahead = max(1, lookahead)
         self.superbatches = max(1, superbatches)
         self.batch_tile = batch_tile
+        self._fused_rb = {}  # n_points -> compiled fused run_batch
         self.cfg = cfg
         self.mesh = mesh
         self.code = build_code(cfg)
@@ -126,10 +127,14 @@ class Sweep:
                      else target_frame_errors)
         max_fr = rc.max_frames if max_frames is None else max_frames
         P = len(ebn0_list)
-        rb = make_run_batch(self.code, self.cfg, batch=self.batch,
-                            mesh=self.mesh, decoder_backend=self.backend,
-                            batch_tile=self.batch_tile,
-                            n_points=P, superbatches=self.superbatches)
+        if P not in self._fused_rb:
+            # cache per point-count: rebuilding would re-jit (and on the
+            # tunneled platform re-compile) the fused program every call
+            self._fused_rb[P] = make_run_batch(
+                self.code, self.cfg, batch=self.batch, mesh=self.mesh,
+                decoder_backend=self.backend, batch_tile=self.batch_tile,
+                n_points=P, superbatches=self.superbatches)
+        rb = self._fused_rb[P]
         base_sigmas = np.asarray(
             [sigma_for(e, self.code.rate, self.cfg.channel.modulation)
              for e in ebn0_list], np.float32)

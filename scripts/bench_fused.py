@@ -34,12 +34,17 @@ def main():
     target_fe, max_fr = 200, 400_000
 
     s_seq = Sweep(cfg, batch_tile=512, lookahead=8, superbatches=4)
+    # warm both compiled programs so the comparison is wall-clock of the
+    # SWEEP, not of the tunnel's multi-minute remote compiles
+    s_seq.run([2.0], target_frame_errors=10**9,
+              max_frames=cfg.run.batch * 4)
     t0 = time.time()
     r_seq = s_seq.run(ebn0, target_frame_errors=target_fe,
                       max_frames=max_fr)
     t_seq = time.time() - t0
 
     s_fus = Sweep(cfg, batch_tile=512, lookahead=8, superbatches=4)
+    s_fus.run_fused(ebn0, target_frame_errors=1, max_frames=cfg.run.batch)
     t0 = time.time()
     r_fus = s_fus.run_fused(ebn0, target_frame_errors=target_fe,
                             max_frames=max_fr)

@@ -217,3 +217,42 @@ def test_pre_transposed_decode_matches(rng):
         np.testing.assert_array_equal(h1, h2)
         np.testing.assert_array_equal(i1, i2)
         np.testing.assert_array_equal(c1, c2)
+
+
+def test_fused_io_counts_match(rng):
+    """input_scale (in-kernel quantizer) + count_info_cols (in-kernel error
+    counting) must reproduce exactly the external quantize + XLA counting on
+    the same float LLRs — both ET and fixed-iteration paths."""
+    from ldpc_tpu.codes.ieee80211n import make_code as wifi_code
+    from ldpc_tpu.ops.quantize import quantize
+    from ldpc_tpu.config import QuantConfig
+    import jax.numpy as jnp
+    code = wifi_code(648, "1/2")
+    nb, Z = code.base.shape[1], code.Z
+    kb = code.k // Z
+    B = 512
+    scale = 4.0
+    llr = (rng.standard_normal((code.n, B)) * 8).astype(np.float32)
+    info = rng.integers(0, 2, (code.k, B)).astype(np.uint8)
+    for kw in (dict(schedule="flooding", early_term=False, max_iter=4),
+               dict(schedule="flooding", early_term=True, max_iter=4),
+               dict(schedule="layered", early_term=True, max_iter=3,
+                    beta=2)):
+        d_f = make_pallas_decoder(code, qmax=127, batch_tile=256,
+                                  interpret=True, pre_transposed=True,
+                                  input_scale=scale, count_info_cols=kb,
+                                  **kw)
+        d_p = make_pallas_decoder(code, qmax=127, batch_tile=256,
+                                  interpret=True, pre_transposed=True, **kw)
+        bits, frame, it_f, cv_f = map(np.asarray, d_f(
+            jnp.asarray(llr).reshape(nb, Z, B),
+            jnp.asarray(info).reshape(kb, Z, B)))
+        q = np.asarray(quantize(jnp.asarray(llr),
+                                QuantConfig(bits=8, scale=scale)))
+        h_p, it_p, cv_p = map(np.asarray, d_p(
+            jnp.asarray(q).reshape(nb, Z, B)))
+        err = h_p.reshape(code.n, B)[:code.k] != info
+        np.testing.assert_array_equal(bits, err.sum(axis=0))
+        np.testing.assert_array_equal(frame.astype(bool), err.any(axis=0))
+        np.testing.assert_array_equal(it_f, it_p)
+        np.testing.assert_array_equal(cv_f, cv_p)
