@@ -69,9 +69,14 @@ def main() -> None:
     # platform's per-call dispatch overhead (~2-3 ms, which does not exist
     # on directly-attached hardware). Counters sum exactly.
     superbatches = 32
+    # rng="device": the Monte-Carlo megakernel — info bits, QC encode,
+    # Box-Muller AWGN, demap, quantize, decode and error counting all run
+    # inside the Pallas kernel off the TPU hardware PRNG (the production
+    # single-chip fast path; statistically validated against the host
+    # threefry chain in scripts/diag_mc_tpu.py).
     run_batch = make_run_batch(code, cfg, batch=batch,
                                decoder_backend="auto", batch_tile=512,
-                               superbatches=superbatches)
+                               superbatches=superbatches, rng="device")
     sigma = np.float32(sigma_for(cfg.channel.ebn0_db, code.rate,
                                  cfg.channel.modulation))
     key = jax.random.PRNGKey(0)

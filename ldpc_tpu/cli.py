@@ -80,6 +80,8 @@ def _build_config(args) -> SimConfig:
             run = dataclasses.replace(run, **{f: v})
     if args.all_zeros:
         run = dataclasses.replace(run, all_zeros=True)
+    if args.rng:
+        run = dataclasses.replace(run, rng=args.rng)
     return SimConfig(code=code, channel=chan, quant=quant, decoder=dec, run=run)
 
 
@@ -209,6 +211,11 @@ def build_parser() -> argparse.ArgumentParser:
                        default=None)
         q.add_argument("--all-zeros", action="store_true",
                        help="transmit the all-zeros codeword (skip encoder)")
+        q.add_argument("--rng", default=None, choices=["host", "device"],
+                       help="device = Monte-Carlo megakernel: the whole "
+                            "chain runs inside the decode kernel off the "
+                            "TPU hardware PRNG (single-chip fast path; "
+                            "host threefry elsewhere)")
     sw.add_argument("--ebn0", default="1.0:3.0:0.5",
                     help="lo:hi:step or comma list (dB)")
     sw.add_argument("--decoder-backend", default="auto",

@@ -115,6 +115,14 @@ class RunConfig:
     # The reference's classic shortcut: transmit the all-zeros codeword
     # (valid for any linear code + symmetric channel), skipping the encoder.
     all_zeros: bool = False
+    # RNG placement: "host" = XLA threefry chain (partitionable; same-seed
+    # counters identical across mesh sizes — the SURVEY.md §4.2 determinism
+    # contract). "device" = the Monte-Carlo megakernel: info bits + AWGN from
+    # the TPU per-core hardware PRNG inside the decode kernel (a different,
+    # still fully deterministic random family — streams keyed by
+    # (seed, sub-batch, batch tile); statistically, not bitwise, comparable
+    # to host mode). Falls back to host off-TPU / off the fast path.
+    rng: str = "host"
 
 
 @dataclass(frozen=True)

@@ -176,6 +176,8 @@ def make_pallas_decoder(
     pre_transposed: bool = False,
     input_scale=None,
     count_info_cols=None,
+    mc_batch=None,
+    inject_random: bool = False,
 ) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Build decode(chan_i8[B, n]) -> (hard[B, n] u8, iters[B] i32, conv[B] bool).
 
@@ -197,6 +199,25 @@ def make_pallas_decoder(
         instead of hard bits — error counting against the systematic info
         block happens in VMEM and the (nb, Z, B) hard output never touches
         HBM. Caller must verify info positions are the identity prefix.
+
+    Monte-Carlo megakernel (mc_batch=B, with input_scale + count_info_cols):
+    the ENTIRE simulation step runs inside the kernel — info bits from the
+    per-core hardware PRNG (pltpu.prng_random_bits), the O(E) QC structured
+    encode (codes/qcstruct.py ported to static rolls+XORs), BPSK + AWGN via
+    Box-Muller, max-log demap, quantize, decode, count. HBM traffic drops to
+    four per-lane counter rows; the XLA-side chain (measured 1.9 ms per 16k
+    batch on v5e — a third of the whole pipeline) disappears.
+      decode(seeds_i32[3], chanf_f32[2]) -> (bits, frame, iters, conv)
+      chanf = [sigma, gain] with gain = 2*scale/sigma^2: the kernel computes
+      q = quantize((x + sigma*n) * gain), x = 1-2c.
+    RNG contract: stream = f(seeds[0..2], grid tile index) — deterministic
+    and reproducible for a fixed (seed, batch_tile); it is a DIFFERENT
+    random family than the host threefry path, so device-rng counters are
+    statistically, not bitwise, comparable to host-rng counters.
+    inject_random=True (testing): the random words arrive as inputs
+    decode(seeds, chanf, u_info[kb,Z,B], u_n1[nph,Z,B], u_n2[nph,Z,B]) so
+    interpreter mode (which lacks prng_seed) can verify the full datapath
+    bit-exactly against a jnp reference.
     """
     if code.base is None or code.Z is None:
         raise ValueError(f"{code.name}: Pallas decoder requires QC structure")
@@ -225,13 +246,37 @@ def make_pallas_decoder(
     mshape = (1,) + bshape  # per-lane masks/counters
     counting = count_info_cols is not None
     fused_in = input_scale is not None
-    if (counting or fused_in) and not pre_transposed:
+    mc_mode = mc_batch is not None
+    if (counting or fused_in) and not (pre_transposed or mc_mode):
         raise ValueError("fused-IO modes require pre_transposed=True")
+    if mc_mode:
+        if not (fused_in and counting):
+            raise ValueError("mc_batch requires input_scale and "
+                             "count_info_cols")
+        from ..codes.qcstruct import detect_enc_struct
+        enc_st = detect_enc_struct(code.base)
+        if enc_st is None:
+            raise ValueError(f"{code.name}: mc mode requires the encodable "
+                             f"QC parity structure")
+        if count_info_cols != enc_st.kb:
+            raise ValueError("mc mode: count_info_cols must equal the "
+                             "structural kb (identity info prefix)")
+        assert mc_batch % batch_tile == 0, (mc_batch, batch_tile)
+        nph = (nb + 1) // 2  # Box-Muller pairs covering nb blocks
 
     def kernel(*refs):
         it_refs = iter(refs)
-        chan_ref = next(it_refs)
-        info_ref = next(it_refs) if counting else None
+        if mc_mode:
+            seed_ref = next(it_refs)
+            chanf_ref = next(it_refs)
+            if inject_random:
+                uinfo_ref = next(it_refs)
+                un1_ref = next(it_refs)
+                un2_ref = next(it_refs)
+            chan_ref = info_ref = None
+        else:
+            chan_ref = next(it_refs)
+            info_ref = next(it_refs) if counting else None
         if counting:
             bits_ref = next(it_refs)
             frame_ref = next(it_refs)
@@ -242,14 +287,114 @@ def make_pallas_decoder(
         post_ref = next(it_refs)
         c2v_ref = next(it_refs)
         tot_ref = next(it_refs) if flooding else None
-        qchan_ref = next(it_refs) if fused_in else None
+        qchan_ref = next(it_refs) if (fused_in or mc_mode) else None
         if counting:
             hard_ref = next(it_refs)  # VMEM scratch, never leaves the chip
+        cw_ref = next(it_refs) if mc_mode else None
+        if mc_mode:
+            info_ref = cw_ref  # info bits are the identity prefix of cw
 
         # Convergence masks are int32 0/1 (not bool): Mosaic rejects broadcast
         # relayouts of i1 vectors across sublanes, and multiply-by-mask is a
         # plain VPU op. done=1 freezes a lane (golden early-term semantics).
-        if fused_in:
+        if mc_mode:
+            if not inject_random:
+                # Mosaic's prng_seed takes at most TWO 32-bit words: fold the
+                # stream slot and the grid tile index in with odd-constant
+                # multiplies (distinct (seed, stream, tile) -> distinct pair).
+                mix = (seed_ref[2] * jnp.int32(-1640531527)      # 0x9E3779B9
+                       + pl.program_id(0) * jnp.int32(-2048144789))  # 0x85EBCA6B
+                pltpu.prng_seed(seed_ref[0] ^ mix,
+                                seed_ref[1] + mix)
+            sigma_f = chanf_ref[0]
+            gain_f = chanf_ref[1]
+
+            def draw(idx, which):
+                """One (Z,)+bshape block of raw 32-bit random words."""
+                if inject_random:
+                    src = {"info": uinfo_ref, "n1": un1_ref,
+                           "n2": un2_ref}[which]
+                    return src[idx]
+                return pltpu.bitcast(
+                    pltpu.prng_random_bits((Z,) + bshape), jnp.int32)
+
+            # 1. info bits -- one random word per bit, LSB taken.
+            for j in range(enc_st.kb):
+                cw_ref[j] = (draw(j, "info") & 1).astype(jnp.int8)
+
+            # 2. structured QC encode (qc_encode_numpy ported; all shifts
+            #    static). Check r of circulant C(s) reads variable (r+s)%Z,
+            #    so C(s) x = _rot_fwd(x, s).
+            def cwb(j):
+                return cw_ref[j].astype(_C)
+
+            def lam_row(i, upto):
+                acc = None
+                for j in range(upto):
+                    s = int(code.base[i, j])
+                    if s >= 0:
+                        r = _rot_fwd(cwb(j), s)
+                        acc = r if acc is None else acc ^ r
+                return acc
+
+            kb_e, cb_e = enc_st.kb, enc_st.cb
+            lam_core = [lam_row(i, kb_e) for i in range(cb_e)]
+            p0 = lam_core[0]
+            for l_ in lam_core[1:]:
+                p0 = p0 ^ l_
+            par_prev = p0
+            cw_ref[kb_e] = p0.astype(jnp.int8)
+            for t in range(cb_e - 1):
+                acc = lam_core[t]
+                s0 = int(code.base[t, kb_e])
+                if s0 >= 0:
+                    acc = acc ^ _rot_fwd(p0, s0)
+                if t > 0:
+                    acc = acc ^ par_prev
+                par_prev = acc
+                cw_ref[kb_e + t + 1] = acc.astype(jnp.int8)
+            for e in range(cb_e, len(code.base)):
+                own = kb_e + cb_e + (e - cb_e)
+                acc = None
+                for j in range(kb_e + cb_e):
+                    s = int(code.base[e, j])
+                    if s >= 0:
+                        r = _rot_fwd(cwb(j), s)
+                        acc = r if acc is None else acc ^ r
+                cw_ref[own] = acc.astype(jnp.int8)
+
+            # 3. BPSK + AWGN (Box-Muller pairs) + demap + quantize, fused:
+            #    q = round_half_away((x + sigma*n) * gain) clipped to +-qmax,
+            #    x = 1-2c, gain = 2*scale/sigma^2.
+            def to_unit(w):
+                # top 24 bits -> (0, 1]: never 0, so log() is finite.
+                u = pltpu.bitcast(jax.lax.shift_right_logical(
+                    pltpu.bitcast(w, jnp.uint32), jnp.uint32(8)), jnp.int32)
+                return (u.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+                        + jnp.float32(2.0 ** -25))
+
+            qmax_f = jnp.float32(qmax)
+            for p in range(nph):
+                f1 = to_unit(draw(p, "n1"))
+                f2 = to_unit(draw(p, "n2"))
+                r = jnp.sqrt(jnp.float32(-2.0) * jnp.log(f1))
+                th = jnp.float32(2.0 * np.pi) * f2
+                pair = ((2 * p, r * jnp.cos(th)), (2 * p + 1, r * jnp.sin(th)))
+                for j, nrm in pair:
+                    if j >= nb:
+                        continue
+                    xf = (jnp.float32(1.0) - jnp.float32(2.0)
+                          * cwb(j).astype(jnp.float32))
+                    xs = (xf + sigma_f * nrm) * gain_f
+                    q = jnp.where(xs >= 0, jnp.floor(xs + 0.5),
+                                  jnp.ceil(xs - 0.5))
+                    q = jnp.clip(q, -qmax_f, qmax_f).astype(_C)
+                    qchan_ref[j] = q.astype(jnp.int8)
+                    post_ref[j] = q
+
+            def chan32(j):
+                return qchan_ref[j].astype(_C)
+        elif fused_in:
             # In-kernel quantizer, bit-identical to ops/quantize.quantize in
             # float32: round half away from zero, symmetric clip.
             scale_f = jnp.float32(input_scale)
@@ -505,15 +650,75 @@ def make_pallas_decoder(
     ]
     if flooding:
         scratch.append(pltpu.VMEM((nb, Z) + bshape, _C))  # totals B
-    if fused_in:
+    if fused_in or mc_mode:
         scratch.append(pltpu.VMEM((nb, Z) + bshape, jnp.int8))  # qchan
     if counting:
         scratch.append(pltpu.VMEM((nb, Z) + bshape, jnp.int8))  # hard bits
+    if mc_mode:
+        scratch.append(pltpu.VMEM((nb, Z) + bshape, jnp.int8))  # codeword
     import math as _math
     scratch_bytes = sum(
         _math.prod(s.shape) * jnp.dtype(s.dtype).itemsize for s in scratch)
 
     in_dtype = jnp.float32 if fused_in else jnp.int8
+
+    if mc_mode:
+        B = mc_batch
+        n_tiles = B // batch_tile
+        if vreg_layout:
+            bdims = (n_tiles * Bs, LANES)
+            blockb = (Bs, LANES)
+            state_idx = lambda i: (0, 0, i, 0)  # noqa: E731
+            mask_idx = lambda i: (0, i, 0)  # noqa: E731
+        else:
+            bdims = (B,)
+            blockb = (batch_tile,)
+            state_idx = lambda i: (0, 0, i)  # noqa: E731
+            mask_idx = lambda i: (0, i)  # noqa: E731
+        mask_block = (1,) + blockb
+        mask_full = (1,) + bdims
+        mask_spec = pl.BlockSpec(mask_block, mask_idx,
+                                 memory_space=pltpu.VMEM)
+        smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+        def decode_mc(seeds: jnp.ndarray, chanf: jnp.ndarray,
+                      u_info: jnp.ndarray = None, u_n1: jnp.ndarray = None,
+                      u_n2: jnp.ndarray = None):
+            """seeds: (3,) int32 [key_hi, key_lo, stream]; chanf: (2,)
+            float32 [sigma, gain]. Returns per-lane (bit_errs i32,
+            frame_err i32, iters i32, conv bool), each (B,)."""
+            in_specs = [smem_spec, smem_spec]
+            inputs = [seeds.astype(jnp.int32), chanf.astype(jnp.float32)]
+            if inject_random:
+                assert u_info is not None
+                for u, rows in ((u_info, enc_st.kb), (u_n1, nph),
+                                (u_n2, nph)):
+                    in_specs.append(pl.BlockSpec(
+                        (rows, Z) + blockb, state_idx,
+                        memory_space=pltpu.VMEM))
+                    inputs.append(u.astype(jnp.int32)
+                                  .reshape((rows, Z) + bdims))
+            bits, frame, iters, conv = pl.pallas_call(
+                kernel,
+                grid=(n_tiles,),
+                in_specs=in_specs,
+                out_specs=[mask_spec] * 4,
+                out_shape=[
+                    jax.ShapeDtypeStruct(mask_full, _I32),
+                    jax.ShapeDtypeStruct(mask_full, jnp.int8),
+                    jax.ShapeDtypeStruct(mask_full, _I32),
+                    jax.ShapeDtypeStruct(mask_full, jnp.int8),
+                ],
+                scratch_shapes=scratch,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=max(16 * 2 ** 20,
+                                         int(scratch_bytes * 1.6))),
+                interpret=interpret,
+            )(*inputs)
+            return (bits.reshape(B), frame.reshape(B).astype(jnp.int32),
+                    iters.reshape(B), conv.reshape(B).astype(jnp.bool_))
+
+        return decode_mc
 
     def decode(chan: jnp.ndarray, info: jnp.ndarray = None):
         """chan: (B, n) int8, or (nb, Z, B) when pre_transposed (the
@@ -611,7 +816,8 @@ def make_pallas_decoder(
 def make_decoder(code: LDPCCode, dec: DecoderConfig, quant: QuantConfig,
                  batch_tile: int = 256, interpret: bool = False,
                  c2v_dtype=jnp.int32, pre_transposed: bool = False,
-                 input_scale=None, count_info_cols=None):
+                 input_scale=None, count_info_cols=None, mc_batch=None,
+                 inject_random: bool = False):
     """Factory from configs, mirroring ops.decode_ref.make_decoder."""
     if dec.algorithm not in ("min-sum", "offset-min-sum"):
         raise ValueError(f"Pallas decoder supports the min-sum family, "
@@ -622,4 +828,5 @@ def make_decoder(code: LDPCCode, dec: DecoderConfig, quant: QuantConfig,
         schedule=dec.schedule, early_term=dec.early_term,
         batch_tile=batch_tile, interpret=interpret, c2v_dtype=c2v_dtype,
         pre_transposed=pre_transposed, input_scale=input_scale,
-        count_info_cols=count_info_cols)
+        count_info_cols=count_info_cols, mc_batch=mc_batch,
+        inject_random=inject_random)

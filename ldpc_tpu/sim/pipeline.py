@@ -45,7 +45,8 @@ def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
                    batch_tile: int = 1024, interpret: bool = False,
                    batch: Optional[int] = None,
                    pre_transposed: bool = False,
-                   fused_io: Optional[tuple] = None):
+                   fused_io: Optional[tuple] = None,
+                   mc_batch: Optional[int] = None):
     """Decoder dispatch: the Pallas kernel on TPU, the jnp reference op
     elsewhere (SURVEY.md §2.1 C8: kernel + pure-XLA fallback); float
     algorithms always use the jnp float decoder.
@@ -109,7 +110,8 @@ def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
                                        c2v_dtype=dt,
                                        pre_transposed=pre_transposed,
                                        input_scale=scale,
-                                       count_info_cols=kb), "pallas"
+                                       count_info_cols=kb,
+                                       mc_batch=mc_batch), "pallas"
         if b == "qc-jnp":
             from ..ops.decode_qc import make_decoder as make_qc
             return make_qc(code, dec_cfg, cfg.quant), "qc-jnp"
@@ -212,6 +214,7 @@ def make_run_batch(
     interpret: bool = False,
     n_points: int = 1,
     superbatches: int = 1,
+    rng: Optional[str] = None,
 ) -> Callable[[jax.Array, jnp.ndarray], Tuple[jnp.ndarray, ...]]:
     """Returns jitted run_batch(key, sigma) -> int32 array (5,) stacking
     (frames, bit_errs, frame_errs, iter_sum, converged). sigma is a traced
@@ -253,7 +256,9 @@ def make_run_batch(
                   and not (len(code.punct_vns) or len(code.shortened_vns))
                   and code.base is not None and code.Z is not None
                   and code.n <= 4096)
+    rng_mode = rng if rng is not None else cfg.run.rng
     fused_io = None
+    mc = False
     if transposed:
         # Fused-IO upgrade: quantize inside the kernel (float32 LLR input)
         # and, when the info bits are the identity prefix of the codeword
@@ -265,12 +270,23 @@ def make_run_batch(
                                          np.arange(code.k)))
         fused_io = (float(cfg.quant.scale),
                     code.k // code.Z if ident_info else None)
+        # Device-RNG Monte-Carlo megakernel (kernels/minsum_pallas.py mc
+        # mode): the whole chain runs in the kernel off the hardware PRNG.
+        # Needs the structural encoder and identity info prefix; multi-chip
+        # meshes keep the host threefry path (its partitionable-stream
+        # contract is what makes sharded counters mesh-invariant).
+        if (rng_mode == "device" and mesh is None
+                and fused_io[1] is not None):
+            from ..codes.qcstruct import detect_enc_struct
+            mc = detect_enc_struct(code.base) is not None
         dec, dec_label = select_decoder(code, cfg, decoder_backend,
                                         min(batch_tile, B), interpret,
                                         batch=B, pre_transposed=True,
-                                        fused_io=fused_io)
+                                        fused_io=fused_io,
+                                        mc_batch=B if mc else None)
         if dec_label != "pallas":
             transposed = False
+            mc = False
     if not transposed:
         dec, _ = select_decoder(code, cfg, decoder_backend,
                                 min(batch_tile, B), interpret, batch=B)
@@ -334,7 +350,24 @@ def make_run_batch(
 
     all_zeros = cfg.run.all_zeros
 
-    if transposed:
+    if mc:
+        scale = float(cfg.quant.scale)
+
+        def run_batch(key: jax.Array, sigma: jnp.ndarray):
+            # Stream identity: the raw 32-bit key words + a zero stream slot
+            # (superbatching folds the key per sub-batch, so every sub-batch
+            # reseeds distinctly); the kernel adds the grid tile index.
+            kd = jax.random.key_data(key).astype(jnp.int32).reshape(-1)
+            seeds = jnp.stack([kd[0], kd[-1], jnp.int32(0)])
+            sig = jnp.float32(sigma)
+            chanf = jnp.stack(
+                [sig, jnp.float32(2.0) * jnp.float32(scale) / (sig * sig)])
+            lane_bits, lane_frame, iters, conv = dec(seeds, chanf)
+            return jnp.stack([
+                jnp.int32(B), jnp.sum(lane_bits), jnp.sum(lane_frame),
+                jnp.sum(iters, dtype=jnp.int32),
+                jnp.sum(conv, dtype=jnp.int32)])
+    elif transposed:
         from ..ops.encode import make_encoder_t
         enc_t = make_encoder_t(code)
         nb, Z = code.base.shape[1], code.Z

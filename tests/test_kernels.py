@@ -256,3 +256,73 @@ def test_fused_io_counts_match(rng):
         np.testing.assert_array_equal(frame.astype(bool), err.any(axis=0))
         np.testing.assert_array_equal(it_f, it_p)
         np.testing.assert_array_equal(cv_f, cv_p)
+
+
+def test_mc_megakernel_inject_matches(rng):
+    """Monte-Carlo megakernel (in-kernel info bits, QC encode, Box-Muller
+    AWGN, demap, quantize, decode, count) with injected random words must
+    reproduce exactly a jnp reference applying the identical formulas plus
+    the already-trusted plain interpret kernel — flooding and layered."""
+    import jax
+    import jax.numpy as jnp
+    from ldpc_tpu.codes.ieee80211n import make_code as wifi_code
+    from ldpc_tpu.codes.qcstruct import qc_encode_numpy
+
+    code = wifi_code(648, "1/2")
+    nb, Z = code.base.shape[1], code.Z
+    kb = code.k // Z
+    nph = (nb + 1) // 2
+    B = 256
+    scale, qmax = 4.0, 127
+    sigma = 0.82
+    gain = np.float32(2.0) * np.float32(scale) / (np.float32(sigma)
+                                                  * np.float32(sigma))
+    u_info = rng.integers(0, 1 << 32, (kb, Z, B), dtype=np.uint32)
+    u_n1 = rng.integers(0, 1 << 32, (nph, Z, B), dtype=np.uint32)
+    u_n2 = rng.integers(0, 1 << 32, (nph, Z, B), dtype=np.uint32)
+    ui = jnp.asarray(u_info.view(np.int32))
+    u1 = jnp.asarray(u_n1.view(np.int32))
+    u2 = jnp.asarray(u_n2.view(np.int32))
+
+    # jnp reference with the kernel's exact op sequence (same XLA backend
+    # as interpret mode, so transcendentals match bit-for-bit).
+    def to_unit(w):
+        wu = jax.lax.bitcast_convert_type(w, jnp.uint32)
+        s = jax.lax.shift_right_logical(wu, jnp.uint32(8))
+        si = jax.lax.bitcast_convert_type(s, jnp.int32)
+        return (si.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+                + jnp.float32(2.0 ** -25))
+
+    info = (u_info & 1).astype(np.uint8)            # (kb, Z, B)
+    cw = qc_encode_numpy(code, info.reshape(code.k, B).T).T  # (n, B)
+    f1, f2 = to_unit(u1), to_unit(u2)
+    r = jnp.sqrt(jnp.float32(-2.0) * jnp.log(f1))
+    th = jnp.float32(2.0 * np.pi) * f2
+    nrm = jnp.stack([r * jnp.cos(th), r * jnp.sin(th)], axis=1).reshape(
+        2 * nph, Z, B)[:nb]                         # (nb, Z, B)
+    xf = (jnp.float32(1.0)
+          - jnp.float32(2.0) * jnp.asarray(cw.reshape(nb, Z, B), jnp.int32)
+          .astype(jnp.float32))
+    xs = (xf + jnp.float32(sigma) * nrm) * gain
+    q = jnp.where(xs >= 0, jnp.floor(xs + 0.5), jnp.ceil(xs - 0.5))
+    q = jnp.clip(q, -qmax, qmax).astype(jnp.int8)
+
+    for kw in (dict(schedule="flooding", early_term=False, max_iter=4),
+               dict(schedule="layered", early_term=True, max_iter=3,
+                    beta=2)):
+        d_mc = make_pallas_decoder(code, qmax=qmax, batch_tile=128,
+                                   interpret=True, input_scale=scale,
+                                   count_info_cols=kb, mc_batch=B,
+                                   inject_random=True, **kw)
+        d_p = make_pallas_decoder(code, qmax=qmax, batch_tile=128,
+                                  interpret=True, pre_transposed=True, **kw)
+        seeds = jnp.zeros((3,), jnp.int32)
+        chanf = jnp.asarray([sigma, gain], jnp.float32)
+        bits, frame, it_m, cv_m = map(np.asarray,
+                                      d_mc(seeds, chanf, ui, u1, u2))
+        h_p, it_p, cv_p = map(np.asarray, d_p(q))
+        err = h_p.reshape(code.n, B)[:code.k] != info.reshape(code.k, B)
+        np.testing.assert_array_equal(bits, err.sum(axis=0))
+        np.testing.assert_array_equal(frame.astype(bool), err.any(axis=0))
+        np.testing.assert_array_equal(it_m, it_p)
+        np.testing.assert_array_equal(cv_m, cv_p)
