@@ -61,6 +61,7 @@ def make_stream_decoder(
     batch_tile: int = 128,
     interpret: bool = False,
     static_unroll: bool = True,
+    posterior_i16: bool | None = None,
 ) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """decode(chan_i8[B, n]) -> (hard u8, iters i32, conv bool).
 
@@ -122,6 +123,31 @@ def make_stream_decoder(
                              int(lent[l, s]), fw))
         LAYERS.append(ents)
     use_static = static_unroll and mb % 2 == 0
+
+    # Posterior storage width. The invariant post = chan + sum(c2v) bounds
+    # |post| <= (max_col_degree + 1) * qmax, so int16 HBM/VMEM storage is
+    # LOSSLESS for every supported code (NR BG1 dv<=30 -> 3937) and cuts the
+    # dominant posterior stream (fetch + writeback) in half: per-layer slot
+    # traffic drops from (4+4+1+1) to (2+2+1+1) bytes/element. All ARITHMETIC
+    # stays int32 in-register (packed int16 vector compute miscompiles on
+    # this toolchain — storage only); each block pays one widen on load and
+    # one narrow on store. Measured on v5e: DVB-S2 r=1/2 (D=7, fetch-bound)
+    # 87.9 -> 73.9 ms/batch-1024 (+19%), but NR BG1 (D=22 core rows,
+    # conversion on the compute critical path) 10.2 -> ~11.5 ms (-10%) — so
+    # the default gates on the row-degree profile; posterior_i16 overrides.
+    # Only the static kernel narrows; the dynamic fallback keeps int32 (its
+    # traced-shift pltpu.rolls reject sub-word relayouts).
+    col_deg = np.zeros(nb, np.int64)
+    for l in range(mb):
+        for s in range(D):
+            if lmask[l, s]:
+                col_deg[int(lcols[l, s])] += 1
+    max_col_deg = int(col_deg.max())
+    if posterior_i16 is None:
+        posterior_i16 = D <= 12
+    i16_ok = use_static and (max_col_deg + 1) * qmax < (1 << 15)
+    post_dtype = jnp.int16 if (posterior_i16 and i16_ok) else _C
+    post_bytes = 2 if post_dtype == jnp.int16 else 4
 
     total = max_iter * mb
 
@@ -378,12 +404,14 @@ def make_stream_decoder(
 
                 # 4. CN update — exact degree, static rotations, sign parity
                 # in bit 31 (see minsum_pallas._cn_minsum).
-                v2cs, olds = [], []
+                v2cs, olds, posts = [], [], []
                 for s, (col, sh, e, fw) in enumerate(ents):
                     old = cbuf[A, s].astype(_C)
-                    rolled = _rot_f(pbuf[A, s], sh)
+                    post = pbuf[A, s].astype(_C)  # widen once; reused below
+                    rolled = _rot_f(post, sh)
                     v2cs.append(jnp.clip(rolled - old, -qmax, qmax))
                     olds.append(old)
+                    posts.append(post)
                 mags = [jnp.abs(v) for v in v2cs]
                 min1 = mags[0]
                 min2 = jnp.full_like(min1, jnp.array(1 << 14, _C))
@@ -404,7 +432,8 @@ def make_stream_decoder(
                     mag = jnp.where(mags[s] == min1, min2_o, min1_o)
                     excl = negacc ^ v2cs[s]
                     new = jnp.where(excl < 0, -mag, mag)
-                    pbuf[A, s] = pbuf[A, s] + _rot_b(new - olds[s], sh)
+                    pbuf[A, s] = (posts[s]
+                                  + _rot_b(new - olds[s], sh)).astype(post_dtype)
                     cbuf[A, s] = new.astype(jnp.int8)
 
                 # 5. start this layer's writebacks
@@ -452,9 +481,9 @@ def make_stream_decoder(
         chan_t = (chan.astype(jnp.int8)
                   .reshape(n_tiles, batch_tile, nb, Z)
                   .transpose(0, 2, 3, 1))
-        post_init = chan_t.astype(_C)
+        post_init = chan_t.astype(post_dtype)
         scratch = [
-            pltpu.VMEM((2, D, Z, batch_tile), _C),
+            pltpu.VMEM((2, D, Z, batch_tile), post_dtype),
             pltpu.VMEM((2, D, Z, batch_tile), jnp.int8),
             pltpu.SemaphoreType.DMA((2, D)),
             pltpu.SemaphoreType.DMA((2, D)),
@@ -466,6 +495,11 @@ def make_stream_decoder(
         # physical VMEM (verified by running a 17.5 MB kernel at a raised
         # limit — scripts/microbench_rot.py vreg_minsum32v); request what
         # the buffers + Mosaic temporaries need.
+        # Sized from the int32-equivalent footprint even when posteriors are
+        # stored int16: Mosaic's compute temporaries are int32 regardless, so
+        # the stack need does not shrink with the buffer dtype (NR BG1 D=22
+        # measured 18.3 MB stack with int16 buffers — above the 16 MB floor
+        # a (post_bytes+1)-based formula would have requested).
         bufs = 2 * D * Z * batch_tile * (4 + 1)
         # observed actual stack need for NR BG1 (D=22): 1.98x bufs; leave
         # real headroom beyond that
@@ -473,7 +507,7 @@ def make_stream_decoder(
         params = pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=vmem_limit)
         out_shape = [
-            jax.ShapeDtypeStruct((n_tiles, nb, Z, batch_tile), _C),
+            jax.ShapeDtypeStruct((n_tiles, nb, Z, batch_tile), post_dtype),
             jax.ShapeDtypeStruct((n_tiles, n_entries, Z, batch_tile),
                                  jnp.int8),
         ]
@@ -511,7 +545,7 @@ def make_stream_decoder(
                 interpret=interpret,
             )(lcols_j, lshifts_j, lmask_j, lent_j, fwd_j, pfetch_j,
               c2v_init, post_init)
-        post3 = post.transpose(0, 3, 1, 2).reshape(B, nb, Z)
+        post3 = post.transpose(0, 3, 1, 2).reshape(B, nb, Z).astype(_C)
         hard = (post3 < 0).reshape(B, n).astype(jnp.uint8)
         conv = syndrome_ok(post3)
         iters = jnp.full((B,), max_iter, jnp.int32)

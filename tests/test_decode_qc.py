@@ -160,3 +160,21 @@ def test_stream_static_equals_dynamic(rng):
     h2, i2, c2 = map(np.asarray, dd(jnp.asarray(chan)))
     np.testing.assert_array_equal(h1, h2)
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_stream_posterior_width_equivalence(rng):
+    """int16 posterior storage (round 2: halves the dominant HBM stream)
+    must be bit-identical to int32 — the bound |post| <= (dv+1)*qmax makes
+    the narrowing lossless; compute is int32 either way."""
+    from ldpc_tpu.codes.ieee80211n import make_code
+    from ldpc_tpu.kernels.minsum_stream import make_stream_decoder
+    code = make_code(648, "1/2")
+    chan = _llrs(rng, 128, code.n)
+    outs = []
+    for i16 in (True, False):
+        dec = make_stream_decoder(code, max_iter=6, beta=2, qmax=127,
+                                  batch_tile=128, interpret=True,
+                                  posterior_i16=i16)
+        outs.append(tuple(map(np.asarray, dec(jnp.asarray(chan)))))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][2], outs[1][2])
