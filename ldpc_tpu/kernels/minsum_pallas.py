@@ -178,6 +178,7 @@ def make_pallas_decoder(
     count_info_cols=None,
     mc_batch=None,
     inject_random: bool = False,
+    mc_inner_loop: bool = False,
 ) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Build decode(chan_i8[B, n]) -> (hard[B, n] u8, iters[B] i32, conv[B] bool).
 
@@ -263,6 +264,13 @@ def make_pallas_decoder(
                              "structural kb (identity info prefix)")
         assert mc_batch % batch_tile == 0, (mc_batch, batch_tile)
         nph = (nb + 1) // 2  # Box-Muller pairs covering nb blocks
+    # Internal tile loop (mc mode only): ONE grid step runs every batch
+    # tile via lax.fori_loop, eliminating the measured ~12.6 us of Mosaic
+    # per-grid-step re-entry (scripts/diag_gridstep.py) — ~0.4 ms per 32-
+    # tile 16k batch. The PRNG mix uses the tile index either way, so the
+    # random stream is IDENTICAL to grid mode (equality-testable on
+    # hardware, not just statistically comparable).
+    mc_inner = bool(mc_inner_loop) and mc_batch is not None
 
     def kernel(*refs):
         it_refs = iter(refs)
@@ -291,358 +299,394 @@ def make_pallas_decoder(
         if counting:
             hard_ref = next(it_refs)  # VMEM scratch, never leaves the chip
         cw_ref = next(it_refs) if mc_mode else None
+        if mc_inner:
+            # The per-tile body writes tiny per-tile cells; the tile loop
+            # copies them into the full-batch outputs at the tile's offset.
+            out_bits, out_frame = bits_ref, frame_ref
+            out_iters, out_conv = iters_ref, conv_ref
+            bits_ref = next(it_refs)
+            frame_ref = next(it_refs)
+            iters_ref = next(it_refs)
+            conv_ref = next(it_refs)
         if mc_mode:
             info_ref = cw_ref  # info bits are the identity prefix of cw
 
-        # Convergence masks are int32 0/1 (not bool): Mosaic rejects broadcast
-        # relayouts of i1 vectors across sublanes, and multiply-by-mask is a
-        # plain VPU op. done=1 freezes a lane (golden early-term semantics).
-        if mc_mode:
-            if not inject_random:
-                # Mosaic's prng_seed takes at most TWO 32-bit words: fold the
-                # stream slot and the grid tile index in with odd-constant
-                # multiplies (distinct (seed, stream, tile) -> distinct pair).
-                mix = (seed_ref[2] * jnp.int32(-1640531527)      # 0x9E3779B9
-                       + pl.program_id(0) * jnp.int32(-2048144789))  # 0x85EBCA6B
-                pltpu.prng_seed(seed_ref[0] ^ mix,
-                                seed_ref[1] + mix)
-            sigma_f = chanf_ref[0]
-            gain_f = chanf_ref[1]
+        def run_tile(tile_idx):
+            # Convergence masks are int32 0/1 (not bool): Mosaic rejects broadcast
+            # relayouts of i1 vectors across sublanes, and multiply-by-mask is a
+            # plain VPU op. done=1 freezes a lane (golden early-term semantics).
+            if mc_mode:
+                if not inject_random:
+                    # Mosaic's prng_seed takes at most TWO 32-bit words: fold the
+                    # stream slot and the grid tile index in with odd-constant
+                    # multiplies (distinct (seed, stream, tile) -> distinct pair).
+                    mix = (seed_ref[2] * jnp.int32(-1640531527)      # 0x9E3779B9
+                           + tile_idx * jnp.int32(-2048144789))  # 0x85EBCA6B
+                    pltpu.prng_seed(seed_ref[0] ^ mix,
+                                    seed_ref[1] + mix)
+                sigma_f = chanf_ref[0]
+                gain_f = chanf_ref[1]
 
-            def draw(idx, which):
-                """One (Z,)+bshape block of raw 32-bit random words."""
-                if inject_random:
-                    src = {"info": uinfo_ref, "n1": un1_ref,
-                           "n2": un2_ref}[which]
-                    return src[idx]
-                return pltpu.bitcast(
-                    pltpu.prng_random_bits((Z,) + bshape), jnp.int32)
+                def draw(idx, which):
+                    """One (Z,)+bshape block of raw 32-bit random words."""
+                    if inject_random:
+                        src = {"info": uinfo_ref, "n1": un1_ref,
+                               "n2": un2_ref}[which]
+                        if not mc_inner:
+                            return src[idx]
+                        if vreg_layout:
+                            return src[idx, :, pl.ds(tile_idx * Bs, Bs), :]
+                        return src[idx, :,
+                                   pl.ds(tile_idx * batch_tile, batch_tile)]
+                    return pltpu.bitcast(
+                        pltpu.prng_random_bits((Z,) + bshape), jnp.int32)
 
-            # 1. info bits -- one random word per bit, LSB taken.
-            for j in range(enc_st.kb):
-                cw_ref[j] = (draw(j, "info") & 1).astype(jnp.int8)
+                # 1. info bits -- one random word per bit, LSB taken.
+                for j in range(enc_st.kb):
+                    cw_ref[j] = (draw(j, "info") & 1).astype(jnp.int8)
 
-            # 2. structured QC encode (qc_encode_numpy ported; all shifts
-            #    static). Check r of circulant C(s) reads variable (r+s)%Z,
-            #    so C(s) x = _rot_fwd(x, s).
-            def cwb(j):
-                return cw_ref[j].astype(_C)
+                # 2. structured QC encode (qc_encode_numpy ported; all shifts
+                #    static). Check r of circulant C(s) reads variable (r+s)%Z,
+                #    so C(s) x = _rot_fwd(x, s).
+                def cwb(j):
+                    return cw_ref[j].astype(_C)
 
-            def lam_row(i, upto):
-                acc = None
-                for j in range(upto):
-                    s = int(code.base[i, j])
-                    if s >= 0:
-                        r = _rot_fwd(cwb(j), s)
-                        acc = r if acc is None else acc ^ r
-                return acc
+                def lam_row(i, upto):
+                    acc = None
+                    for j in range(upto):
+                        s = int(code.base[i, j])
+                        if s >= 0:
+                            r = _rot_fwd(cwb(j), s)
+                            acc = r if acc is None else acc ^ r
+                    return acc
 
-            kb_e, cb_e = enc_st.kb, enc_st.cb
-            lam_core = [lam_row(i, kb_e) for i in range(cb_e)]
-            p0 = lam_core[0]
-            for l_ in lam_core[1:]:
-                p0 = p0 ^ l_
-            par_prev = p0
-            cw_ref[kb_e] = p0.astype(jnp.int8)
-            for t in range(cb_e - 1):
-                acc = lam_core[t]
-                s0 = int(code.base[t, kb_e])
-                if s0 >= 0:
-                    acc = acc ^ _rot_fwd(p0, s0)
-                if t > 0:
-                    acc = acc ^ par_prev
-                par_prev = acc
-                cw_ref[kb_e + t + 1] = acc.astype(jnp.int8)
-            for e in range(cb_e, len(code.base)):
-                own = kb_e + cb_e + (e - cb_e)
-                acc = None
-                for j in range(kb_e + cb_e):
-                    s = int(code.base[e, j])
-                    if s >= 0:
-                        r = _rot_fwd(cwb(j), s)
-                        acc = r if acc is None else acc ^ r
-                cw_ref[own] = acc.astype(jnp.int8)
+                kb_e, cb_e = enc_st.kb, enc_st.cb
+                lam_core = [lam_row(i, kb_e) for i in range(cb_e)]
+                p0 = lam_core[0]
+                for l_ in lam_core[1:]:
+                    p0 = p0 ^ l_
+                par_prev = p0
+                cw_ref[kb_e] = p0.astype(jnp.int8)
+                for t in range(cb_e - 1):
+                    acc = lam_core[t]
+                    s0 = int(code.base[t, kb_e])
+                    if s0 >= 0:
+                        acc = acc ^ _rot_fwd(p0, s0)
+                    if t > 0:
+                        acc = acc ^ par_prev
+                    par_prev = acc
+                    cw_ref[kb_e + t + 1] = acc.astype(jnp.int8)
+                for e in range(cb_e, len(code.base)):
+                    own = kb_e + cb_e + (e - cb_e)
+                    acc = None
+                    for j in range(kb_e + cb_e):
+                        s = int(code.base[e, j])
+                        if s >= 0:
+                            r = _rot_fwd(cwb(j), s)
+                            acc = r if acc is None else acc ^ r
+                    cw_ref[own] = acc.astype(jnp.int8)
 
-            # 3. BPSK + AWGN (Box-Muller pairs) + demap + quantize, fused:
-            #    q = round_half_away((x + sigma*n) * gain) clipped to +-qmax,
-            #    x = 1-2c, gain = 2*scale/sigma^2.
-            def to_unit(w):
-                # top 24 bits -> (0, 1]: never 0, so log() is finite.
-                u = pltpu.bitcast(jax.lax.shift_right_logical(
-                    pltpu.bitcast(w, jnp.uint32), jnp.uint32(8)), jnp.int32)
-                return (u.astype(jnp.float32) * jnp.float32(2.0 ** -24)
-                        + jnp.float32(2.0 ** -25))
+                # 3. BPSK + AWGN (Box-Muller pairs) + demap + quantize, fused:
+                #    q = round_half_away((x + sigma*n) * gain) clipped to +-qmax,
+                #    x = 1-2c, gain = 2*scale/sigma^2.
+                def to_unit(w):
+                    # top 24 bits -> (0, 1]: never 0, so log() is finite.
+                    u = pltpu.bitcast(jax.lax.shift_right_logical(
+                        pltpu.bitcast(w, jnp.uint32), jnp.uint32(8)), jnp.int32)
+                    return (u.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+                            + jnp.float32(2.0 ** -25))
 
-            qmax_f = jnp.float32(qmax)
-            for p in range(nph):
-                f1 = to_unit(draw(p, "n1"))
-                f2 = to_unit(draw(p, "n2"))
-                r = jnp.sqrt(jnp.float32(-2.0) * jnp.log(f1))
-                th = jnp.float32(2.0 * np.pi) * f2
-                pair = ((2 * p, r * jnp.cos(th)), (2 * p + 1, r * jnp.sin(th)))
-                for j, nrm in pair:
-                    if j >= nb:
-                        continue
-                    xf = (jnp.float32(1.0) - jnp.float32(2.0)
-                          * cwb(j).astype(jnp.float32))
-                    xs = (xf + sigma_f * nrm) * gain_f
-                    q = jnp.where(xs >= 0, jnp.floor(xs + 0.5),
+                qmax_f = jnp.float32(qmax)
+                for p in range(nph):
+                    f1 = to_unit(draw(p, "n1"))
+                    f2 = to_unit(draw(p, "n2"))
+                    r = jnp.sqrt(jnp.float32(-2.0) * jnp.log(f1))
+                    th = jnp.float32(2.0 * np.pi) * f2
+                    pair = ((2 * p, r * jnp.cos(th)), (2 * p + 1, r * jnp.sin(th)))
+                    for j, nrm in pair:
+                        if j >= nb:
+                            continue
+                        xf = (jnp.float32(1.0) - jnp.float32(2.0)
+                              * cwb(j).astype(jnp.float32))
+                        xs = (xf + sigma_f * nrm) * gain_f
+                        q = jnp.where(xs >= 0, jnp.floor(xs + 0.5),
+                                      jnp.ceil(xs - 0.5))
+                        q = jnp.clip(q, -qmax_f, qmax_f).astype(_C)
+                        qchan_ref[j] = q.astype(jnp.int8)
+                        post_ref[j] = q
+
+                def chan32(j):
+                    return qchan_ref[j].astype(_C)
+            elif fused_in:
+                # In-kernel quantizer, bit-identical to ops/quantize.quantize in
+                # float32: round half away from zero, symmetric clip.
+                scale_f = jnp.float32(input_scale)
+                qmax_f = jnp.float32(qmax)
+
+                def quant32(j):
+                    xs = chan_ref[j] * scale_f
+                    r = jnp.where(xs >= 0, jnp.floor(xs + 0.5),
                                   jnp.ceil(xs - 0.5))
-                    q = jnp.clip(q, -qmax_f, qmax_f).astype(_C)
+                    return jnp.clip(r, -qmax_f, qmax_f).astype(_C)
+
+                for j in range(nb):
+                    q = quant32(j)
                     qchan_ref[j] = q.astype(jnp.int8)
                     post_ref[j] = q
 
-            def chan32(j):
-                return qchan_ref[j].astype(_C)
-        elif fused_in:
-            # In-kernel quantizer, bit-identical to ops/quantize.quantize in
-            # float32: round half away from zero, symmetric clip.
-            scale_f = jnp.float32(input_scale)
-            qmax_f = jnp.float32(qmax)
+                def chan32(j):
+                    return qchan_ref[j].astype(_C)
+            else:
+                def chan32(j):
+                    return chan_ref[j].astype(_C)
 
-            def quant32(j):
-                xs = chan_ref[j] * scale_f
-                r = jnp.where(xs >= 0, jnp.floor(xs + 0.5),
-                              jnp.ceil(xs - 0.5))
-                return jnp.clip(r, -qmax_f, qmax_f).astype(_C)
+                for j in range(nb):
+                    post_ref[j] = chan32(j)
+            if not (flooding and not early_term):
+                # The specialized first flooding sweep below writes every c2v
+                # entry, so the plain-flooding path skips this whole-buffer fill.
+                c2v_ref[...] = jnp.zeros(c2v_ref.shape, c2v_ref.dtype)
 
-            for j in range(nb):
-                q = quant32(j)
-                qchan_ref[j] = q.astype(jnp.int8)
-                post_ref[j] = q
+            def emit_counts():
+                """Per-lane info-bit error count + frame flag from the final
+                (latched) hard bits vs the systematic info block — the XLA-side
+                compare/reduce fusions move into VMEM."""
+                bits = None
+                for j in range(count_info_cols):
+                    d = hard_ref[j].astype(_C) ^ info_ref[j].astype(_C)
+                    s = jnp.sum(d, axis=0, keepdims=True)
+                    bits = s if bits is None else bits + s
+                bits_ref[...] = bits
+                frame_ref[...] = (bits > 0).astype(jnp.int8)
 
-            def chan32(j):
-                return qchan_ref[j].astype(_C)
-        else:
-            def chan32(j):
-                return chan_ref[j].astype(_C)
-
-            for j in range(nb):
-                post_ref[j] = chan32(j)
-        if not (flooding and not early_term):
-            # The specialized first flooding sweep below writes every c2v
-            # entry, so the plain-flooding path skips this whole-buffer fill.
-            c2v_ref[...] = jnp.zeros(c2v_ref.shape, c2v_ref.dtype)
-
-        def emit_counts():
-            """Per-lane info-bit error count + frame flag from the final
-            (latched) hard bits vs the systematic info block — the XLA-side
-            compare/reduce fusions move into VMEM."""
-            bits = None
-            for j in range(count_info_cols):
-                d = hard_ref[j].astype(_C) ^ info_ref[j].astype(_C)
-                s = jnp.sum(d, axis=0, keepdims=True)
-                bits = s if bits is None else bits + s
-            bits_ref[...] = bits
-            frame_ref[...] = (bits > 0).astype(jnp.int8)
-
-        def syndrome_ok(read):
-            """(1, Bs, 128) int32 — 1 where every check is satisfied."""
-            unsat = None
-            for ents in layers:
-                acc = None
-                for (j, s) in ents:
-                    h = _rot_fwd(read(j), s)
-                    acc = h if acc is None else acc ^ h
-                # bit 31 of acc = XOR of the signs = this check's parity
-                u = jnp.sum((acc < 0).astype(_I32), axis=0, keepdims=True)
-                unsat = u if unsat is None else unsat + u
-            return (unsat == 0).astype(_C)
-
-        def cn_sweep(read, emit, with_synd=False):
-            """One full CN sweep. read(j): totals the update consumes.
-            emit(j, s, e, old, new): handle the result.
-
-            with_synd: also return the (1, Bs, 128) syndrome-ok mask of the
-            STATE BEING READ, computed from the rolled posteriors the sweep
-            gathers anyway — the sign-parity XOR rides bit 31 of the raw
-            values, so it costs ONE xor per entry."""
-            unsat = None
-            for li, ents in enumerate(layers):
-                v2cs, olds, acc = [], [], None
-                for (j, s) in ents:
-                    e = entry_of[li][len(olds)]
-                    old = c2v_ref[e].astype(_C)
-                    rolled = _rot_fwd(read(j), s)
-                    if with_synd:
-                        acc = rolled if acc is None else acc ^ rolled
-                    v2cs.append(jnp.clip(rolled - old, -qmax, qmax))
-                    olds.append(old)
-                if with_synd:
+            def syndrome_ok(read):
+                """(1, Bs, 128) int32 — 1 where every check is satisfied."""
+                unsat = None
+                for ents in layers:
+                    acc = None
+                    for (j, s) in ents:
+                        h = _rot_fwd(read(j), s)
+                        acc = h if acc is None else acc ^ h
+                    # bit 31 of acc = XOR of the signs = this check's parity
                     u = jnp.sum((acc < 0).astype(_I32), axis=0, keepdims=True)
                     unsat = u if unsat is None else unsat + u
-                news = _cn_minsum(v2cs, beta)
-                for (j, s), e, old, new in zip(ents, entry_of[li], olds, news):
-                    emit(j, s, e, old, new)
-            if with_synd:
                 return (unsat == 0).astype(_C)
-            return None
 
-        def latch_hard(done_prev, read):
-            """Latched outputs make early termination bit-exact WITHOUT
-            freezing the datapath: lanes run unmasked to the whole-tile exit,
-            but a lane's hard bits are captured at its first syndrome success
-            (identical to the golden model's per-codeword stop, since lanes
-            are independent). Lanes not yet converged get the current bits
-            (overwritten next iteration)."""
-            keep = done_prev  # (1, Bs, 128) int32 0/1
-            inv = jnp.array(1, _C) - keep
-            for j in range(nb):
-                cur = (read(j) < 0).astype(_C)
-                prev = hard_ref[j].astype(_C)
-                hard_ref[j] = (prev * keep + cur * inv).astype(jnp.int8)
+            def cn_sweep(read, emit, with_synd=False):
+                """One full CN sweep. read(j): totals the update consumes.
+                emit(j, s, e, old, new): handle the result.
 
-        if flooding:
-            def flood_iter(src, dst, with_synd=False):
-                """Unmasked: totals in src are complete for the previous
-                messages; build the next totals in dst = chan + new c2v.
-                with_synd: return the syndrome-ok mask of SRC (fused into
-                the sweep's gathers).
-
-                (A first-touch initialization — first writer of a column
-                stores chan + delta, skipping this init pass — was tried and
-                reverted in round 1: it blew Mosaic compile time from ~3 min
-                to >25 min for a ~10% runtime saving.)"""
-                for j in range(nb):
-                    dst[j] = chan32(j)
-
-                def emit(j, s, e, old, new):
-                    c2v_ref[e] = new.astype(c2v_ref.dtype)
-                    dst[j] = dst[j] + _rot_bwd(new, s)
-
-                return cn_sweep(lambda j: src[j], emit, with_synd)
-
-            def run_et(done0, iters0, synd_state):
-                """Deferred-syndrome scheme: iteration k's sweep reads state
-                k-1, so its fused syndrome IS state k-1's convergence —
-                published through a VMEM cell because the sweep runs under
-                pl.when. The done carry therefore lags one state; latching
-                still captures each lane's FIRST converged state exactly
-                (latch at iteration k stores state k-1 values for any lane
-                not yet latched). A final dedicated pass closes the last
-                state. Bit-identical to the golden per-codeword stop."""
-                def one(src, dst, done, iters):
-                    n_active = jnp.sum(jnp.array(1, _C) - done)
-
-                    @pl.when(n_active > 0)
-                    def _():
-                        latch_hard(done, lambda j: src[j])
-                        ok_prev = flood_iter(src, dst, with_synd=True)
-                        synd_state[0] = ok_prev
-
-                    # Skipped sweep => every lane done => the stale mask in
-                    # synd_state is irrelevant under maximum().
-                    done = jnp.maximum(done, synd_state[0])
-                    iters = iters + (jnp.array(1, _C) - done)
-                    return done, iters
-
-                def iter_pair(_, carry):
-                    done, iters = carry
-                    done, iters = one(post_ref, tot_ref, done, iters)
-                    done, iters = one(tot_ref, post_ref, done, iters)
-                    return done, iters
-
-                synd_state[0] = jnp.zeros(mshape, _C)
-                done, iters = jax.lax.fori_loop(
-                    0, max_iter // 2, iter_pair, (done0, iters0))
-                if max_iter % 2:
-                    done, iters = one(post_ref, tot_ref, done, iters)
-                    final_read = lambda j: tot_ref[j]  # noqa: E731
-                else:
-                    final_read = lambda j: post_ref[j]  # noqa: E731
-                # Close the final state: latch + syndrome once.
-                latch_hard(done, final_read)
-                done = jnp.maximum(done, syndrome_ok(final_read))
-                return done, iters
-
-            def flood_first():
-                """Specialized iteration 1: every c2v is zero and totals
-                equal the channel LLRs (|q| <= qmax), so v2c = totals with
-                no c2v load, no subtract, no clip — and the sweep WRITES
-                every entry, replacing the whole-buffer zero fill."""
-                for j in range(nb):
-                    tot_ref[j] = chan32(j)
+                with_synd: also return the (1, Bs, 128) syndrome-ok mask of the
+                STATE BEING READ, computed from the rolled posteriors the sweep
+                gathers anyway — the sign-parity XOR rides bit 31 of the raw
+                values, so it costs ONE xor per entry."""
+                unsat = None
                 for li, ents in enumerate(layers):
-                    v2cs = [_rot_fwd(post_ref[j], s) for (j, s) in ents]
+                    v2cs, olds, acc = [], [], None
+                    for (j, s) in ents:
+                        e = entry_of[li][len(olds)]
+                        old = c2v_ref[e].astype(_C)
+                        rolled = _rot_fwd(read(j), s)
+                        if with_synd:
+                            acc = rolled if acc is None else acc ^ rolled
+                        v2cs.append(jnp.clip(rolled - old, -qmax, qmax))
+                        olds.append(old)
+                    if with_synd:
+                        u = jnp.sum((acc < 0).astype(_I32), axis=0, keepdims=True)
+                        unsat = u if unsat is None else unsat + u
                     news = _cn_minsum(v2cs, beta)
-                    for (j, s), e, new in zip(ents, entry_of[li], news):
+                    for (j, s), e, old, new in zip(ents, entry_of[li], olds, news):
+                        emit(j, s, e, old, new)
+                if with_synd:
+                    return (unsat == 0).astype(_C)
+                return None
+
+            def latch_hard(done_prev, read):
+                """Latched outputs make early termination bit-exact WITHOUT
+                freezing the datapath: lanes run unmasked to the whole-tile exit,
+                but a lane's hard bits are captured at its first syndrome success
+                (identical to the golden model's per-codeword stop, since lanes
+                are independent). Lanes not yet converged get the current bits
+                (overwritten next iteration)."""
+                keep = done_prev  # (1, Bs, 128) int32 0/1
+                inv = jnp.array(1, _C) - keep
+                for j in range(nb):
+                    cur = (read(j) < 0).astype(_C)
+                    prev = hard_ref[j].astype(_C)
+                    hard_ref[j] = (prev * keep + cur * inv).astype(jnp.int8)
+
+            if flooding:
+                def flood_iter(src, dst, with_synd=False):
+                    """Unmasked: totals in src are complete for the previous
+                    messages; build the next totals in dst = chan + new c2v.
+                    with_synd: return the syndrome-ok mask of SRC (fused into
+                    the sweep's gathers).
+
+                    (A first-touch initialization — first writer of a column
+                    stores chan + delta, skipping this init pass — was tried and
+                    reverted in round 1: it blew Mosaic compile time from ~3 min
+                    to >25 min for a ~10% runtime saving.)"""
+                    for j in range(nb):
+                        dst[j] = chan32(j)
+
+                    def emit(j, s, e, old, new):
                         c2v_ref[e] = new.astype(c2v_ref.dtype)
-                        tot_ref[j] = tot_ref[j] + _rot_bwd(new, s)
+                        dst[j] = dst[j] + _rot_bwd(new, s)
 
-            def run_plain():
-                flood_first()  # post -> tot
-                rem = max_iter - 1
+                    return cn_sweep(lambda j: src[j], emit, with_synd)
 
-                def iter_pair(_, carry):
-                    flood_iter(tot_ref, post_ref)
-                    flood_iter(post_ref, tot_ref)
-                    return carry
+                def run_et(done0, iters0, synd_state):
+                    """Deferred-syndrome scheme: iteration k's sweep reads state
+                    k-1, so its fused syndrome IS state k-1's convergence —
+                    published through a VMEM cell because the sweep runs under
+                    pl.when. The done carry therefore lags one state; latching
+                    still captures each lane's FIRST converged state exactly
+                    (latch at iteration k stores state k-1 values for any lane
+                    not yet latched). A final dedicated pass closes the last
+                    state. Bit-identical to the golden per-codeword stop."""
+                    def one(src, dst, done, iters):
+                        n_active = jnp.sum(jnp.array(1, _C) - done)
 
-                jax.lax.fori_loop(0, rem // 2, iter_pair, 0)
-                if rem % 2:
-                    flood_iter(tot_ref, post_ref)
-                    return lambda j: post_ref[j]
-                return lambda j: tot_ref[j]
-        else:
-            def layered_iter():
-                def emit(j, s, e, old, new):
-                    c2v_ref[e] = new.astype(c2v_ref.dtype)
-                    post_ref[j] = post_ref[j] + _rot_bwd(new - old, s)
+                        @pl.when(n_active > 0)
+                        def _():
+                            latch_hard(done, lambda j: src[j])
+                            ok_prev = flood_iter(src, dst, with_synd=True)
+                            synd_state[0] = ok_prev
 
-                cn_sweep(lambda j: post_ref[j], emit)
+                        # Skipped sweep => every lane done => the stale mask in
+                        # synd_state is irrelevant under maximum().
+                        done = jnp.maximum(done, synd_state[0])
+                        iters = iters + (jnp.array(1, _C) - done)
+                        return done, iters
 
-            def run_et(done0, iters0):
-                def body(_, carry):
-                    done, iters = carry
-                    n_active = jnp.sum(jnp.array(1, _C) - done)
+                    def iter_pair(_, carry):
+                        done, iters = carry
+                        done, iters = one(post_ref, tot_ref, done, iters)
+                        done, iters = one(tot_ref, post_ref, done, iters)
+                        return done, iters
 
-                    @pl.when(n_active > 0)
-                    def _():
-                        layered_iter()
-                        latch_hard(done, lambda j: post_ref[j])
-
-                    iters = iters + (jnp.array(1, _C) - done)
-                    done = jnp.maximum(
-                        done, syndrome_ok(lambda j: post_ref[j]))
+                    synd_state[0] = jnp.zeros(mshape, _C)
+                    done, iters = jax.lax.fori_loop(
+                        0, max_iter // 2, iter_pair, (done0, iters0))
+                    if max_iter % 2:
+                        done, iters = one(post_ref, tot_ref, done, iters)
+                        final_read = lambda j: tot_ref[j]  # noqa: E731
+                    else:
+                        final_read = lambda j: post_ref[j]  # noqa: E731
+                    # Close the final state: latch + syndrome once.
+                    latch_hard(done, final_read)
+                    done = jnp.maximum(done, syndrome_ok(final_read))
                     return done, iters
 
-                return jax.lax.fori_loop(0, max_iter, body, (done0, iters0))
+                def flood_first():
+                    """Specialized iteration 1: every c2v is zero and totals
+                    equal the channel LLRs (|q| <= qmax), so v2c = totals with
+                    no c2v load, no subtract, no clip — and the sweep WRITES
+                    every entry, replacing the whole-buffer zero fill."""
+                    for j in range(nb):
+                        tot_ref[j] = chan32(j)
+                    for li, ents in enumerate(layers):
+                        v2cs = [_rot_fwd(post_ref[j], s) for (j, s) in ents]
+                        news = _cn_minsum(v2cs, beta)
+                        for (j, s), e, new in zip(ents, entry_of[li], news):
+                            c2v_ref[e] = new.astype(c2v_ref.dtype)
+                            tot_ref[j] = tot_ref[j] + _rot_bwd(new, s)
 
-            def run_plain():
-                def body(_, carry):
-                    layered_iter()
-                    return carry
+                def run_plain():
+                    flood_first()  # post -> tot
+                    rem = max_iter - 1
 
-                jax.lax.fori_loop(0, max_iter, body, 0)
-                return lambda j: post_ref[j]
+                    def iter_pair(_, carry):
+                        flood_iter(tot_ref, post_ref)
+                        flood_iter(post_ref, tot_ref)
+                        return carry
 
-        if early_term:
-            zeros = jnp.zeros(mshape, _C)
-            if flooding:
-                # Deferred-syndrome scheme: state 0's convergence comes out
-                # of the first sweep; the carry starts all-zero.
-                def scoped(synd_state):
-                    done, iters = run_et(zeros, jnp.zeros(mshape, _I32),
-                                         synd_state)
+                    jax.lax.fori_loop(0, rem // 2, iter_pair, 0)
+                    if rem % 2:
+                        flood_iter(tot_ref, post_ref)
+                        return lambda j: post_ref[j]
+                    return lambda j: tot_ref[j]
+            else:
+                def layered_iter():
+                    def emit(j, s, e, old, new):
+                        c2v_ref[e] = new.astype(c2v_ref.dtype)
+                        post_ref[j] = post_ref[j] + _rot_bwd(new - old, s)
+
+                    cn_sweep(lambda j: post_ref[j], emit)
+
+                def run_et(done0, iters0):
+                    def body(_, carry):
+                        done, iters = carry
+                        n_active = jnp.sum(jnp.array(1, _C) - done)
+
+                        @pl.when(n_active > 0)
+                        def _():
+                            layered_iter()
+                            latch_hard(done, lambda j: post_ref[j])
+
+                        iters = iters + (jnp.array(1, _C) - done)
+                        done = jnp.maximum(
+                            done, syndrome_ok(lambda j: post_ref[j]))
+                        return done, iters
+
+                    return jax.lax.fori_loop(0, max_iter, body, (done0, iters0))
+
+                def run_plain():
+                    def body(_, carry):
+                        layered_iter()
+                        return carry
+
+                    jax.lax.fori_loop(0, max_iter, body, 0)
+                    return lambda j: post_ref[j]
+
+            if early_term:
+                zeros = jnp.zeros(mshape, _C)
+                if flooding:
+                    # Deferred-syndrome scheme: state 0's convergence comes out
+                    # of the first sweep; the carry starts all-zero.
+                    def scoped(synd_state):
+                        done, iters = run_et(zeros, jnp.zeros(mshape, _I32),
+                                             synd_state)
+                        iters_ref[...] = iters
+                        conv_ref[...] = done.astype(jnp.int8)
+
+                    pl.run_scoped(scoped, pltpu.VMEM((1,) + mshape, _C))
+                else:
+                    done0 = syndrome_ok(lambda j: post_ref[j])
+                    latch_hard(zeros, lambda j: post_ref[j])
+                    done, iters = run_et(done0, jnp.zeros(mshape, _I32))
                     iters_ref[...] = iters
                     conv_ref[...] = done.astype(jnp.int8)
-
-                pl.run_scoped(scoped, pltpu.VMEM((1,) + mshape, _C))
             else:
-                done0 = syndrome_ok(lambda j: post_ref[j])
-                latch_hard(zeros, lambda j: post_ref[j])
-                done, iters = run_et(done0, jnp.zeros(mshape, _I32))
-                iters_ref[...] = iters
-                conv_ref[...] = done.astype(jnp.int8)
+                final_read = run_plain()
+                for j in range(nb):
+                    # i1 -> int32 (same tiling) -> int8: avoids i1 retiling.
+                    hard_ref[j] = (final_read(j) < 0).astype(_C).astype(jnp.int8)
+                iters_ref[...] = jnp.full(mshape, max_iter, _I32)
+                conv_ref[...] = syndrome_ok(final_read).astype(jnp.int8)
+            if counting:
+                emit_counts()
+
+        if mc_inner:
+            def tile_loop(t, _):
+                run_tile(t)
+                if vreg_layout:
+                    sl = pl.ds(t * Bs, Bs)
+                    out_bits[:, sl, :] = bits_ref[...]
+                    out_frame[:, sl, :] = frame_ref[...]
+                    out_iters[:, sl, :] = iters_ref[...]
+                    out_conv[:, sl, :] = conv_ref[...]
+                else:
+                    sl = pl.ds(t * batch_tile, batch_tile)
+                    out_bits[:, sl] = bits_ref[...]
+                    out_frame[:, sl] = frame_ref[...]
+                    out_iters[:, sl] = iters_ref[...]
+                    out_conv[:, sl] = conv_ref[...]
+                return 0
+
+            jax.lax.fori_loop(0, mc_batch // batch_tile, tile_loop, 0)
         else:
-            final_read = run_plain()
-            for j in range(nb):
-                # i1 -> int32 (same tiling) -> int8: avoids i1 retiling.
-                hard_ref[j] = (final_read(j) < 0).astype(_C).astype(jnp.int8)
-            iters_ref[...] = jnp.full(mshape, max_iter, _I32)
-            conv_ref[...] = syndrome_ok(final_read).astype(jnp.int8)
-        if counting:
-            emit_counts()
+            run_tile(pl.program_id(0))
 
     scratch = [
         pltpu.VMEM((nb, Z) + bshape, _C),                # post / totals A
@@ -656,6 +700,11 @@ def make_pallas_decoder(
         scratch.append(pltpu.VMEM((nb, Z) + bshape, jnp.int8))  # hard bits
     if mc_mode:
         scratch.append(pltpu.VMEM((nb, Z) + bshape, jnp.int8))  # codeword
+    if mc_inner:
+        scratch += [pltpu.VMEM((1,) + bshape, _I32),    # bits cell
+                    pltpu.VMEM((1,) + bshape, jnp.int8),  # frame cell
+                    pltpu.VMEM((1,) + bshape, _I32),    # iters cell
+                    pltpu.VMEM((1,) + bshape, jnp.int8)]  # conv cell
     import math as _math
     scratch_bytes = sum(
         _math.prod(s.shape) * jnp.dtype(s.dtype).itemsize for s in scratch)
@@ -689,20 +738,21 @@ def make_pallas_decoder(
             frame_err i32, iters i32, conv bool), each (B,)."""
             in_specs = [smem_spec, smem_spec]
             inputs = [seeds.astype(jnp.int32), chanf.astype(jnp.float32)]
+            full_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
             if inject_random:
                 assert u_info is not None
                 for u, rows in ((u_info, enc_st.kb), (u_n1, nph),
                                 (u_n2, nph)):
-                    in_specs.append(pl.BlockSpec(
+                    in_specs.append(full_spec if mc_inner else pl.BlockSpec(
                         (rows, Z) + blockb, state_idx,
                         memory_space=pltpu.VMEM))
                     inputs.append(u.astype(jnp.int32)
                                   .reshape((rows, Z) + bdims))
             bits, frame, iters, conv = pl.pallas_call(
                 kernel,
-                grid=(n_tiles,),
+                grid=(1,) if mc_inner else (n_tiles,),
                 in_specs=in_specs,
-                out_specs=[mask_spec] * 4,
+                out_specs=[full_spec if mc_inner else mask_spec] * 4,
                 out_shape=[
                     jax.ShapeDtypeStruct(mask_full, _I32),
                     jax.ShapeDtypeStruct(mask_full, jnp.int8),
@@ -817,7 +867,7 @@ def make_decoder(code: LDPCCode, dec: DecoderConfig, quant: QuantConfig,
                  batch_tile: int = 256, interpret: bool = False,
                  c2v_dtype=jnp.int32, pre_transposed: bool = False,
                  input_scale=None, count_info_cols=None, mc_batch=None,
-                 inject_random: bool = False):
+                 inject_random: bool = False, mc_inner_loop: bool = False):
     """Factory from configs, mirroring ops.decode_ref.make_decoder."""
     if dec.algorithm not in ("min-sum", "offset-min-sum"):
         raise ValueError(f"Pallas decoder supports the min-sum family, "
@@ -829,4 +879,4 @@ def make_decoder(code: LDPCCode, dec: DecoderConfig, quant: QuantConfig,
         batch_tile=batch_tile, interpret=interpret, c2v_dtype=c2v_dtype,
         pre_transposed=pre_transposed, input_scale=input_scale,
         count_info_cols=count_info_cols, mc_batch=mc_batch,
-        inject_random=inject_random)
+        inject_random=inject_random, mc_inner_loop=mc_inner_loop)

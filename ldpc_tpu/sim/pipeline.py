@@ -46,7 +46,8 @@ def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
                    batch: Optional[int] = None,
                    pre_transposed: bool = False,
                    fused_io: Optional[tuple] = None,
-                   mc_batch: Optional[int] = None):
+                   mc_batch: Optional[int] = None,
+                   mc_inner_loop: bool = True):
     """Decoder dispatch: the Pallas kernel on TPU, the jnp reference op
     elsewhere (SURVEY.md §2.1 C8: kernel + pure-XLA fallback); float
     algorithms always use the jnp float decoder.
@@ -111,7 +112,8 @@ def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
                                        pre_transposed=pre_transposed,
                                        input_scale=scale,
                                        count_info_cols=kb,
-                                       mc_batch=mc_batch), "pallas"
+                                       mc_batch=mc_batch,
+                                       mc_inner_loop=mc_inner_loop), "pallas"
         if b == "qc-jnp":
             from ..ops.decode_qc import make_decoder as make_qc
             return make_qc(code, dec_cfg, cfg.quant), "qc-jnp"
