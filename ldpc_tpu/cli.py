@@ -56,6 +56,9 @@ def _build_config(args) -> SimConfig:
         code = dataclasses.replace(code, Z=args.Z)
     if args.k_info:
         code = dataclasses.replace(code, k_info=args.k_info)
+    if getattr(args, "code_file", None):
+        # An explicit H file implies the alist family.
+        code = dataclasses.replace(code, family="alist", path=args.code_file)
     chan = cfg.channel
     if args.modulation:
         chan = dataclasses.replace(chan, modulation=args.modulation)
@@ -144,9 +147,19 @@ def cmd_presets(args) -> int:
 
 def cmd_codes(args) -> int:
     from .codes.ieee80211n import all_codes
+    export = getattr(args, "export_alist", None)
+    if export:
+        import os
+        from .codes.alist import write_alist
+        os.makedirs(export, exist_ok=True)
     for code in all_codes():
         print(f"{code.name}: n={code.n} k={code.k} m={code.m} Z={code.Z} "
               f"E={code.num_edges} exact={code.standard_exact}")
+        if export:
+            import os
+            write_alist(code, os.path.join(export, f"{code.name}.alist"))
+    if export:
+        print(f"wrote alist files to {export}/")
     return 0
 
 
@@ -187,6 +200,9 @@ def build_parser() -> argparse.ArgumentParser:
         q.add_argument("--rate", default=None)
         q.add_argument("--base-graph", dest="base_graph", type=int, default=None)
         q.add_argument("--Z", type=int, default=None)
+        q.add_argument("--code-file", dest="code_file", default=None,
+                       help="load H from a MacKay alist file "
+                            "(sets family=alist)")
         q.add_argument("--k-info", dest="k_info", type=int, default=None,
                        help="5G NR payload bits (enables shortening)")
         q.add_argument("--modulation", default=None,
@@ -243,7 +259,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "the preloaded jax import; this uses jax.config)")
 
     sub.add_parser("presets", help="list named workload presets")
-    sub.add_parser("codes", help="list built-in 802.11n codes")
+    cp = sub.add_parser("codes", help="list built-in 802.11n codes")
+    cp.add_argument("--export-alist", dest="export_alist", default=None,
+                    help="also write each code's H to DIR in alist format")
     rp = sub.add_parser("report", help="plot waterfalls from saved results")
     rp.add_argument("jsons", nargs="+", help="result .json files")
     rp.add_argument("--out", required=True, help="output PNG path")

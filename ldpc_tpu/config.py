@@ -51,10 +51,12 @@ class QuantConfig:
 class CodeConfig:
     """Which LDPC code to simulate.
 
-    family: 'ieee80211n' | '5gnr' | 'dvbs2' | 'toy'
+    family: 'ieee80211n' | '5gnr' | 'dvbs2' | 'toy' | 'alist'
     For ieee80211n: n in {648, 1296, 1944}, rate in {'1/2','2/3','3/4','5/6'}.
     For 5gnr: base_graph in {1, 2}, lifting Z, rate matching params.
     For dvbs2: n = 64800 (normal frame), rate string.
+    For alist: path names a MacKay-format H file (codes/alist.py); n and
+    rate are derived from the file.
     """
 
     family: str = "ieee80211n"
@@ -63,6 +65,7 @@ class CodeConfig:
     base_graph: int = 1
     Z: Optional[int] = None  # lifting size; derived from (family, n, rate) if None
     k_info: Optional[int] = None  # 5G NR payload bits (< kb*Z => shortening)
+    path: Optional[str] = None  # alist family: H-matrix file
 
 
 @dataclass(frozen=True)

@@ -65,6 +65,11 @@ def build_code(cfg: SimConfig) -> LDPCCode:
     if c.family == "toy":
         from ..codes.toy import toy_qc
         return toy_qc(c.Z or 4)
+    if c.family == "alist":
+        if not c.path:
+            raise ValueError("alist family requires CodeConfig.path")
+        from ..codes.alist import read_alist
+        return read_alist(c.path)
     raise ValueError(f"unknown code family {c.family}")
 
 
