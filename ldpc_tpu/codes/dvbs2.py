@@ -1,7 +1,9 @@
 """DVB-S2 LDPC codes (ETSI EN 302 307-1) — 'DVB-S2-like' realization.
 
 Capability target (BASELINE.json:10): n=64800 normal frames across the
-standard rate set, decoded with HBM-resident message state at batch 8k.
+standard rate set, decoded with HBM-resident message state at batch 8k;
+n=16200 short frames (EN 302 307-1 Table 5b k_ldpc values) ride the same
+builder.
 
 Provenance: the standard defines H through per-rate accumulator address
 tables (thousands of entries) that cannot be reconstructed offline, so per
@@ -39,7 +41,17 @@ from .code import LDPCCode
 from .qcstruct import gen_qc_code
 
 N_NORMAL = 64800
+N_SHORT = 16200
 Z = 360
+
+# Short-frame (n=16200) k_ldpc per nominal rate (EN 302 307-1 Table 5b;
+# the short-frame LDPC code rates differ from the nominal MODCOD rates —
+# e.g. nominal 1/2 uses k=7200, an effective 4/9). All k and n-k are
+# multiples of Z=360. 9/10 is not defined for short frames.
+SHORT_K: Dict[str, int] = {
+    "1/4": 3240, "1/3": 5400, "2/5": 6480, "1/2": 7200, "3/5": 9720,
+    "2/3": 10800, "3/4": 11880, "4/5": 12600, "5/6": 13320, "8/9": 14400,
+}
 
 # rate -> (k, n_high_degree_cols, d1)
 PROFILES: Dict[str, Tuple[int, int, int]] = {
@@ -56,13 +68,23 @@ PROFILES: Dict[str, Tuple[int, int, int]] = {
 }
 
 
-@lru_cache(maxsize=16)
+@lru_cache(maxsize=32)
 def make_code(n: int = N_NORMAL, rate: str = "1/2", seed: int = 0) -> LDPCCode:
-    if n != N_NORMAL:
-        raise ValueError(f"only normal frames (n={N_NORMAL}) supported, got {n}")
-    if rate not in PROFILES:
-        raise ValueError(f"unsupported DVB-S2 rate {rate}")
+    if n not in (N_NORMAL, N_SHORT):
+        raise ValueError(f"DVB-S2 frames are n={N_NORMAL} (normal) or "
+                         f"n={N_SHORT} (short), got {n}")
+    if rate not in PROFILES or (n == N_SHORT and rate not in SHORT_K):
+        raise ValueError(f"unsupported DVB-S2 rate {rate} for n={n}")
     k, n_hi, d1 = PROFILES[rate]
+    if n == N_SHORT:
+        # Short frames keep the normal frame's degree SHAPE (d1 plus
+        # degree-3 bulk) with the high-degree column count scaled to the
+        # short k_ldpc — the exact published short-frame spectra are not
+        # reconstructible offline, so these stay '_like' codes like the
+        # normal frames (module docstring).
+        k_s = SHORT_K[rate]
+        n_hi = max(Z, min(k_s - Z, round(n_hi * k_s / k / Z) * Z))
+        k = k_s
     assert k % Z == 0 and n_hi % Z == 0
     kb = k // Z
     mb = (n - k) // Z

@@ -54,7 +54,7 @@ class CodeConfig:
     family: 'ieee80211n' | '5gnr' | 'dvbs2' | 'toy' | 'alist'
     For ieee80211n: n in {648, 1296, 1944}, rate in {'1/2','2/3','3/4','5/6'}.
     For 5gnr: base_graph in {1, 2}, lifting Z, rate matching params.
-    For dvbs2: n = 64800 (normal frame), rate string.
+    For dvbs2: n = 64800 (normal) or 16200 (short frame), rate string.
     For alist: path names a MacKay-format H file (codes/alist.py); n and
     rate are derived from the file.
     """

@@ -97,6 +97,36 @@ class TestDVBS2:
         assert (np.asarray(enc(jnp.asarray(info)))
                 == qc_encode_numpy(code, info)).all()
 
+    @pytest.mark.parametrize("rate", ["1/4", "1/2", "8/9"])
+    def test_short_frames(self, rate, rng):
+        """n=16200 short frames (EN 302 307-1): short-frame k_ldpc values,
+        IRA structure, encodable, decodable through the auto-dispatched
+        pipeline."""
+        code = dvbs2.make_code(16200, rate)
+        k = dvbs2.SHORT_K[rate]
+        assert code.n == 16200 and code.k == k and code.Z == 360
+        assert not code.standard_exact
+        info = rng.integers(0, 2, size=(1, k), dtype=np.uint8)
+        assert not code.syndrome(qc_encode_numpy(code, info)).any()
+        # staircase parity part intact (degree 2 except the first block)
+        dv = np.zeros(code.n, np.int64)
+        for vs in code.cn_adj:
+            dv[vs] += 1
+        assert (dv[k + 360:] == 2).all()
+
+    def test_short_frame_decodes(self, rng):
+        """One decode through the QC-structured path, vs the golden model."""
+        from ldpc_tpu.golden.decoder import decode_fixed
+        from ldpc_tpu.ops.decode_qc import make_qc_decoder
+        code = dvbs2.make_code(16200, "1/2")
+        chan = rng.integers(-30, 30, size=(4, code.n)).astype(np.int8)
+        dec = make_qc_decoder(code, max_iter=3, beta=2, qmax=127,
+                              schedule="layered", early_term=False)
+        h, it, cv = map(np.asarray, dec(jnp.asarray(chan)))
+        g = decode_fixed(chan[0], code, max_iter=3, beta=2, qmax=127,
+                         schedule="layered", early_term=False)
+        np.testing.assert_array_equal(h[0], g.hard)
+
 
 class TestPuncturedPipeline:
     def test_nr_run_batch(self):
