@@ -27,11 +27,13 @@
 #define CLIP(x, lo, hi) ((x) < (lo) ? (lo) : ((x) > (hi) ? (hi) : (x)))
 
 /* CN update for one check: incoming v2c[deg] -> outgoing c2v[deg].
- * Matches golden _cn_update including degree-1 (empty exclude-min = qmax). */
+ * Matches golden _cn_update including degree-1 (empty exclude-min = qmax).
+ * anum/ashift: normalized-min-sum dyadic scaling applied to the magnitude
+ * before the beta offset (golden _mag_xform); (1, 0) is the identity. */
 static void cn_update(const int32_t *v2c, int deg, int beta, int qmax,
-                      int32_t *out) {
+                      int anum, int ashift, int32_t *out) {
     if (deg == 1) {
-        int32_t mag = qmax - beta;
+        int32_t mag = ((qmax * anum) >> ashift) - beta;
         out[0] = mag > 0 ? mag : 0;
         return;
     }
@@ -44,7 +46,10 @@ static void cn_update(const int32_t *v2c, int deg, int beta, int qmax,
         if (a < min1) { min2 = min1; min1 = a; amin = t; }
         else if (a < min2) { min2 = a; }
     }
-    int32_t m1 = min1 - beta, m2 = min2 - beta;
+    /* scale in 64-bit so min2 == INT32_MAX (impossible for deg >= 2 after
+     * the loop, but keep it defined) cannot overflow */
+    int32_t m1 = (int32_t)(((int64_t)min1 * anum) >> ashift) - beta;
+    int32_t m2 = (int32_t)(((int64_t)min2 * anum) >> ashift) - beta;
     if (m1 < 0) m1 = 0;
     if (m2 < 0) m2 = 0;
     if (m1 > qmax) m1 = qmax;
@@ -60,7 +65,7 @@ static void cn_update(const int32_t *v2c, int deg, int beta, int qmax,
 static void decode_one_flooding(
     const int8_t *chan, int n, int m, int E,
     const int32_t *cn_ptr, const int32_t *cn_vars,
-    int max_iter, int beta, int qmax, int early_term,
+    int max_iter, int beta, int qmax, int anum, int ashift, int early_term,
     uint8_t *hard, int32_t *iters_out, uint8_t *conv_out,
     int32_t *c2v, int32_t *total, int32_t *v2c_buf, int32_t *out_buf) {
     memset(c2v, 0, (size_t)E * sizeof(int32_t));
@@ -86,7 +91,7 @@ static void decode_one_flooding(
             int32_t *cv = c2v + cn_ptr[c];
             for (int t = 0; t < deg; t++)
                 v2c_buf[t] = CLIP(total[vs[t]] - cv[t], -qmax, qmax);
-            cn_update(v2c_buf, deg, beta, qmax, out_buf);
+            cn_update(v2c_buf, deg, beta, qmax, anum, ashift, out_buf);
             memcpy(cv, out_buf, (size_t)deg * sizeof(int32_t));
         }
         /* New totals + hard decision + syndrome. */
@@ -128,7 +133,7 @@ static void decode_one_layered(
     const int8_t *chan, int n, int m, int E,
     const int32_t *cn_ptr, const int32_t *cn_vars,
     int n_layers, const int32_t *layer_ptr, const int32_t *layer_checks,
-    int max_iter, int beta, int qmax, int early_term,
+    int max_iter, int beta, int qmax, int anum, int ashift, int early_term,
     uint8_t *hard, int32_t *iters_out, uint8_t *conv_out,
     int32_t *c2v, int32_t *post, int32_t *v2c_buf, int32_t *out_buf) {
     memset(c2v, 0, (size_t)E * sizeof(int32_t));
@@ -155,7 +160,7 @@ static void decode_one_layered(
                 int32_t *cv = c2v + cn_ptr[c];
                 for (int t = 0; t < deg; t++)
                     v2c_buf[t] = CLIP(post[vs[t]] - cv[t], -qmax, qmax);
-                cn_update(v2c_buf, deg, beta, qmax, out_buf);
+                cn_update(v2c_buf, deg, beta, qmax, anum, ashift, out_buf);
                 for (int t = 0; t < deg; t++) {
                     post[vs[t]] += out_buf[t] - cv[t];
                     cv[t] = out_buf[t];
@@ -192,7 +197,8 @@ void ldpc_decode_batch(
     const int8_t *chan, int B, int n, int m, int E,
     const int32_t *cn_ptr, const int32_t *cn_vars,
     int n_layers, const int32_t *layer_ptr, const int32_t *layer_checks,
-    int schedule, int max_iter, int beta, int qmax, int early_term,
+    int schedule, int max_iter, int beta, int qmax, int anum,
+    int ashift, int early_term,
     uint8_t *hard, int32_t *iters, uint8_t *conv) {
     int max_deg = 0;
     for (int c = 0; c < m; c++) {
@@ -209,13 +215,13 @@ void ldpc_decode_batch(
         for (int b = 0; b < B; b++) {
             if (schedule == 0)
                 decode_one_flooding(chan + (size_t)b * n, n, m, E, cn_ptr,
-                                    cn_vars, max_iter, beta, qmax, early_term,
+                                    cn_vars, max_iter, beta, qmax, anum, ashift, early_term,
                                     hard + (size_t)b * n, iters + b, conv + b,
                                     c2v, work, v2c_buf, out_buf);
             else
                 decode_one_layered(chan + (size_t)b * n, n, m, E, cn_ptr,
                                    cn_vars, n_layers, layer_ptr, layer_checks,
-                                   max_iter, beta, qmax, early_term,
+                                   max_iter, beta, qmax, anum, ashift, early_term,
                                    hard + (size_t)b * n, iters + b, conv + b,
                                    c2v, work, v2c_buf, out_buf);
         }

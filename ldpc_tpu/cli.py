@@ -208,7 +208,10 @@ def build_parser() -> argparse.ArgumentParser:
         q.add_argument("--modulation", default=None,
                        choices=["bpsk", "qpsk", "16qam", "64qam"])
         q.add_argument("--algorithm", default=None,
-                       choices=["min-sum", "offset-min-sum"])
+                       choices=["min-sum", "offset-min-sum",
+                                "normalized-min-sum", "sum-product",
+                                "min-sum-float", "offset-min-sum-float",
+                                "normalized-min-sum-float"])
         q.add_argument("--schedule", default=None,
                        choices=["flooding", "layered"])
         q.add_argument("--max-iter", dest="max_iter", type=int, default=None)

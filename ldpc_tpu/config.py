@@ -32,11 +32,20 @@ class QuantConfig:
 
     beta_lsb is the offset-min-sum offset in integer LSBs (0 => plain min-sum).
     With the default scale=4.0, beta_lsb=2 corresponds to beta=0.5 in LLR units.
+
+    alpha_num/alpha_shift define the normalized-min-sum scaling factor as
+    the dyadic rational alpha = alpha_num / 2**alpha_shift (default 3/4 —
+    the canonical NMS choice). Integer semantics, pinned by the golden
+    model: mag' = max(((mag * alpha_num) >> alpha_shift) - beta, 0),
+    applied to the post-exclusion CN magnitude; >> is a floor shift on the
+    nonnegative magnitude, so every implementation reproduces it exactly.
     """
 
     bits: int = 8
     scale: float = 4.0
     beta_lsb: int = 2
+    alpha_num: int = 3
+    alpha_shift: int = 2
 
     @property
     def qmax(self) -> int:
@@ -83,7 +92,8 @@ class DecoderConfig:
     BASELINE.json:9 'layered decoding schedule', BASELINE.json:8 'early
     termination')."""
 
-    algorithm: str = "min-sum"  # 'min-sum' | 'offset-min-sum' | 'sum-product'
+    # 'min-sum' | 'offset-min-sum' | 'normalized-min-sum' | float variants
+    algorithm: str = "min-sum"
     schedule: str = "flooding"  # 'flooding' | 'layered'
     max_iter: int = 20
     early_term: bool = True
@@ -99,10 +109,6 @@ class DecoderConfig:
     # full-batch decode — exact but not faster).
     phase1_iters: Optional[int] = None
     phase2_frac: float = 0.25
-
-    @property
-    def beta_enabled(self) -> bool:
-        return self.algorithm == "offset-min-sum"
 
 
 @dataclass(frozen=True)
@@ -210,3 +216,25 @@ PRESETS = {
         run=RunConfig(batch=4096, mesh_shape=(2, 4), mesh_axes=("dcn", "ici")),
     ),
 }
+
+
+def cn_params(dec: DecoderConfig, quant: QuantConfig):
+    """(beta, alpha) for the fixed-point CN magnitude transform
+    mag' = max(((mag * num) >> shift) - beta, 0), where alpha is
+    (num, shift) or None for the identity. Single mapping shared by every
+    decoder implementation (golden, jnp, QC, Pallas, C oracle) so the
+    algorithm -> parameters choice cannot diverge between them."""
+    alg = dec.algorithm
+    if alg == "offset-min-sum":
+        return quant.beta_lsb, None
+    if alg == "normalized-min-sum":
+        if not (0 < quant.alpha_num <= (1 << quant.alpha_shift)):
+            raise ValueError(
+                f"normalized-min-sum needs 0 < alpha <= 1, got "
+                f"{quant.alpha_num}/2^{quant.alpha_shift}")
+        if (quant.alpha_num, quant.alpha_shift) == (1, 0):
+            return 0, None  # alpha = 1 is plain min-sum
+        return 0, (quant.alpha_num, quant.alpha_shift)
+    if alg == "min-sum":
+        return 0, None
+    raise ValueError(f"no fixed-point CN parameters for algorithm {alg}")

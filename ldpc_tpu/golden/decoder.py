@@ -53,15 +53,29 @@ def _sign(x: np.ndarray) -> np.ndarray:
     return np.where(x < 0, -1, 1).astype(np.int32)
 
 
-def _cn_update(v2c: np.ndarray, beta: int, qmax: int) -> np.ndarray:
+def _mag_xform(excl, beta: int, alpha):
+    """The pinned CN magnitude transform (config.QuantConfig docstring):
+    mag' = min(max(((excl * num) >> shift) - beta, 0), qmax-cap applied by
+    the caller). alpha = (num, shift) scales by the dyadic rational
+    num/2**shift (normalized min-sum); None is the identity. The >> is a
+    floor shift on a nonnegative value, so it is exactly reproducible in
+    int32 on every backend."""
+    if alpha is not None:
+        num, shift = alpha
+        excl = (excl * num) >> shift
+    return np.maximum(excl - beta, 0)
+
+
+def _cn_update(v2c: np.ndarray, beta: int, qmax: int, alpha=None) -> np.ndarray:
     """Min-sum check-node update for one check's incoming messages (1-D).
 
     Degree-1 checks: the exclude-self minimum is over the empty set, defined as
     qmax (matches the dense padded implementations, whose pad slots carry
-    magnitude qmax and sign +1), giving c2v = +max(qmax - beta, 0).
+    magnitude qmax and sign +1), giving c2v = +xform(qmax).
     """
     if len(v2c) == 1:
-        return np.array([max(qmax - beta, 0)], np.int32)
+        return np.array([int(_mag_xform(np.int32(qmax), beta, alpha))],
+                        np.int32)
     mags = np.abs(v2c)
     order = np.argsort(mags, kind="stable")
     min1 = mags[order[0]]
@@ -69,7 +83,7 @@ def _cn_update(v2c: np.ndarray, beta: int, qmax: int) -> np.ndarray:
     amin = order[0]
     sprod = int(np.prod(_sign(v2c)))
     excl = np.where(np.arange(len(v2c)) == amin, min2, min1)
-    mag = np.maximum(excl - beta, 0)
+    mag = _mag_xform(excl, beta, alpha)
     mag = np.minimum(mag, qmax)
     return (sprod * _sign(v2c) * mag).astype(np.int32)
 
@@ -91,17 +105,22 @@ def decode_fixed(
     schedule: str = "flooding",
     early_term: bool = True,
     trace: bool = False,
+    alpha=None,
 ) -> DecodeResult:
-    """Bit-exact fixed-point min-sum / offset-min-sum decoder, one codeword.
+    """Bit-exact fixed-point min-sum / offset / normalized-min-sum decoder,
+    one codeword.
 
     chan: (n,) integer channel LLRs already quantized to [-qmax, qmax].
+    alpha: (num, shift) normalized-min-sum scaling, or None (see _mag_xform).
     """
     chan = np.asarray(chan, np.int32)
     assert chan.shape == (code.n,)
     if schedule == "flooding":
-        return _decode_flooding(chan, code, max_iter, beta, qmax, early_term, trace)
+        return _decode_flooding(chan, code, max_iter, beta, qmax, early_term,
+                                trace, alpha)
     elif schedule == "layered":
-        return _decode_layered(chan, code, max_iter, beta, qmax, early_term, trace)
+        return _decode_layered(chan, code, max_iter, beta, qmax, early_term,
+                               trace, alpha)
     raise ValueError(schedule)
 
 
@@ -112,7 +131,8 @@ def _syndrome_ok(code: LDPCCode, hard: np.ndarray) -> bool:
     return True
 
 
-def _decode_flooding(chan, code, max_iter, beta, qmax, early_term, trace):
+def _decode_flooding(chan, code, max_iter, beta, qmax, early_term, trace,
+                     alpha=None):
     # c2v stored per (check, slot) as a ragged list of arrays.
     c2v = [np.zeros(len(vs), np.int32) for vs in code.cn_adj]
     tr: List[dict] = []
@@ -130,7 +150,7 @@ def _decode_flooding(chan, code, max_iter, beta, qmax, early_term, trace):
         new_c2v = []
         for c, vs in enumerate(code.cn_adj):
             v2c = np.clip(total[vs] - c2v[c], -qmax, qmax)
-            new_c2v.append(_cn_update(v2c, beta, qmax))
+            new_c2v.append(_cn_update(v2c, beta, qmax, alpha))
         c2v = new_c2v
         # Posterior + hard decision from the NEW messages.
         total = chan.copy()
@@ -151,7 +171,8 @@ def _decode_flooding(chan, code, max_iter, beta, qmax, early_term, trace):
                         trace=tr if trace else None)
 
 
-def _decode_layered(chan, code, max_iter, beta, qmax, early_term, trace):
+def _decode_layered(chan, code, max_iter, beta, qmax, early_term, trace,
+                    alpha=None):
     from ..codes.layout import compile_layers_general, compile_qc_layout
 
     if code.base is not None and code.Z is not None:
@@ -176,7 +197,7 @@ def _decode_layered(chan, code, max_iter, beta, qmax, early_term, trace):
             for c in layer:
                 vs = code.cn_adj[c]
                 v2c = np.clip(pre[vs] - c2v[c], -qmax, qmax)
-                new = _cn_update(v2c, beta, qmax)
+                new = _cn_update(v2c, beta, qmax, alpha)
                 post[vs] += new - c2v[c]
                 c2v[c] = new
         hard = (post < 0).astype(np.uint8)
@@ -204,8 +225,9 @@ def decode_float(
     chan_llr: np.ndarray,
     code: LDPCCode,
     max_iter: int = 20,
-    algorithm: str = "sum-product",  # 'sum-product' | 'min-sum' | 'offset-min-sum'
-    beta: float = 0.5,
+    # 'sum-product' | 'min-sum' | 'offset-min-sum' | 'normalized-min-sum'
+    algorithm: str = "sum-product",
+    beta: float = 0.5,  # OMS offset; carries the NMS alpha factor
     schedule: str = "flooding",
     early_term: bool = True,
 ) -> DecodeResult:
@@ -235,6 +257,8 @@ def decode_float(
         excl = np.where(np.arange(len(v2c)) == amin, min2, min1)
         if algorithm == "offset-min-sum":
             excl = np.maximum(excl - beta, 0.0)
+        elif algorithm == "normalized-min-sum":
+            excl = excl * beta
         return sprod * sgn * excl
 
     for it in range(max_iter):

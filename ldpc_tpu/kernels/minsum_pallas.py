@@ -102,7 +102,7 @@ def _qc_entries(code: LDPCCode):
     return qc, layers
 
 
-def _cn_minsum(v2cs, beta: int):
+def _cn_minsum(v2cs, beta: int, alpha=None):
     """Unrolled min-sum CN update over one layer's entries.
 
     v2cs: list of (Z, Bs, 128) int32 messages (already clipped to +-qmax).
@@ -126,15 +126,21 @@ def _cn_minsum(v2cs, beta: int):
         min2 = jnp.minimum(min2, jnp.maximum(min1, m))
         min1 = jnp.minimum(min1, m)
         negacc = negacc ^ v2cs[t]
-    # The offset applies to the post-exclusion magnitude, so the raw min1 must
-    # survive for the |v| == min1 comparison; offset min1/min2 once per layer.
+    # The scale/offset apply to the post-exclusion magnitude, so the raw min1
+    # must survive for the |v| == min1 comparison; both transforms are
+    # monotonic, so applying them to min1/min2 once per layer (cheap) equals
+    # the golden model's per-edge post-exclusion application.
+    min1_o, min2_o = min1, min2
+    if alpha is not None:
+        num = jnp.array(alpha[0], _C)
+        sh = jnp.array(alpha[1], _C)
+        min1_o = jax.lax.shift_right_arithmetic(min1_o * num, sh)
+        min2_o = jax.lax.shift_right_arithmetic(min2_o * num, sh)
     if beta:
         zero = jnp.zeros_like(min1)
         beta_c = jnp.array(beta, _C)
-        min1_o = jnp.maximum(min1 - beta_c, zero)
-        min2_o = jnp.maximum(min2 - beta_c, zero)
-    else:
-        min1_o, min2_o = min1, min2
+        min1_o = jnp.maximum(min1_o - beta_c, zero)
+        min2_o = jnp.maximum(min2_o - beta_c, zero)
     out = []
     for v, m in zip(v2cs, mags):
         mag = jnp.where(m == min1, min2_o, min1_o)
@@ -179,6 +185,7 @@ def make_pallas_decoder(
     mc_batch=None,
     inject_random: bool = False,
     mc_inner_loop: bool = False,
+    alpha=None,
 ) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Build decode(chan_i8[B, n]) -> (hard[B, n] u8, iters[B] i32, conv[B] bool).
 
@@ -494,7 +501,7 @@ def make_pallas_decoder(
                     if with_synd:
                         u = jnp.sum((acc < 0).astype(_I32), axis=0, keepdims=True)
                         unsat = u if unsat is None else unsat + u
-                    news = _cn_minsum(v2cs, beta)
+                    news = _cn_minsum(v2cs, beta, alpha)
                     for (j, s), e, old, new in zip(ents, entry_of[li], olds, news):
                         emit(j, s, e, old, new)
                 if with_synd:
@@ -587,7 +594,7 @@ def make_pallas_decoder(
                         tot_ref[j] = chan32(j)
                     for li, ents in enumerate(layers):
                         v2cs = [_rot_fwd(post_ref[j], s) for (j, s) in ents]
-                        news = _cn_minsum(v2cs, beta)
+                        news = _cn_minsum(v2cs, beta, alpha)
                         for (j, s), e, new in zip(ents, entry_of[li], news):
                             c2v_ref[e] = new.astype(c2v_ref.dtype)
                             tot_ref[j] = tot_ref[j] + _rot_bwd(new, s)
@@ -869,12 +876,14 @@ def make_decoder(code: LDPCCode, dec: DecoderConfig, quant: QuantConfig,
                  input_scale=None, count_info_cols=None, mc_batch=None,
                  inject_random: bool = False, mc_inner_loop: bool = False):
     """Factory from configs, mirroring ops.decode_ref.make_decoder."""
-    if dec.algorithm not in ("min-sum", "offset-min-sum"):
+    if dec.algorithm not in ("min-sum", "offset-min-sum",
+                             "normalized-min-sum"):
         raise ValueError(f"Pallas decoder supports the min-sum family, "
                          f"got {dec.algorithm}")
-    beta = quant.beta_lsb if dec.algorithm == "offset-min-sum" else 0
+    from ..config import cn_params
+    beta, alpha = cn_params(dec, quant)
     return make_pallas_decoder(
-        code, max_iter=dec.max_iter, beta=beta, qmax=quant.qmax,
+        code, max_iter=dec.max_iter, beta=beta, qmax=quant.qmax, alpha=alpha,
         schedule=dec.schedule, early_term=dec.early_term,
         batch_tile=batch_tile, interpret=interpret, c2v_dtype=c2v_dtype,
         pre_transposed=pre_transposed, input_scale=input_scale,

@@ -62,6 +62,7 @@ def make_stream_decoder(
     interpret: bool = False,
     static_unroll: bool = True,
     posterior_i16: bool | None = None,
+    alpha=None,
 ) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """decode(chan_i8[B, n]) -> (hard u8, iters i32, conv bool).
 
@@ -260,12 +261,16 @@ def make_stream_decoder(
                 mags.append(mag)
                 negs.append(neg)
                 olds.append(old)
+            min1_o, min2_o = min1, min2
+            if alpha is not None:  # normalized-min-sum dyadic scaling
+                min1_o = jax.lax.shift_right_arithmetic(
+                    min1_o * jnp.array(alpha[0], _C), jnp.array(alpha[1], _C))
+                min2_o = jax.lax.shift_right_arithmetic(
+                    min2_o * jnp.array(alpha[0], _C), jnp.array(alpha[1], _C))
             if beta:
                 zero = jnp.zeros_like(min1)
-                min1_o = jnp.maximum(min1 - beta, zero)
-                min2_o = jnp.maximum(min2 - beta, zero)
-            else:
-                min1_o, min2_o = min1, min2
+                min1_o = jnp.maximum(min1_o - beta, zero)
+                min2_o = jnp.maximum(min2_o - beta, zero)
             for s in range(D):
                 out_mag = jnp.where(mags[s] == min1, min2_o, min1_o)
                 sgn = negpar ^ negs[s]  # 0/1
@@ -421,13 +426,16 @@ def make_stream_decoder(
                     min2 = jnp.minimum(min2, jnp.maximum(min1, m))
                     min1 = jnp.minimum(min1, m)
                     negacc = negacc ^ v2cs[i2]
+                min1_o, min2_o = min1, min2
+                if alpha is not None:  # normalized-min-sum dyadic scaling
+                    num, sh = jnp.array(alpha[0], _C), jnp.array(alpha[1], _C)
+                    min1_o = jax.lax.shift_right_arithmetic(min1_o * num, sh)
+                    min2_o = jax.lax.shift_right_arithmetic(min2_o * num, sh)
                 if beta:
                     zero = jnp.zeros_like(min1)
                     bc = jnp.array(beta, _C)
-                    min1_o = jnp.maximum(min1 - bc, zero)
-                    min2_o = jnp.maximum(min2 - bc, zero)
-                else:
-                    min1_o, min2_o = min1, min2
+                    min1_o = jnp.maximum(min1_o - bc, zero)
+                    min2_o = jnp.maximum(min2_o - bc, zero)
                 for s, (col, sh, e, fw) in enumerate(ents):
                     mag = jnp.where(mags[s] == min1, min2_o, min1_o)
                     excl = negacc ^ v2cs[s]
@@ -556,12 +564,14 @@ def make_stream_decoder(
 
 def make_decoder(code: LDPCCode, dec: DecoderConfig, quant: QuantConfig,
                  batch_tile: int = 128, interpret: bool = False):
-    if dec.algorithm not in ("min-sum", "offset-min-sum"):
+    if dec.algorithm not in ("min-sum", "offset-min-sum",
+                             "normalized-min-sum"):
         raise ValueError(f"streaming decoder supports the min-sum family, "
                          f"got {dec.algorithm}")
     if dec.schedule != "layered":
         raise ValueError("streaming decoder is layered-only")
-    beta = quant.beta_lsb if dec.algorithm == "offset-min-sum" else 0
+    from ..config import cn_params
+    beta, alpha = cn_params(dec, quant)
     return make_stream_decoder(code, max_iter=dec.max_iter, beta=beta,
                                qmax=quant.qmax, batch_tile=batch_tile,
-                               interpret=interpret)
+                               interpret=interpret, alpha=alpha)

@@ -34,9 +34,12 @@ def _rot_bwd(x, s):
     return x if s == 0 else jnp.roll(x, s, axis=-1)
 
 
-def _cn_minsum(v2cs: List[jnp.ndarray], beta: int):
+def _cn_minsum(v2cs: List[jnp.ndarray], beta: int, alpha=None):
     """Value-exclusion min-sum over a layer's entries ((B, Z) int32 each) —
-    identical tie semantics to the golden model (see minsum_pallas)."""
+    identical tie semantics to the golden model (see minsum_pallas).
+    alpha = (num, shift): normalized-min-sum scaling applied to min1/min2
+    before the offset — monotonic, so pre-exclusion application equals the
+    golden model's post-exclusion transform."""
     mags = [jnp.abs(v) for v in v2cs]
     min1 = mags[0]
     min2 = jnp.full_like(min1, 1 << 14)
@@ -46,12 +49,14 @@ def _cn_minsum(v2cs: List[jnp.ndarray], beta: int):
         min2 = jnp.minimum(min2, jnp.maximum(min1, m))
         min1 = jnp.minimum(min1, m)
         negpar = jnp.logical_xor(negpar, v2cs[t] < 0)
+    min1_o, min2_o = min1, min2
+    if alpha is not None:
+        min1_o = jnp.right_shift(min1_o * alpha[0], alpha[1])
+        min2_o = jnp.right_shift(min2_o * alpha[0], alpha[1])
     if beta:
         zero = jnp.zeros_like(min1)
-        min1_o = jnp.maximum(min1 - beta, zero)
-        min2_o = jnp.maximum(min2 - beta, zero)
-    else:
-        min1_o, min2_o = min1, min2
+        min1_o = jnp.maximum(min1_o - beta, zero)
+        min2_o = jnp.maximum(min2_o - beta, zero)
     out = []
     for v, m in zip(v2cs, mags):
         mag = jnp.where(m == min1, min2_o, min1_o)
@@ -67,6 +72,7 @@ def make_qc_decoder(
     schedule: str = "layered",
     early_term: bool = True,
     c2v_dtype=jnp.int8,
+    alpha=None,
 ) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """decode(chan_i8[B, n]) -> (hard u8, iters i32, conv bool)."""
     if schedule not in ("flooding", "layered"):
@@ -104,7 +110,7 @@ def make_qc_decoder(
                 v2cs.append(jnp.clip(_rot_fwd(read_col(j), s) - old,
                                      -qmax, qmax))
                 olds.append(old)
-            news = _cn_minsum(v2cs, beta)
+            news = _cn_minsum(v2cs, beta, alpha)
             for (j, s), e, old, new in zip(ents, entry_of[li], olds, news):
                 write(j, s, e, old, new, li)
 
@@ -172,10 +178,13 @@ def make_qc_decoder(
 
 def make_decoder(code: LDPCCode, dec: DecoderConfig, quant: QuantConfig,
                  c2v_dtype=jnp.int8):
-    if dec.algorithm not in ("min-sum", "offset-min-sum"):
+    if dec.algorithm not in ("min-sum", "offset-min-sum",
+                             "normalized-min-sum"):
         raise ValueError(f"QC jnp decoder supports the min-sum family, "
                          f"got {dec.algorithm}")
-    beta = quant.beta_lsb if dec.algorithm == "offset-min-sum" else 0
+    from ..config import cn_params
+    beta, alpha = cn_params(dec, quant)
     return make_qc_decoder(code, max_iter=dec.max_iter, beta=beta,
                            qmax=quant.qmax, schedule=dec.schedule,
-                           early_term=dec.early_term, c2v_dtype=c2v_dtype)
+                           early_term=dec.early_term, c2v_dtype=c2v_dtype,
+                           alpha=alpha)

@@ -31,11 +31,13 @@ from ..config import DecoderConfig, QuantConfig
 _BIG = jnp.int32(1 << 15)
 
 
-def _cn_update(v2c: jnp.ndarray, mask: jnp.ndarray, beta: int) -> jnp.ndarray:
+def _cn_update(v2c: jnp.ndarray, mask: jnp.ndarray, beta: int,
+               alpha=None) -> jnp.ndarray:
     """Min-sum CN update on dense (..., C, D) int32 messages.
 
     Pad slots must already hold +qmax (so they never win the min and contribute
-    positive sign); output pads are zeroed.
+    positive sign); output pads are zeroed. alpha = (num, shift) applies the
+    normalized-min-sum dyadic scaling (golden._mag_xform semantics).
     """
     mags = jnp.abs(v2c)
     amin = jnp.argmin(mags, axis=-1)[..., None]
@@ -46,6 +48,8 @@ def _cn_update(v2c: jnp.ndarray, mask: jnp.ndarray, beta: int) -> jnp.ndarray:
     par = (jnp.sum(neg, axis=-1, keepdims=True) & 1).astype(bool)
     excl_neg = jnp.logical_xor(par, neg)
     excl_mag = jnp.where(slots == amin, min2, min1)
+    if alpha is not None:
+        excl_mag = jnp.right_shift(excl_mag * alpha[0], alpha[1])
     mag = jnp.maximum(excl_mag - beta, 0)
     val = jnp.where(excl_neg, -mag, mag)
     return jnp.where(mask, val, 0)
@@ -65,6 +69,7 @@ def make_flooding_decoder(
     beta: int = 0,
     qmax: int = 127,
     early_term: bool = True,
+    alpha=None,
 ) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Returns decode(chan_i8[B, n]) -> (hard[B, n] uint8, iters[B] i32,
     converged[B] bool)."""
@@ -96,7 +101,7 @@ def make_flooding_decoder(
             c2v_d = c2v_flat[:, : M * D].reshape(B, M, D)
             v2c = jnp.clip(tot_pad[:, ev] - c2v_d, -qmax_j, qmax_j)
             v2c = jnp.where(mask, v2c, qmax_j)
-            new = _cn_update(v2c, mask, beta)
+            new = _cn_update(v2c, mask, beta, alpha)
             new_flat = pad1(new.reshape(B, M * D))
             tot2 = totals(chan32, new_flat)
             hard_new = tot2 < 0
@@ -132,6 +137,7 @@ def make_layered_decoder(
     beta: int = 0,
     qmax: int = 127,
     early_term: bool = True,
+    alpha=None,
 ) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Layered-schedule decoder; layers = QC base rows when available, else a
     greedy disjoint grouping (codes/layout.py)."""
@@ -177,7 +183,7 @@ def make_layered_decoder(
             c2v_l = c2v_flat[:, pos]
             v2c = jnp.clip(post_pad[:, evl] - c2v_l, -qmax_j, qmax_j)
             v2c = jnp.where(mk, v2c, qmax_j)
-            new = _cn_update(v2c, mk, beta)
+            new = _cn_update(v2c, mk, beta, alpha)
             delta = jnp.where(mk, new - c2v_l, 0)
             post_pad = post_pad.at[:, evl.reshape(-1)].add(
                 delta.reshape(B, -1))
@@ -220,14 +226,16 @@ def make_layered_decoder(
 
 def make_decoder(code: LDPCCode, dec: DecoderConfig, quant: QuantConfig):
     """Factory from configs (SURVEY.md §5.6)."""
-    if dec.algorithm not in ("min-sum", "offset-min-sum"):
+    if dec.algorithm not in ("min-sum", "offset-min-sum",
+                             "normalized-min-sum"):
         raise ValueError(f"jnp reference decoder supports min-sum family, "
                          f"got {dec.algorithm}")
-    beta = quant.beta_lsb if dec.algorithm == "offset-min-sum" else 0
+    from ..config import cn_params
+    beta, alpha = cn_params(dec, quant)
     maker = (make_layered_decoder if dec.schedule == "layered"
              else make_flooding_decoder)
     return maker(code, max_iter=dec.max_iter, beta=beta, qmax=quant.qmax,
-                 early_term=dec.early_term)
+                 early_term=dec.early_term, alpha=alpha)
 
 
 # ---------------------------------------------------------------------------
@@ -261,6 +269,9 @@ def _cn_update_float(v2c, mask, algorithm: str, beta: float):
     excl_mag = jnp.where(slots == amin, min2, min1)
     if algorithm == "offset-min-sum":
         excl_mag = jnp.maximum(excl_mag - beta, 0.0)
+    elif algorithm == "normalized-min-sum":
+        # beta carries the float alpha factor for the normalized variant
+        excl_mag = excl_mag * beta
     val = jnp.where(excl_neg, -excl_mag, excl_mag)
     return jnp.where(mask, val, 0.0)
 

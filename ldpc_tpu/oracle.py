@@ -46,7 +46,8 @@ def _lib() -> ctypes.CDLL:
         i8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         i32p, i32p,
         ctypes.c_int, i32p, i32p,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
         u8p, i32p, u8p,
     ]
     lib.ldpc_decode_batch.restype = None
@@ -95,9 +96,10 @@ def decode_batch(
     qmax: int = 127,
     schedule: str = "flooding",
     early_term: bool = True,
+    alpha=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Bit-exact batched decode. chan: (B, n) int8 -> (hard u8, iters i32,
-    conv bool)."""
+    conv bool). alpha = (num, shift) normalized-min-sum scaling or None."""
     chan = np.ascontiguousarray(chan, np.int8)
     B, n = chan.shape
     assert n == code.n
@@ -110,6 +112,8 @@ def decode_batch(
         cn_ptr, cn_vars,
         len(layer_ptr) - 1, layer_ptr, layer_checks,
         0 if schedule == "flooding" else 1,
-        max_iter, beta, qmax, int(early_term),
+        max_iter, beta, qmax,
+        alpha[0] if alpha else 1, alpha[1] if alpha else 0,
+        int(early_term),
         hard, iters, conv)
     return hard, iters, conv.astype(bool)

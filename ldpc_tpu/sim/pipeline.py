@@ -32,7 +32,8 @@ from ..ops.quantize import quantize
 jax.config.update("jax_threefry_partitionable", True)
 
 
-FLOAT_ALGOS = ("sum-product", "min-sum-float", "offset-min-sum-float")
+FLOAT_ALGOS = ("sum-product", "min-sum-float", "offset-min-sum-float",
+               "normalized-min-sum-float")
 
 
 def is_float_mode(cfg: SimConfig) -> bool:
@@ -60,7 +61,11 @@ def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
         alg = cfg.decoder.algorithm.replace("-float", "")
         if cfg.decoder.schedule != "flooding":
             raise ValueError("float decoders support the flooding schedule")
-        beta_f = cfg.quant.beta_lsb / cfg.quant.scale  # LLR-domain offset
+        if alg == "normalized-min-sum":
+            # the float NMS factor rides the beta slot (see _cn_update_float)
+            beta_f = cfg.quant.alpha_num / (1 << cfg.quant.alpha_shift)
+        else:
+            beta_f = cfg.quant.beta_lsb / cfg.quant.scale  # LLR-domain offset
         return make_float_decoder(
             code, max_iter=cfg.decoder.max_iter, algorithm=alg, beta=beta_f,
             early_term=cfg.decoder.early_term), "jnp-float"
