@@ -146,9 +146,21 @@ def make_stream_decoder(
     max_col_deg = int(col_deg.max())
     if posterior_i16 is None:
         posterior_i16 = D <= 12
-    i16_ok = use_static and (max_col_deg + 1) * qmax < (1 << 15)
+    # Z % 8: Mosaic rejects DMA slices of PACKED (sub-32-bit) memrefs whose
+    # sublane extent is not tile-aligned ("Slice shape along dimension 2
+    # must be aligned to tiling (8), but is 27" — hit on 802.11n Z=27 for
+    # both int16 posteriors and int8 messages); int32 blocks have no such
+    # restriction (the int32 posterior fetch on the preceding line compiled
+    # fine), so unaligned Z falls back to int32 for BOTH streams. Sub-word
+    # storage is purely a bandwidth optimization — unaligned-Z codes are
+    # small (wifi Z<=81) and normally take the VMEM kernel anyway.
+    sub32_ok = Z % 8 == 0
+    i16_ok = (use_static and sub32_ok
+              and (max_col_deg + 1) * qmax < (1 << 15))
     post_dtype = jnp.int16 if (posterior_i16 and i16_ok) else _C
     post_bytes = 2 if post_dtype == jnp.int16 else 4
+    msg_dtype = jnp.int8 if sub32_ok else _C
+    msg_bytes = 1 if sub32_ok else 4
 
     total = max_iter * mb
 
@@ -281,7 +293,7 @@ def make_stream_decoder(
                 def _():
                     pbuf[slot, s] = (pbuf[slot, s]
                                      + pltpu.roll(new - olds[s], sh, 0))
-                    cbuf[slot, s] = new.astype(jnp.int8)
+                    cbuf[slot, s] = new.astype(msg_dtype)
 
             # 5. Start this layer's writebacks (async; they drain during the
             #    next layer's compute and are waited before their slot is
@@ -442,7 +454,7 @@ def make_stream_decoder(
                     new = jnp.where(excl < 0, -mag, mag)
                     pbuf[A, s] = (posts[s]
                                   + _rot_b(new - olds[s], sh)).astype(post_dtype)
-                    cbuf[A, s] = new.astype(jnp.int8)
+                    cbuf[A, s] = new.astype(msg_dtype)
 
                 # 5. start this layer's writebacks
                 for s, (col, sh, e, fw) in enumerate(ents):
@@ -492,7 +504,7 @@ def make_stream_decoder(
         post_init = chan_t.astype(post_dtype)
         scratch = [
             pltpu.VMEM((2, D, Z, batch_tile), post_dtype),
-            pltpu.VMEM((2, D, Z, batch_tile), jnp.int8),
+            pltpu.VMEM((2, D, Z, batch_tile), msg_dtype),
             pltpu.SemaphoreType.DMA((2, D)),
             pltpu.SemaphoreType.DMA((2, D)),
             pltpu.SemaphoreType.DMA((2, D)),
@@ -508,7 +520,7 @@ def make_stream_decoder(
         # the stack need does not shrink with the buffer dtype (NR BG1 D=22
         # measured 18.3 MB stack with int16 buffers — above the 16 MB floor
         # a (post_bytes+1)-based formula would have requested).
-        bufs = 2 * D * Z * batch_tile * (4 + 1)
+        bufs = 2 * D * Z * batch_tile * (4 + msg_bytes)
         # observed actual stack need for NR BG1 (D=22): 1.98x bufs; leave
         # real headroom beyond that
         vmem_limit = max(16 * 2 ** 20, int(bufs * 2.4))
@@ -517,9 +529,9 @@ def make_stream_decoder(
         out_shape = [
             jax.ShapeDtypeStruct((n_tiles, nb, Z, batch_tile), post_dtype),
             jax.ShapeDtypeStruct((n_tiles, n_entries, Z, batch_tile),
-                                 jnp.int8),
+                                 msg_dtype),
         ]
-        c2v_init = jnp.zeros((n_tiles, n_entries, Z, batch_tile), jnp.int8)
+        c2v_init = jnp.zeros((n_tiles, n_entries, Z, batch_tile), msg_dtype)
         if use_static:
             gs = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=0,
