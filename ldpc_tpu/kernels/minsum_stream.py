@@ -63,6 +63,7 @@ def make_stream_decoder(
     static_unroll: bool = True,
     posterior_i16: bool | None = None,
     alpha=None,
+    resident: bool | None = None,
 ) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """decode(chan_i8[B, n]) -> (hard u8, iters i32, conv bool).
 
@@ -157,10 +158,36 @@ def make_stream_decoder(
     sub32_ok = Z % 8 == 0
     i16_ok = (use_static and sub32_ok
               and (max_col_deg + 1) * qmax < (1 << 15))
-    post_dtype = jnp.int16 if (posterior_i16 and i16_ok) else _C
-    post_bytes = 2 if post_dtype == jnp.int16 else 4
     msg_dtype = jnp.int8 if sub32_ok else _C
     msg_bytes = 1 if sub32_ok else 4
+
+    # Posterior-RESIDENT mode: when the whole tile's posteriors fit VMEM
+    # alongside the c2v slots and Mosaic's compute temporaries, keep them
+    # resident for the entire decode (kernel_resident) — only c2v streams.
+    # The scoped-VMEM cap is raisable to 32 MB on this part (verified to
+    # compile AND run); the temp estimate is ~4 int32 temporaries per layer
+    # slot entry, calibrated against observed Mosaic stack use.
+    def _res_limit(pb):
+        state = (nb * Z * batch_tile * pb
+                 + 2 * D * Z * batch_tile * msg_bytes)
+        temp = D * Z * batch_tile * 16
+        return int((state + temp) * 1.15)
+
+    if resident is None:
+        pb_try = 2 if i16_ok else 4
+        resident = use_static and _res_limit(pb_try) <= 32 * 2 ** 20
+    elif resident and not use_static:
+        raise ValueError(f"{code.name}: resident mode requires the "
+                         f"static-unrolled path (even mb)")
+    if resident:
+        # Residency prefers the smaller footprint: there is no per-layer
+        # posterior DMA left for width to slow down.
+        posterior_i16 = i16_ok
+    if posterior_i16 is None:
+        posterior_i16 = D <= 12
+    post_dtype = jnp.int16 if (posterior_i16 and i16_ok) else _C
+    post_bytes = 2 if post_dtype == jnp.int16 else 4
+    res_limit = _res_limit(post_bytes)
 
     total = max_iter * mb
 
@@ -324,6 +351,16 @@ def make_stream_decoder(
                         c2v_ref.at[t, int(lent[l, s])],
                         cw.at[slot, s]).wait()
 
+    # Layer entry ids are layer-major-contiguous (lent = cumsum over the
+    # layer-major mask), so one DMA moves a whole layer's c2v blocks.
+    layer_off = []
+    off_acc = 0
+    for l in range(mb):
+        layer_off.append(off_acc)
+        for s, e in enumerate(e2 for (_c, _s, e2, _f) in LAYERS[l]):
+            assert e == off_acc + s, "c2v entries must be layer-contiguous"
+        off_acc += len(LAYERS[l])
+
     def _rot_f(x, sh):
         # y[r] = x[(r + sh) % Z] (static shift, vreg-level concat)
         if sh == 0:
@@ -334,6 +371,44 @@ def make_stream_decoder(
         if sh == 0:
             return x
         return jnp.concatenate([x[-sh:], x[:-sh]], axis=0)
+
+    def _layer_cn(ents, read_post, read_old, emit):
+        """One layer's CN update — exact degree, static rotations, sign
+        parity in bit 31 (see minsum_pallas._cn_minsum). read_post(s, col)
+        and read_old(s) return (Z, Bt) int32; emit(s, col, sh, new_post,
+        new_msg) handles the int32 results (callers narrow to storage)."""
+        v2cs, olds, posts = [], [], []
+        for s, (col, sh, e, fw) in enumerate(ents):
+            old = read_old(s)
+            post = read_post(s, col)  # widen once; reused below
+            rolled = _rot_f(post, sh)
+            v2cs.append(jnp.clip(rolled - old, -qmax, qmax))
+            olds.append(old)
+            posts.append(post)
+        mags = [jnp.abs(v) for v in v2cs]
+        min1 = mags[0]
+        min2 = jnp.full_like(min1, jnp.array(1 << 14, _C))
+        negacc = v2cs[0]
+        for i2 in range(1, len(v2cs)):
+            m = mags[i2]
+            min2 = jnp.minimum(min2, jnp.maximum(min1, m))
+            min1 = jnp.minimum(min1, m)
+            negacc = negacc ^ v2cs[i2]
+        min1_o, min2_o = min1, min2
+        if alpha is not None:  # normalized-min-sum dyadic scaling
+            num, sh_a = jnp.array(alpha[0], _C), jnp.array(alpha[1], _C)
+            min1_o = jax.lax.shift_right_arithmetic(min1_o * num, sh_a)
+            min2_o = jax.lax.shift_right_arithmetic(min2_o * num, sh_a)
+        if beta:
+            zero = jnp.zeros_like(min1)
+            bc = jnp.array(beta, _C)
+            min1_o = jnp.maximum(min1_o - bc, zero)
+            min2_o = jnp.maximum(min2_o - bc, zero)
+        for s, (col, sh, e, fw) in enumerate(ents):
+            mag = jnp.where(mags[s] == min1, min2_o, min1_o)
+            excl = negacc ^ v2cs[s]
+            new = jnp.where(excl < 0, -mag, mag)
+            emit(s, col, sh, posts[s] + _rot_b(new - olds[s], sh), new)
 
     def kernel_static(c2v_in_ref, post_in_ref, post_ref, c2v_ref,
                       pbuf, cbuf, pf, cf, pw, cw):
@@ -419,42 +494,15 @@ def make_stream_decoder(
                     wb_waits()
                     next_fetches()
 
-                # 4. CN update — exact degree, static rotations, sign parity
-                # in bit 31 (see minsum_pallas._cn_minsum).
-                v2cs, olds, posts = [], [], []
-                for s, (col, sh, e, fw) in enumerate(ents):
-                    old = cbuf[A, s].astype(_C)
-                    post = pbuf[A, s].astype(_C)  # widen once; reused below
-                    rolled = _rot_f(post, sh)
-                    v2cs.append(jnp.clip(rolled - old, -qmax, qmax))
-                    olds.append(old)
-                    posts.append(post)
-                mags = [jnp.abs(v) for v in v2cs]
-                min1 = mags[0]
-                min2 = jnp.full_like(min1, jnp.array(1 << 14, _C))
-                negacc = v2cs[0]
-                for i2 in range(1, len(v2cs)):
-                    m = mags[i2]
-                    min2 = jnp.minimum(min2, jnp.maximum(min1, m))
-                    min1 = jnp.minimum(min1, m)
-                    negacc = negacc ^ v2cs[i2]
-                min1_o, min2_o = min1, min2
-                if alpha is not None:  # normalized-min-sum dyadic scaling
-                    num, sh = jnp.array(alpha[0], _C), jnp.array(alpha[1], _C)
-                    min1_o = jax.lax.shift_right_arithmetic(min1_o * num, sh)
-                    min2_o = jax.lax.shift_right_arithmetic(min2_o * num, sh)
-                if beta:
-                    zero = jnp.zeros_like(min1)
-                    bc = jnp.array(beta, _C)
-                    min1_o = jnp.maximum(min1_o - bc, zero)
-                    min2_o = jnp.maximum(min2_o - bc, zero)
-                for s, (col, sh, e, fw) in enumerate(ents):
-                    mag = jnp.where(mags[s] == min1, min2_o, min1_o)
-                    excl = negacc ^ v2cs[s]
-                    new = jnp.where(excl < 0, -mag, mag)
-                    pbuf[A, s] = (posts[s]
-                                  + _rot_b(new - olds[s], sh)).astype(post_dtype)
-                    cbuf[A, s] = new.astype(msg_dtype)
+                # 4. CN update (shared helper; buffers narrow on emit)
+                def emit_slot(s, col, sh, new_post, new_msg):
+                    pbuf[A, s] = new_post.astype(post_dtype)
+                    cbuf[A, s] = new_msg.astype(msg_dtype)
+
+                _layer_cn(ents,
+                          lambda s, col: pbuf[A, s].astype(_C),
+                          lambda s: cbuf[A, s].astype(_C),
+                          emit_slot)
 
                 # 5. start this layer's writebacks
                 for s, (col, sh, e, fw) in enumerate(ents):
@@ -474,6 +522,79 @@ def make_stream_decoder(
         for s, (col, sh, e, fw) in enumerate(LAYERS[lE]):
             pW(A, col, s).wait()
             cW(A, e, s).wait()
+
+    def kernel_resident(c2v_in_ref, post_in_ref, post_ref, c2v_ref,
+                        pres, cbuf, psem, cf, cw):
+        """Posterior-RESIDENT variant: the whole tile's posteriors live in
+        VMEM for the duration of the decode (one bulk DMA in/out per tile);
+        only c2v messages stream, and a layer's c2v blocks move as ONE
+        contiguous DMA per direction (entry ids are layer-major). Compared
+        to the slot-streaming kernel this removes ~2/3 of the steady-state
+        HBM traffic (posterior fetch+writeback) and collapses the per-layer
+        DMA-orchestration count from ~4*D to 2 — the scalar-core DMA issue/
+        wait rate was a measured bottleneck at ~50k DMAs per invocation."""
+        t = pl.program_id(0)
+
+        def cF(slot, l):
+            d = len(LAYERS[l])
+            return pltpu.make_async_copy(
+                c2v_ref.at[t, pl.ds(layer_off[l], d)],
+                cbuf.at[slot, pl.ds(0, d)], cf.at[slot])
+
+        def cW(slot, l):
+            d = len(LAYERS[l])
+            return pltpu.make_async_copy(
+                cbuf.at[slot, pl.ds(0, d)],
+                c2v_ref.at[t, pl.ds(layer_off[l], d)], cw.at[slot])
+
+        load = pltpu.make_async_copy(post_ref.at[t], pres, psem)
+        load.start()
+        cF(0, 0).start()
+        load.wait()
+
+        def iter_body(it, _):
+            for l in range(mb):
+                A = l % 2
+                Bs_ = 1 - A
+                ents = LAYERS[l]
+                # 1. this layer's c2v blocks have landed
+                cF(A, l).wait()
+                # 2. drain layer l-1's writeback from the other slot, then
+                #    prefetch layer l+1's c2v into it (overlaps compute).
+                if l == 0:
+                    @pl.when(it > 0)
+                    def _():
+                        cW(Bs_, mb - 1).wait()
+                    cF(Bs_, 1).start()
+                elif l == mb - 1:
+                    cW(Bs_, l - 1).wait()
+
+                    @pl.when(it + 1 < max_iter)
+                    def _():
+                        cF(Bs_, 0).start()
+                else:
+                    cW(Bs_, l - 1).wait()
+                    cF(Bs_, l + 1).start()
+
+                # 3. CN update against the resident posterior
+                def emit_res(s, col, sh, new_post, new_msg):
+                    pres[col] = new_post.astype(post_dtype)
+                    cbuf[A, s] = new_msg.astype(msg_dtype)
+
+                _layer_cn(ents,
+                          lambda s, col: pres[col].astype(_C),
+                          lambda s: cbuf[A, s].astype(_C),
+                          emit_res)
+
+                # 4. writeback (drained when the slot is reused, phase 2)
+                cW(A, l).start()
+            return 0
+
+        jax.lax.fori_loop(0, max_iter, iter_body, 0)
+        cW((mb - 1) % 2, mb - 1).wait()
+        store = pltpu.make_async_copy(pres, post_ref.at[t], psem)
+        store.start()
+        store.wait()
 
     lcols_j, lshifts_j = jnp.asarray(lcols), jnp.asarray(lshifts)
     lmask_j, lent_j = jnp.asarray(lmask), jnp.asarray(lent)
@@ -532,7 +653,31 @@ def make_stream_decoder(
                                  msg_dtype),
         ]
         c2v_init = jnp.zeros((n_tiles, n_entries, Z, batch_tile), msg_dtype)
-        if use_static:
+        if resident:
+            gs = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0,
+                grid=(n_tiles,),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+                out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+                scratch_shapes=[
+                    pltpu.VMEM((nb, Z, batch_tile), post_dtype),
+                    pltpu.VMEM((2, D, Z, batch_tile), msg_dtype),
+                    pltpu.SemaphoreType.DMA,
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+            )
+            post, _ = pl.pallas_call(
+                kernel_resident,
+                out_shape=out_shape,
+                grid_spec=gs,
+                input_output_aliases={1: 0, 0: 1},
+                compiler_params=pltpu.CompilerParams(
+                    has_side_effects=True,
+                    vmem_limit_bytes=max(16 * 2 ** 20, res_limit)),
+                interpret=interpret,
+            )(c2v_init, post_init)
+        elif use_static:
             gs = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=0,
                 grid=(n_tiles,),

@@ -70,7 +70,8 @@ class TestStreamKernel:
         B = 128
         chan = _llrs(rng, B, code.n)
         dec = make_stream_decoder(code, max_iter=5, beta=2, qmax=127,
-                                  batch_tile=128, interpret=True)
+                                  batch_tile=128, interpret=True,
+                                  resident=False)
         h, it, cv = map(np.asarray, dec(chan))
         ho, ito, cvo = oracle.decode_batch(chan, code, max_iter=5, beta=2,
                                            qmax=127, schedule="layered",
@@ -90,7 +91,8 @@ class TestStreamKernel:
         code = make_code(648, "1/2")  # Z=27, mb=12 (even)
         chan = _llrs(rng, 128, code.n)
         dec = make_stream_decoder(code, max_iter=5, beta=2, qmax=127,
-                                  batch_tile=128, interpret=True)
+                                  batch_tile=128, interpret=True,
+                                  resident=False)
         ref = make_qc_decoder(code, max_iter=5, beta=2, qmax=127,
                               schedule="layered", early_term=False)
         h, _, cv = map(np.asarray, dec(jnp.asarray(chan)))
@@ -134,7 +136,8 @@ class TestStreamKernelPipelined:
         B = 256  # two tiles of 128 — exercises the grid dimension too
         chan = _llrs(rng, B, code.n)
         dec = make_stream_decoder(code, max_iter=6, beta=2, qmax=127,
-                                  batch_tile=128, interpret=True)
+                                  batch_tile=128, interpret=True,
+                                  resident=False)
         ref = make_qc_decoder(code, max_iter=6, beta=2, qmax=127,
                               schedule="layered", early_term=False)
         h, it, cv = map(np.asarray, dec(chan))
@@ -152,7 +155,7 @@ def test_stream_static_equals_dynamic(rng):
     chan = _llrs(rng, 128, code.n)
     ds = make_stream_decoder(code, max_iter=6, beta=2, qmax=127,
                              batch_tile=128, interpret=True,
-                             static_unroll=True)
+                             static_unroll=True, resident=False)
     dd = make_stream_decoder(code, max_iter=6, beta=2, qmax=127,
                              batch_tile=128, interpret=True,
                              static_unroll=False)
@@ -174,7 +177,64 @@ def test_stream_posterior_width_equivalence(rng):
     for i16 in (True, False):
         dec = make_stream_decoder(code, max_iter=6, beta=2, qmax=127,
                                   batch_tile=128, interpret=True,
-                                  posterior_i16=i16)
+                                  posterior_i16=i16, resident=False)
         outs.append(tuple(map(np.asarray, dec(jnp.asarray(chan)))))
     np.testing.assert_array_equal(outs[0][0], outs[1][0])
     np.testing.assert_array_equal(outs[0][2], outs[1][2])
+
+
+class TestStreamKernelResident:
+    """Round-2 posterior-resident stream kernel (kernel_resident): whole-
+    tile posteriors live in VMEM, only c2v streams (one contiguous DMA per
+    layer per direction). Must be bit-identical to the slot-streaming
+    kernel and the QC reference everywhere it applies."""
+
+    def test_resident_equals_streaming_nr(self, rng):
+        from ldpc_tpu.codes.nr_bg import make_code as make_nr
+        from ldpc_tpu.kernels.minsum_stream import make_stream_decoder
+        code = make_nr(base_graph=2, Z=16)
+        B = 256  # two tiles — exercises the per-tile bulk DMA indexing
+        chan = _llrs(rng, B, code.n)
+        dr = make_stream_decoder(code, max_iter=6, beta=2, qmax=127,
+                                 batch_tile=128, interpret=True,
+                                 resident=True)
+        ds = make_stream_decoder(code, max_iter=6, beta=2, qmax=127,
+                                 batch_tile=128, interpret=True,
+                                 resident=False)
+        hr, _, cvr = map(np.asarray, dr(chan))
+        hs, _, cvs = map(np.asarray, ds(chan))
+        np.testing.assert_array_equal(hr, hs)
+        np.testing.assert_array_equal(cvr, cvs)
+
+    def test_resident_unaligned_z_bitexact(self, rng):
+        """Z=27: resident mode falls back to int32 storage everywhere and
+        must still match the QC reference."""
+        from ldpc_tpu.codes.ieee80211n import make_code
+        from ldpc_tpu.kernels.minsum_stream import make_stream_decoder
+        from ldpc_tpu.ops.decode_qc import make_qc_decoder
+        code = make_code(648, "1/2")
+        chan = _llrs(rng, 128, code.n)
+        dec = make_stream_decoder(code, max_iter=5, beta=2, qmax=127,
+                                  batch_tile=128, interpret=True,
+                                  resident=True)
+        ref = make_qc_decoder(code, max_iter=5, beta=2, qmax=127,
+                              schedule="layered", early_term=False)
+        h, _, cv = map(np.asarray, dec(jnp.asarray(chan)))
+        ho, _, cvo = map(np.asarray, ref(jnp.asarray(chan)))
+        np.testing.assert_array_equal(h, ho)
+        np.testing.assert_array_equal(cv, cvo)
+
+    def test_resident_auto_gate(self):
+        """Auto mode keeps residency for codes whose posteriors fit the
+        raisable scoped-VMEM cap and falls back above it."""
+        from ldpc_tpu.codes.nr_bg import make_code as make_nr
+        from ldpc_tpu.kernels import minsum_stream as ms
+        code = make_nr(base_graph=2, Z=16)
+        # tiny code: auto must pick resident (same object path as explicit)
+        dec_auto = ms.make_stream_decoder(code, max_iter=2, batch_tile=128)
+        assert dec_auto is not None
+        # a batch tile so large the posteriors cannot fit forces fallback;
+        # explicit resident=True on the dynamic path must raise
+        with pytest.raises(ValueError, match="resident"):
+            ms.make_stream_decoder(code, max_iter=2, batch_tile=128,
+                                   static_unroll=False, resident=True)
