@@ -64,26 +64,32 @@ def make_stream_decoder(
     posterior_i16: bool | None = None,
     alpha=None,
     resident: bool | None = None,
+    res_cap_bytes: int = 32 * 2 ** 20,
 ) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """decode(chan_i8[B, n]) -> (hard u8, iters i32, conv bool).
 
-    static_unroll (default, even-mb codes): the layer schedule is unrolled
-    at trace time — exact per-layer degrees (no masked compute; NR BG1 pads
-    22 slots for mostly-degree-5 layers), static concat rotations instead
-    of dynamic pltpu.rolls, static DMA indices, no SMEM metadata. Falls
-    back to the dynamic fori kernel for odd mb (slot parity must alternate
-    per STEP, which is only layer-static when mb is even).
+    static_unroll (default): the layer schedule is unrolled at trace time —
+    exact per-layer degrees (no masked compute; NR BG1 pads 22 slots for
+    mostly-degree-5 layers), static concat rotations instead of dynamic
+    pltpu.rolls, static DMA indices, no SMEM metadata. Double-buffer slot
+    parity must alternate per global layer across the fori_loop boundary:
+    even mb gives that directly; odd mb (DVB-S2 n=16200 r=1/2, mb=25)
+    unrolls TWO decoding iterations per loop body and requires even
+    max_iter. Odd mb AND odd max_iter falls back to the dynamic kernel.
     """
     if code.base is None or code.Z is None:
         raise ValueError(f"{code.name}: streaming decoder requires QC structure")
-    if code.Z % 8 and not (static_unroll and code.base.shape[0] % 2 == 0):
+    if code.Z % 8 and not (static_unroll and
+                           (code.base.shape[0] % 2 == 0
+                            or max_iter % 2 == 0)):
         # Only the DYNAMIC kernel needs sublane-aligned Z (its traced-shift
         # pltpu.rolls and traced-index DMAs reject unaligned shapes); the
         # static-unrolled kernel uses compile-time shifts and indices.
         raise ValueError(
             f"{code.name}: the dynamic streaming kernel requires "
             f"sublane-aligned Z (multiple of 8), got Z={code.Z} — use the "
-            f"static-unrolled path (even mb), or the VMEM/qc-jnp decoder")
+            f"static-unrolled path (even mb or even max_iter), or the "
+            f"VMEM/qc-jnp decoder")
     qc = compile_qc_layout(code)
     if not (qc.layer_mask.sum(axis=1) >= 2).all():
         # A degree-1 base row would leave min2 at the 1<<14 sentinel and
@@ -124,7 +130,21 @@ def make_stream_decoder(
                 ents.append((int(lcols[l, s]), int(lshifts[l, s]),
                              int(lent[l, s]), fw))
         LAYERS.append(ents)
-    use_static = static_unroll and mb % 2 == 0
+    # The static kernels double-buffer by LAYER PARITY: layer g uses slot
+    # g % 2, so consecutive global layers must alternate slots across the
+    # fori_loop boundary. Even mb gives that for free (k_unroll=1); odd mb
+    # gets it by unrolling TWO decoding iterations per loop body (2*mb is
+    # even) — requires even max_iter (the universal default; odd max_iter
+    # on odd mb falls back to the dynamic kernel).
+    if mb % 2 == 0:
+        k_unroll = 1
+    elif max_iter % 2 == 0:
+        k_unroll = 2
+    else:
+        k_unroll = 0
+    use_static = static_unroll and k_unroll > 0
+    L_body = k_unroll * mb
+    n_loop = max_iter // k_unroll if k_unroll else 0
 
     # Posterior storage width. The invariant post = chan + sum(c2v) bounds
     # |post| <= (max_col_degree + 1) * qmax, so int16 HBM/VMEM storage is
@@ -145,8 +165,6 @@ def make_stream_decoder(
             if lmask[l, s]:
                 col_deg[int(lcols[l, s])] += 1
     max_col_deg = int(col_deg.max())
-    if posterior_i16 is None:
-        posterior_i16 = D <= 12
     # Z % 8: Mosaic rejects DMA slices of PACKED (sub-32-bit) memrefs whose
     # sublane extent is not tile-aligned ("Slice shape along dimension 2
     # must be aligned to tiling (8), but is 27" — hit on 802.11n Z=27 for
@@ -173,16 +191,39 @@ def make_stream_decoder(
         temp = D * Z * batch_tile * 16
         return int((state + temp) * 1.15)
 
+    # Posterior width choice differs by mode:
+    # - STREAMING: int16 halves the dominant per-layer HBM slot traffic —
+    #   profitable unless row degree is large (D > 12: NR BG1's degree-22
+    #   layers measured ~10% SLOWER from widen/narrow on the compute path).
+    # - RESIDENT: there is no per-layer posterior DMA left, so int16 is
+    #   pure compute overhead — prefer int32 unless int16 is what makes the
+    #   tile fit the cap (measured: NR BG1 resident-int16 11.7 ms/batch-256
+    #   vs non-resident-int32 10.2).
+    res_pb = None
+    if use_static and (resident is None or resident):
+        if posterior_i16 is True and i16_ok:
+            res_pb = 2 if _res_limit(2) <= res_cap_bytes else None
+        elif posterior_i16 is False:
+            res_pb = 4 if _res_limit(4) <= res_cap_bytes else None
+        elif i16_ok and D <= 12 and _res_limit(2) <= res_cap_bytes:
+            res_pb = 2
+        elif _res_limit(4) <= res_cap_bytes:
+            res_pb = 4
+        # No int16-to-fit fallback for D > 12: the widen/narrow penalty
+        # scales with layer degree and loses to non-resident streaming
+        # there (NR BG1 measured above).
     if resident is None:
-        pb_try = 2 if i16_ok else 4
-        resident = use_static and _res_limit(pb_try) <= 32 * 2 ** 20
-    elif resident and not use_static:
-        raise ValueError(f"{code.name}: resident mode requires the "
-                         f"static-unrolled path (even mb)")
+        resident = res_pb is not None
+    elif resident:
+        if not use_static:
+            raise ValueError(f"{code.name}: resident mode requires the "
+                             f"static-unrolled path (even mb)")
+        if res_pb is None:
+            raise ValueError(
+                f"{code.name}: resident tile footprint exceeds the "
+                f"{res_cap_bytes >> 20} MB scoped-VMEM cap")
     if resident:
-        # Residency prefers the smaller footprint: there is no per-layer
-        # posterior DMA left for width to slow down.
-        posterior_i16 = i16_ok
+        posterior_i16 = res_pb == 2
     if posterior_i16 is None:
         posterior_i16 = D <= 12
     post_dtype = jnp.int16 if (posterior_i16 and i16_ok) else _C
@@ -437,19 +478,23 @@ def make_stream_decoder(
             cF(0, e, s).start()
 
         def iter_body(it, _):
-            for l in range(mb):
-                A = l % 2
+            # g indexes GLOBAL layers within the body (k_unroll decoding
+            # iterations of mb layers each); slot parity g % 2 is then
+            # consistent across the fori_loop boundary for any mb.
+            for g in range(L_body):
+                l = g % mb
+                A = g % 2
                 Bs_ = 1 - A
                 ents = LAYERS[l]
                 ln = (l + 1) % mb
                 lp = (l - 1) % mb
 
                 # 1. wait this layer's fetches (forwarded posterior blocks
-                # were only ever fetched by the prologue: l == 0, it == 0).
+                # were only ever fetched by the prologue: g == 0, it == 0).
                 for s, (col, sh, e, fw) in enumerate(ents):
                     if fw is None:
                         pF(A, col, s).wait()
-                    elif l == 0:
+                    elif g == 0:
                         @pl.when(it == 0)
                         def _():
                             pF(0, col, s).wait()
@@ -458,16 +503,16 @@ def make_stream_decoder(
                 # 2. forward shared posterior blocks from the previous layer
                 for s, (col, sh, e, fw) in enumerate(ents):
                     if fw is not None:
-                        if l == 0:
+                        if g == 0:
                             @pl.when(it > 0)
                             def _():
                                 pbuf[A, s] = pbuf[Bs_, fw]
                         else:
                             pbuf[A, s] = pbuf[Bs_, fw]
 
-                # 3. drain layer l-1's writebacks (they used slot Bs_), then
-                # prefetch layer l+1 into it — BEFORE this layer's compute,
-                # so the DMAs overlap it.
+                # 3. drain the previous global layer's writebacks (they used
+                # slot Bs_), then prefetch the next global layer into it —
+                # BEFORE this layer's compute, so the DMAs overlap it.
                 def wb_waits(lp=lp, Bs_=Bs_):
                     for s2, (c2, _s, e2, _f) in enumerate(LAYERS[lp]):
                         pW(Bs_, c2, s2).wait()
@@ -479,15 +524,15 @@ def make_stream_decoder(
                             pF(Bs_, c2, s2).start()
                         cF(Bs_, e2, s2).start()
 
-                if l == 0:
+                if g == 0:
                     @pl.when(it > 0)
                     def _():
                         wb_waits()
                     next_fetches()
-                elif l == mb - 1:
+                elif g == L_body - 1:
                     wb_waits()
 
-                    @pl.when(it + 1 < max_iter)
+                    @pl.when(it + 1 < n_loop)
                     def _():
                         next_fetches()
                 else:
@@ -510,18 +555,19 @@ def make_stream_decoder(
                     cW(A, e, s).start()
             return 0
 
-        jax.lax.fori_loop(0, max_iter, iter_body, 0)
+        jax.lax.fori_loop(0, n_loop, iter_body, 0)
 
-        # Epilogue: ONLY layer mb-1's writebacks are still outstanding —
-        # every other layer l's were waited at layer l+1's phase 3 (the
-        # last layer's wb_waits runs unconditionally, unlike the dynamic
-        # kernel's step-gated variant). Waiting any of them twice would
-        # underflow the DMA semaphore and fault the chip.
-        lE = mb - 1
-        A = lE % 2
-        for s, (col, sh, e, fw) in enumerate(LAYERS[lE]):
-            pW(A, col, s).wait()
-            cW(A, e, s).wait()
+        # Epilogue: ONLY the final global layer's writebacks are still
+        # outstanding — every other layer's were waited at the next global
+        # layer's phase 3 (the last layer's wb_waits runs unconditionally,
+        # unlike the dynamic kernel's step-gated variant). Waiting any of
+        # them twice would underflow the DMA semaphore and fault the chip.
+        # The final global layer is mb-1 on slot (L_body-1) % 2 == 1
+        # (L_body is even for k_unroll=2; mb-1 is odd for even mb).
+        AE = (L_body - 1) % 2
+        for s, (col, sh, e, fw) in enumerate(LAYERS[mb - 1]):
+            pW(AE, col, s).wait()
+            cW(AE, e, s).wait()
 
     def kernel_resident(c2v_in_ref, post_in_ref, post_ref, c2v_ref,
                         pres, cbuf, psem, cf, cw):
@@ -553,28 +599,33 @@ def make_stream_decoder(
         load.wait()
 
         def iter_body(it, _):
-            for l in range(mb):
-                A = l % 2
+            # g indexes GLOBAL layers within the body (k_unroll decoding
+            # iterations; see kernel_static) so slot parity g % 2 holds
+            # across the fori_loop boundary for any mb.
+            for g in range(L_body):
+                l = g % mb
+                A = g % 2
                 Bs_ = 1 - A
                 ents = LAYERS[l]
                 # 1. this layer's c2v blocks have landed
                 cF(A, l).wait()
-                # 2. drain layer l-1's writeback from the other slot, then
-                #    prefetch layer l+1's c2v into it (overlaps compute).
-                if l == 0:
+                # 2. drain the previous global layer's writeback from the
+                #    other slot, then prefetch the next global layer's c2v
+                #    into it (overlaps compute).
+                if g == 0:
                     @pl.when(it > 0)
                     def _():
                         cW(Bs_, mb - 1).wait()
-                    cF(Bs_, 1).start()
-                elif l == mb - 1:
-                    cW(Bs_, l - 1).wait()
+                    cF(Bs_, 1 % mb).start()
+                elif g == L_body - 1:
+                    cW(Bs_, (l - 1) % mb).wait()
 
-                    @pl.when(it + 1 < max_iter)
+                    @pl.when(it + 1 < n_loop)
                     def _():
                         cF(Bs_, 0).start()
                 else:
-                    cW(Bs_, l - 1).wait()
-                    cF(Bs_, l + 1).start()
+                    cW(Bs_, (l - 1) % mb).wait()
+                    cF(Bs_, (l + 1) % mb).start()
 
                 # 3. CN update against the resident posterior
                 def emit_res(s, col, sh, new_post, new_msg):
@@ -590,8 +641,8 @@ def make_stream_decoder(
                 cW(A, l).start()
             return 0
 
-        jax.lax.fori_loop(0, max_iter, iter_body, 0)
-        cW((mb - 1) % 2, mb - 1).wait()
+        jax.lax.fori_loop(0, n_loop, iter_body, 0)
+        cW((L_body - 1) % 2, mb - 1).wait()
         store = pltpu.make_async_copy(pres, post_ref.at[t], psem)
         store.start()
         store.wait()
@@ -716,6 +767,10 @@ def make_stream_decoder(
         iters = jnp.full((B,), max_iter, jnp.int32)
         return hard, iters, conv
 
+    decode.variant = ("resident" if resident
+                      else "static" if use_static else "dynamic")
+    decode.post_dtype = post_dtype
+    decode.msg_dtype = msg_dtype
     return decode
 
 

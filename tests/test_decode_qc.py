@@ -238,3 +238,44 @@ class TestStreamKernelResident:
         with pytest.raises(ValueError, match="resident"):
             ms.make_stream_decoder(code, max_iter=2, batch_tile=128,
                                    static_unroll=False, resident=True)
+
+
+class TestStreamKernelOddMb:
+    """Odd-mb codes (DVB-S2 n=16200 r=1/2: Z=360, mb=25) take the static/
+    resident kernels by unrolling two decoding iterations per fori_loop
+    body (slot parity must alternate per global layer). Uses a small odd-mb
+    toy so interpret mode stays fast; the real n=16200 path is exercised on
+    hardware (scripts/bench_round2.py)."""
+
+    @staticmethod
+    def _odd_code():
+        # 802.11n n=648 r=3/4 has mb=6 (even) — build an odd-mb QC code from
+        # the NR BG2 skeleton by picking a Z where it stays odd? NR BG2 has
+        # mb=42 (even). Use DVB-S2 short frames directly at reduced work.
+        from ldpc_tpu.codes.dvbs2 import make_code
+        return make_code(16200, "1/2")  # mb=25
+
+    def test_odd_mb_static_and_resident_bitexact(self, rng):
+        from ldpc_tpu.kernels.minsum_stream import make_stream_decoder
+        from ldpc_tpu.ops.decode_qc import make_qc_decoder
+        code = self._odd_code()
+        chan = _llrs(rng, 128, code.n)
+        ref = make_qc_decoder(code, max_iter=4, beta=2, qmax=127,
+                              schedule="layered", early_term=False)
+        ho, _, cvo = map(np.asarray, ref(jnp.asarray(chan)))
+        for kwargs in (dict(resident=False), dict(resident=True)):
+            dec = make_stream_decoder(code, max_iter=4, beta=2, qmax=127,
+                                      batch_tile=128, interpret=True,
+                                      **kwargs)
+            assert dec.variant == ("resident" if kwargs["resident"]
+                                   else "static")
+            h, _, cv = map(np.asarray, dec(jnp.asarray(chan)))
+            np.testing.assert_array_equal(h, ho)
+            np.testing.assert_array_equal(cv, cvo)
+
+    def test_odd_mb_odd_max_iter_falls_back_dynamic(self):
+        from ldpc_tpu.kernels.minsum_stream import make_stream_decoder
+        code = self._odd_code()
+        dec = make_stream_decoder(code, max_iter=5, beta=2, qmax=127,
+                                  batch_tile=128, interpret=True)
+        assert dec.variant == "dynamic"
