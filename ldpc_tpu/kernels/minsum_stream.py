@@ -64,7 +64,8 @@ def make_stream_decoder(
     posterior_i16: bool | None = None,
     alpha=None,
     resident: bool | None = None,
-    res_cap_bytes: int = 32 * 2 ** 20,
+    res_cap_bytes: int | None = None,
+    early_term: bool = False,
 ) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """decode(chan_i8[B, n]) -> (hard u8, iters i32, conv bool).
 
@@ -76,6 +77,15 @@ def make_stream_decoder(
     even mb gives that directly; odd mb (DVB-S2 n=16200 r=1/2, mb=25)
     unrolls TWO decoding iterations per loop body and requires even
     max_iter. Odd mb AND odd max_iter falls back to the dynamic kernel.
+
+    early_term: golden-exact per-lane early termination in the HBM regime —
+    requires the RESIDENT kernel (the syndrome needs every posterior in
+    VMEM). Per iteration: full syndrome pass over the resident posteriors,
+    hard bits latched into a VMEM buffer at each lane's first syndrome
+    success (lanes run unmasked — identical outputs because lanes are
+    independent; same scheme as minsum_pallas), whole-tile skip once every
+    lane has converged (granularity: one loop body = 1 iteration for even
+    mb, 2 for odd). Raises ValueError when the ET footprint cannot fit.
     """
     if code.base is None or code.Z is None:
         raise ValueError(f"{code.name}: streaming decoder requires QC structure")
@@ -178,6 +188,14 @@ def make_stream_decoder(
               and (max_col_deg + 1) * qmax < (1 << 15))
     msg_dtype = jnp.int8 if sub32_ok else _C
     msg_bytes = 1 if sub32_ok else 4
+    hl_dtype = jnp.int8 if sub32_ok else _C  # ET hard-bit latch buffer
+    hl_bytes = 1 if sub32_ok else 4
+    if res_cap_bytes is None:
+        # 32 MB and 40 MB are both hardware-verified to compile AND run;
+        # the non-ET auto gate stays at 32 because the 32–40 MB window only
+        # admits high-degree int32 tiles (NR BG1) where residency measured
+        # slower. ET needs the latch buffer, so it gets the full 40.
+        res_cap_bytes = (40 if early_term else 32) * 2 ** 20
 
     # Posterior-RESIDENT mode: when the whole tile's posteriors fit VMEM
     # alongside the c2v slots and Mosaic's compute temporaries, keep them
@@ -188,6 +206,8 @@ def make_stream_decoder(
     def _res_limit(pb):
         state = (nb * Z * batch_tile * pb
                  + 2 * D * Z * batch_tile * msg_bytes)
+        if early_term:
+            state += nb * Z * batch_tile * hl_bytes  # latched hard bits
         temp = D * Z * batch_tile * 16
         return int((state + temp) * 1.15)
 
@@ -212,6 +232,13 @@ def make_stream_decoder(
         # No int16-to-fit fallback for D > 12: the widen/narrow penalty
         # scales with layer degree and loses to non-resident streaming
         # there (NR BG1 measured above).
+    if early_term:
+        # ET needs every posterior in VMEM for the syndrome pass plus the
+        # hard-bit latch buffer — resident-only.
+        if resident is False:
+            raise ValueError(f"{code.name}: early_term requires the "
+                             f"resident streaming kernel")
+        resident = True
     if resident is None:
         resident = res_pb is not None
     elif resident:
@@ -647,6 +674,156 @@ def make_stream_decoder(
         store.start()
         store.wait()
 
+    def kernel_resident_et(c2v_in_ref, post_in_ref, post_ref, c2v_ref,
+                           hard_ref, stats_ref,
+                           pres, cbuf, hl, mbuf, psem, hsem, cf, cw):
+        """Resident kernel with golden-exact per-lane early termination.
+
+        After every decoding iteration a full syndrome pass runs over the
+        RESIDENT posteriors (mb*D static rotations + sign-parity XORs —
+        parity rides bit 31, as in minsum_pallas.syndrome_ok); lanes whose
+        syndrome first passes get their hard bits latched into `hl` (the
+        datapath runs unmasked — identical outputs because lanes are
+        independent, the same argument as minsum_pallas.latch_hard). Once
+        every lane is done the remaining loop bodies skip their sweeps and
+        DMAs under pl.when; semantic updates outside the pl.when are no-ops
+        on unchanged posteriors. DMA accounting at dynamic exit: every
+        active body starts exactly L_body c2v fetches and waits L_body
+        (g == L_body-1 prefetches layer 0 UNCONDITIONALLY, unlike the
+        fixed-iteration kernel), so exactly one layer-0 fetch into slot 0
+        dangles at the epilogue regardless of when the exit happened; one
+        layer mb-1 writeback on slot 1 dangles iff any body ran.
+        """
+        t = pl.program_id(0)
+
+        def cF(slot, l):
+            d = len(LAYERS[l])
+            return pltpu.make_async_copy(
+                c2v_ref.at[t, pl.ds(layer_off[l], d)],
+                cbuf.at[slot, pl.ds(0, d)], cf.at[slot])
+
+        def cW(slot, l):
+            d = len(LAYERS[l])
+            return pltpu.make_async_copy(
+                cbuf.at[slot, pl.ds(0, d)],
+                c2v_ref.at[t, pl.ds(layer_off[l], d)], cw.at[slot])
+
+        load = pltpu.make_async_copy(post_ref.at[t], pres, psem)
+        load.start()
+        cF(0, 0).start()
+        load.wait()
+
+        one32 = jnp.array(1, _C)
+
+        def syndrome_done():
+            """(1, Bt) int32 0/1 — 1 where every parity check passes."""
+            unsat = None
+            for l in range(mb):
+                acc = None
+                for (col, sh, e, fw) in LAYERS[l]:
+                    h = _rot_f(pres[col].astype(_C), sh)
+                    acc = h if acc is None else acc ^ h
+                u = jnp.sum((acc < 0).astype(_C), axis=0, keepdims=True)
+                unsat = u if unsat is None else unsat + u
+            return (unsat == 0).astype(_C)
+
+        def latch(mask):
+            """hl <- current posterior signs on lanes where mask==1."""
+            inv = one32 - mask
+            for col in range(nb):
+                cur = (pres[col].astype(_C) < 0).astype(_C)
+                prev = hl[col].astype(_C)
+                hl[col] = (prev * inv + cur * mask).astype(hl_dtype)
+
+        # Initial state: latch EVERY lane's channel-sign bits (covers lanes
+        # already satisfied at iteration 0, like decode_qc's done0).
+        for col in range(nb):
+            hl[col] = (pres[col].astype(_C) < 0).astype(_C).astype(hl_dtype)
+        done0 = syndrome_done()
+        n_act0 = jnp.sum(one32 - done0)
+
+        def sweep_half(first_half):
+            """mb layers of one decoding iteration (one half of the body
+            when k_unroll == 2). DMA slots follow GLOBAL layer parity."""
+            g0 = 0 if first_half else mb
+            for gi in range(mb):
+                g = g0 + gi
+                l = g % mb
+                A = g % 2
+                Bs_ = 1 - A
+                ents = LAYERS[l]
+                cF(A, l).wait()
+                if g == 0:
+                    # the previous BODY's final writeback (none before the
+                    # first body; skipped bodies form a suffix, so if this
+                    # body runs the previous one did too)
+                    @pl.when(first_it[0])
+                    def _():
+                        cW(Bs_, mb - 1).wait()
+                    cF(Bs_, 1 % mb).start()
+                elif g == L_body - 1:
+                    cW(Bs_, (l - 1) % mb).wait()
+                    cF(Bs_, 0).start()  # unconditional: dynamic exit
+                else:
+                    cW(Bs_, (l - 1) % mb).wait()
+                    cF(Bs_, (l + 1) % mb).start()
+
+                def emit_res(s, col, sh, new_post, new_msg):
+                    pres[col] = new_post.astype(post_dtype)
+                    cbuf[A, s] = new_msg.astype(msg_dtype)
+
+                _layer_cn(ents,
+                          lambda s, col: pres[col].astype(_C),
+                          lambda s: cbuf[A, s].astype(_C),
+                          emit_res)
+                cW(A, l).start()
+
+        first_it = [None]  # set per-body: traced (it > 0) predicate
+
+        def iter_body(it, carry):
+            done, iters = carry
+            n_act = jnp.sum(one32 - done)
+            first_it[0] = it > 0
+            for half in range(k_unroll):
+                @pl.when(n_act > 0)
+                def _(half=half):
+                    sweep_half(half == 0)
+                done_new = jnp.maximum(done, syndrome_done())
+                newly = done_new - done
+                n_new = jnp.sum(newly)
+
+                @pl.when(n_new > 0)
+                def _(newly=newly):
+                    latch(newly)
+
+                iters = iters + (one32 - done)
+                done = done_new
+            return done, iters
+
+        done, iters = jax.lax.fori_loop(
+            0, n_loop, iter_body,
+            (done0, jnp.zeros((1, batch_tile), _C)))
+
+        # Close: never-converged lanes report their final posterior bits.
+        rem = one32 - done
+        @pl.when(jnp.sum(rem) > 0)
+        def _():
+            latch(rem)
+
+        @pl.when(n_act0 > 0)
+        def _():
+            cW((L_body - 1) % 2, mb - 1).wait()
+        cF(0, 0).wait()
+
+        mbuf[0] = iters
+        mbuf[1] = done
+        st = pltpu.make_async_copy(hl, hard_ref.at[t], hsem)
+        st.start()
+        st2 = pltpu.make_async_copy(mbuf, stats_ref.at[t], psem)
+        st2.start()
+        st.wait()
+        st2.wait()
+
     lcols_j, lshifts_j = jnp.asarray(lcols), jnp.asarray(lshifts)
     lmask_j, lent_j = jnp.asarray(lmask), jnp.asarray(lent)
     fwd_j, pfetch_j = jnp.asarray(fwd), jnp.asarray(pfetch)
@@ -704,6 +881,42 @@ def make_stream_decoder(
                                  msg_dtype),
         ]
         c2v_init = jnp.zeros((n_tiles, n_entries, Z, batch_tile), msg_dtype)
+        if resident and early_term:
+            gs = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0,
+                grid=(n_tiles,),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+                out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+                scratch_shapes=[
+                    pltpu.VMEM((nb, Z, batch_tile), post_dtype),
+                    pltpu.VMEM((2, D, Z, batch_tile), msg_dtype),
+                    pltpu.VMEM((nb, Z, batch_tile), hl_dtype),
+                    pltpu.VMEM((2, 1, batch_tile), _C),
+                    pltpu.SemaphoreType.DMA,
+                    pltpu.SemaphoreType.DMA,
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+            )
+            _, _, hl_out, stats = pl.pallas_call(
+                kernel_resident_et,
+                out_shape=out_shape + [
+                    jax.ShapeDtypeStruct((n_tiles, nb, Z, batch_tile),
+                                         hl_dtype),
+                    jax.ShapeDtypeStruct((n_tiles, 2, 1, batch_tile), _C),
+                ],
+                grid_spec=gs,
+                input_output_aliases={1: 0, 0: 1},
+                compiler_params=pltpu.CompilerParams(
+                    has_side_effects=True,
+                    vmem_limit_bytes=max(16 * 2 ** 20, res_limit)),
+                interpret=interpret,
+            )(c2v_init, post_init)
+            hard = (hl_out.transpose(0, 3, 1, 2)
+                    .reshape(B, n).astype(jnp.uint8))
+            iters = stats[:, 0, 0].reshape(B)
+            conv = stats[:, 1, 0].reshape(B).astype(bool)
+            return hard, iters, conv
         if resident:
             gs = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=0,
@@ -767,7 +980,8 @@ def make_stream_decoder(
         iters = jnp.full((B,), max_iter, jnp.int32)
         return hard, iters, conv
 
-    decode.variant = ("resident" if resident
+    decode.variant = ("resident-et" if (resident and early_term)
+                      else "resident" if resident
                       else "static" if use_static else "dynamic")
     decode.post_dtype = post_dtype
     decode.msg_dtype = msg_dtype
@@ -786,4 +1000,5 @@ def make_decoder(code: LDPCCode, dec: DecoderConfig, quant: QuantConfig,
     beta, alpha = cn_params(dec, quant)
     return make_stream_decoder(code, max_iter=dec.max_iter, beta=beta,
                                qmax=quant.qmax, batch_tile=batch_tile,
-                               interpret=interpret, alpha=alpha)
+                               interpret=interpret, alpha=alpha,
+                               early_term=dec.early_term)

@@ -100,13 +100,16 @@ def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
                 bt //= 2
             if not fits:
                 # HBM-resident regime: the streaming Pallas kernel where its
-                # domain applies (aligned Z, layered, fixed iterations),
-                # else the QC-structured XLA decoder.
-                if (code.Z % 8 == 0 and dec_cfg.schedule == "layered"
-                        and not dec_cfg.early_term):
+                # domain applies (layered; early termination additionally
+                # needs the posterior-resident variant to fit — probe and
+                # fall back to the QC-structured XLA decoder otherwise).
+                if dec_cfg.schedule == "layered":
                     from ..kernels.minsum_stream import make_decoder as m_st
-                    return m_st(code, dec_cfg, cfg.quant,
-                                interpret=interpret), "pallas-stream"
+                    try:
+                        return m_st(code, dec_cfg, cfg.quant,
+                                    interpret=interpret), "pallas-stream"
+                    except ValueError:
+                        pass  # outside the stream kernel's domain
                 b = "qc-jnp"
             else:
                 chosen_bt[0] = bt

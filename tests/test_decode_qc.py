@@ -240,6 +240,60 @@ class TestStreamKernelResident:
                                    static_unroll=False, resident=True)
 
 
+class TestStreamKernelET:
+    """Round-2 early-terminating resident stream kernel (kernel_resident_et):
+    per-iteration syndrome over the VMEM-resident posteriors, per-lane hard-
+    bit latch, whole-tile skip once all lanes converge. Must match the QC
+    layered early_term reference EXACTLY — hard bits, per-lane iteration
+    counts, and convergence flags."""
+
+    @staticmethod
+    def _noisy_llrs(rng, B, n, mu, sd):
+        # noisy all-zero codeword: lanes converge at varied iterations
+        x = rng.normal(mu, sd, size=(B, n))
+        return np.clip(np.round(x), -127, 127).astype(np.int8)
+
+    def test_et_bitexact_even_mb(self, rng):
+        from ldpc_tpu.codes.ieee80211n import make_code
+        from ldpc_tpu.kernels.minsum_stream import make_stream_decoder
+        code = make_code(648, "1/2")  # mb=12 even -> 1 iteration per body
+        chan = self._noisy_llrs(rng, 128, code.n, 18, 16)
+        dec = make_stream_decoder(code, max_iter=8, beta=2, qmax=127,
+                                  batch_tile=128, interpret=True,
+                                  early_term=True)
+        assert dec.variant == "resident-et"
+        ref = make_qc_decoder(code, max_iter=8, beta=2, qmax=127,
+                              schedule="layered", early_term=True)
+        h, it, cv = map(np.asarray, dec(jnp.asarray(chan)))
+        ho, ito, cvo = map(np.asarray, ref(jnp.asarray(chan)))
+        assert 0.05 < cvo.mean() < 1.0 and len(np.unique(ito)) >= 3, \
+            "test must exercise varied per-lane convergence"
+        np.testing.assert_array_equal(h, ho)
+        np.testing.assert_array_equal(it, ito)
+        np.testing.assert_array_equal(cv, cvo)
+
+    def test_et_bitexact_odd_mb_two_iter_body(self, rng):
+        """Odd mb (toy DVB-S2 short frame, mb=25) unrolls two decoding
+        iterations per loop body: the ET syndrome/latch must run after EACH
+        half, not once per body."""
+        from ldpc_tpu.codes.dvbs2 import make_code as make_dvb
+        from ldpc_tpu.kernels.minsum_stream import make_stream_decoder
+        code = make_dvb(16200, "1/2")
+        chan = self._noisy_llrs(rng, 128, code.n, 20, 14)
+        dec = make_stream_decoder(code, max_iter=4, beta=2, qmax=127,
+                                  batch_tile=128, interpret=True,
+                                  early_term=True)
+        assert dec.variant == "resident-et"
+        ref = make_qc_decoder(code, max_iter=4, beta=2, qmax=127,
+                              schedule="layered", early_term=True)
+        h, it, cv = map(np.asarray, dec(jnp.asarray(chan)))
+        ho, ito, cvo = map(np.asarray, ref(jnp.asarray(chan)))
+        assert len(np.unique(ito)) >= 2, "need odd/even iteration exits"
+        np.testing.assert_array_equal(h, ho)
+        np.testing.assert_array_equal(it, ito)
+        np.testing.assert_array_equal(cv, cvo)
+
+
 class TestStreamKernelOddMb:
     """Odd-mb codes (DVB-S2 n=16200 r=1/2: Z=360, mb=25) take the static/
     resident kernels by unrolling two decoding iterations per fori_loop
