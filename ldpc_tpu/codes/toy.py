@@ -25,6 +25,21 @@ def hamming74() -> LDPCCode:
     return LDPCCode(name="hamming74", n=7, m=3, k=4, cn_adj=cn_adj)
 
 
+def toy_qc_odd(Z: int = 16) -> LDPCCode:
+    """A 5x10 base-matrix QC code (rate 1/2, n = 10Z) with an ODD number of
+    base rows — the small stand-in for DVB-S2 n=16200 r=1/2 (mb=25) in
+    interpret-mode tests of the stream kernels' odd-mb path (two decoding
+    iterations unrolled per loop body, DMA slot parity by GLOBAL layer
+    index). The default Z=16 keeps Z % 8 == 0 so every kernel variant
+    (dynamic/static/resident/resident-et) accepts it."""
+    rng = np.random.default_rng(0x0DD)
+    from .qcstruct import gen_qc_code
+
+    row_cols = [[0, 1, 2], [1, 2, 3], [2, 3, 4], [0, 3, 4], [0, 1, 4]]
+    return gen_qc_code(row_cols, kb=5, cb=5, Z=Z, rng=rng,
+                       name=f"toy_qc_odd_z{Z}")
+
+
 def toy_qc(Z: int = 4) -> LDPCCode:
     """A 3x6 base-matrix QC code (rate 1/2, n = 6Z) with an 802.11n-style
     parity structure: weight-3 first parity column with equal top/bottom

@@ -273,12 +273,14 @@ class TestStreamKernelET:
         np.testing.assert_array_equal(cv, cvo)
 
     def test_et_bitexact_odd_mb_two_iter_body(self, rng):
-        """Odd mb (toy DVB-S2 short frame, mb=25) unrolls two decoding
-        iterations per loop body: the ET syndrome/latch must run after EACH
-        half, not once per body."""
-        from ldpc_tpu.codes.dvbs2 import make_code as make_dvb
+        """Odd mb unrolls two decoding iterations per loop body: the ET
+        syndrome/latch must run after EACH half, not once per body. Uses the
+        small odd-mb toy (mb=5) so interpret mode stays fast; the real
+        DVB-S2 n=16200 (mb=25) ET path is verified bit-exact vs the C
+        oracle on hardware (scripts/diag_stream_et.py)."""
+        from ldpc_tpu.codes.toy import toy_qc_odd
         from ldpc_tpu.kernels.minsum_stream import make_stream_decoder
-        code = make_dvb(16200, "1/2")
+        code = toy_qc_odd(16)
         chan = self._noisy_llrs(rng, 128, code.n, 20, 14)
         dec = make_stream_decoder(code, max_iter=4, beta=2, qmax=127,
                                   batch_tile=128, interpret=True,
@@ -299,15 +301,17 @@ class TestStreamKernelOddMb:
     resident kernels by unrolling two decoding iterations per fori_loop
     body (slot parity must alternate per global layer). Uses a small odd-mb
     toy so interpret mode stays fast; the real n=16200 path is exercised on
-    hardware (scripts/bench_round2.py)."""
+    hardware (scripts/diag_oddmb.py, scripts/diag_stream_et.py)."""
 
     @staticmethod
     def _odd_code():
-        # 802.11n n=648 r=3/4 has mb=6 (even) — build an odd-mb QC code from
-        # the NR BG2 skeleton by picking a Z where it stays odd? NR BG2 has
-        # mb=42 (even). Use DVB-S2 short frames directly at reduced work.
-        from ldpc_tpu.codes.dvbs2 import make_code
-        return make_code(16200, "1/2")  # mb=25
+        # Small odd-mb toy (mb=5, Z=16): exercises the same slot-parity /
+        # two-iterations-per-body machinery as DVB-S2 n=16200 (mb=25) at a
+        # fraction of the interpret-mode cost; the real n=16200 path is
+        # verified bit-exact vs the C oracle on hardware
+        # (scripts/diag_oddmb.py, scripts/diag_stream_et.py).
+        from ldpc_tpu.codes.toy import toy_qc_odd
+        return toy_qc_odd(16)
 
     def test_odd_mb_static_and_resident_bitexact(self, rng):
         from ldpc_tpu.kernels.minsum_stream import make_stream_decoder
