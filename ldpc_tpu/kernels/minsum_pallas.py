@@ -102,11 +102,15 @@ def _qc_entries(code: LDPCCode):
     return qc, layers
 
 
-def _cn_minsum(v2cs, beta: int, alpha=None):
+def _cn_minsum(v2cs, beta: int, alpha=None, qmax: int = None):
     """Unrolled min-sum CN update over one layer's entries.
 
-    v2cs: list of (Z, Bs, 128) int32 messages (already clipped to +-qmax).
-    Returns list of (Z, Bs, 128) int32 c2v messages.
+    v2cs: list of (Z, Bs, 128) int32 messages. Pass qmax to fold the golden
+    model's v2c saturation into the magnitude: |clip(v, +-qmax)| ==
+    min(|v|, qmax) and clip preserves the sign (bit 31), so feeding RAW
+    post - c2v differences with qmax set is bit-identical to feeding
+    pre-clipped messages — one vector op cheaper per entry (min vs
+    minimum+maximum). Returns list of (Z, Bs, 128) int32 c2v messages.
 
     Exclusion by value, not argmin: excl_t = (|v_t| == min1 ? min2 : min1).
     Ties give min2 == min1, so every tied entry gets min1 — identical to the
@@ -115,9 +119,12 @@ def _cn_minsum(v2cs, beta: int, alpha=None):
     m), which needs no select chains. Sign parity is a running XOR of the RAW
     messages: bit 31 of the accumulator is the product sign, and one more XOR
     with v_t removes v_t's own sign — golden's sign(0) = +1 holds because
-    bit 31 of zero is clear.
+    bit 31 of zero is clear (and clipping never flips a sign).
     """
     mags = [jnp.abs(v) for v in v2cs]
+    if qmax is not None:
+        q = jnp.array(qmax, _C)
+        mags = [jnp.minimum(m, q) for m in mags]
     min1 = mags[0]
     min2 = jnp.full_like(min1, jnp.array(1 << 14, _C))
     negacc = v2cs[0]
@@ -496,12 +503,12 @@ def make_pallas_decoder(
                         rolled = _rot_fwd(read(j), s)
                         if with_synd:
                             acc = rolled if acc is None else acc ^ rolled
-                        v2cs.append(jnp.clip(rolled - old, -qmax, qmax))
+                        v2cs.append(rolled - old)  # raw; qmax folds the clip
                         olds.append(old)
                     if with_synd:
                         u = jnp.sum((acc < 0).astype(_I32), axis=0, keepdims=True)
                         unsat = u if unsat is None else unsat + u
-                    news = _cn_minsum(v2cs, beta, alpha)
+                    news = _cn_minsum(v2cs, beta, alpha, qmax=qmax)
                     for (j, s), e, old, new in zip(ents, entry_of[li], olds, news):
                         emit(j, s, e, old, new)
                 if with_synd:
