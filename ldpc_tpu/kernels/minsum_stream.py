@@ -194,8 +194,14 @@ def make_stream_decoder(
         # 32 MB and 40 MB are both hardware-verified to compile AND run;
         # the non-ET auto gate stays at 32 because the 32–40 MB window only
         # admits high-degree int32 tiles (NR BG1) where residency measured
-        # slower. ET needs the latch buffer, so it gets the full 40.
-        res_cap_bytes = (40 if early_term else 32) * 2 ** 20
+        # slower. The ET kernel's ACTUAL Mosaic stack demand measures
+        # ~1.6x the _res_limit estimate (syndrome/latch temporaries), and
+        # granting it is only safe up to the hardware-verified run window:
+        # DVB-S2 n=16200 (21 MiB demand) runs; n=64800 (69 MiB demand)
+        # compiled but FAULTED THE CHIP at run time — the estimate gate
+        # below (40 MB / 1.65) keeps projected demand inside ~42 MB.
+        res_cap_bytes = (int(40 * 2 ** 20 / 1.65) if early_term
+                         else 32 * 2 ** 20)
 
     # Posterior-RESIDENT mode: when the whole tile's posteriors fit VMEM
     # alongside the c2v slots and Mosaic's compute temporaries, keep them
