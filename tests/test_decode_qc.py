@@ -110,6 +110,27 @@ class TestStreamKernel:
         _, backend = pl_mod.select_decoder(build_code(cfg), cfg)
         assert backend == "pallas-stream"
 
+    def test_et_admission_gate(self, monkeypatch):
+        """ET + layered dispatch: n=16200 fits the hardware-verified VMEM
+        window and gets the resident-ET stream kernel; n=64800's ET
+        footprint exceeds it (69 MiB Mosaic demand faulted the chip —
+        docs/PERFORMANCE.md) and must fall back to the QC-XLA ET path."""
+        import dataclasses
+        import jax
+        import ldpc_tpu.sim.pipeline as pl_mod
+        from ldpc_tpu.config import PRESETS
+        from ldpc_tpu.sim import build_code
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        cfg = PRESETS["dvbs2-64800-r12"]
+        cfg = dataclasses.replace(
+            cfg, decoder=dataclasses.replace(cfg.decoder, early_term=True))
+        _, backend = pl_mod.select_decoder(build_code(cfg), cfg)
+        assert backend == "qc-jnp"
+        cfg16 = dataclasses.replace(
+            cfg, code=dataclasses.replace(cfg.code, n=16200))
+        dec, backend = pl_mod.select_decoder(build_code(cfg16), cfg16)
+        assert backend == "pallas-stream" and dec.variant == "resident-et"
+
 
 class TestStreamKernelPipelined:
     """Round-2 pipelined stream kernel: the conflict-aware forward table
