@@ -72,6 +72,34 @@ def test_wifi648_bitexact(rng, kw):
     np.testing.assert_array_equal(conv, g_conv)
 
 
+@pytest.mark.parametrize("bits", [4, 6])
+def test_low_bitwidth_bitexact(rng, bits):
+    """Bit widths below the canonical 8 (the reference class exists to study
+    exactly this): Pallas and the jnp QC reference must stay bit-exact vs
+    golden at qmax = 2**(bits-1) - 1. Messages/posteriors only shrink, so
+    every storage path (int8 c2v, int16 totals) remains lossless."""
+    import jax.numpy as jnp
+    from ldpc_tpu.ops.decode_qc import make_qc_decoder
+    qmax = (1 << (bits - 1)) - 1
+    code = toy_qc(Z=4)
+    B = 8
+    chan = _random_llrs(rng, B, code.n, qmax=qmax)
+    for kw in (dict(schedule="flooding", beta=1, early_term=True, max_iter=6),
+               dict(schedule="layered", beta=0, early_term=True, max_iter=6)):
+        dec = make_pallas_decoder(code, qmax=qmax, batch_tile=4,
+                                  interpret=True, **kw)
+        hard, iters, conv = map(np.asarray, dec(chan))
+        g_hard, g_iters, g_conv = _golden_batch(chan, code, qmax=qmax, **kw)
+        np.testing.assert_array_equal(hard, g_hard)
+        np.testing.assert_array_equal(iters, g_iters)
+        np.testing.assert_array_equal(conv, g_conv)
+        qdec = make_qc_decoder(code, qmax=qmax, **kw)
+        qh, qi, qc = map(np.asarray, qdec(jnp.asarray(chan)))
+        np.testing.assert_array_equal(qh, g_hard)
+        np.testing.assert_array_equal(qi, g_iters)
+        np.testing.assert_array_equal(qc, g_conv)
+
+
 def test_all_zero_noiseless(rng):
     """All-zeros codeword with clean LLRs converges instantly with 0 iters."""
     code = toy_qc(Z=4)
