@@ -26,20 +26,36 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+def _fetch_sync(out) -> None:
+    """Force completion by HOST FETCH of one leaf.
+
+    jax.block_until_ready does NOT reliably block on the tunneled "axon"
+    platform (it returned before execution finished and produced
+    faster-than-physics timings in round 2) — transferring bytes to the
+    host is the only dependable synchronization there, and it is exactly
+    what the production sweep does with its counters.
+    """
+    import numpy as np
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf)
+
+
 def timed(fn: Callable, *args, reps: int = 10, trials: int = 3) -> float:
-    """Best-of-trials seconds per call, dispatch-pipelined within a trial.
+    """Best-of-trials seconds per call, dispatch-pipelined within a trial,
+    synchronized by host fetch (see _fetch_sync — block_until_ready is not
+    trustworthy on the tunneled platform).
 
     The tunneled single-chip platform has bursty dispatch latency, so the
     minimum over trials is the meaningful figure (see bench.py).
     """
     out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch_sync(out)
     best = float("inf")
     for _ in range(trials):
         t0 = time.time()
         for _ in range(reps):
             out = fn(*args)
-        jax.block_until_ready(out)
+        _fetch_sync(out)
         best = min(best, (time.time() - t0) / reps)
     return best
 

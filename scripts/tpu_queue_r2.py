@@ -1,0 +1,53 @@
+"""Serialized TPU work queue for round 2 wrap-up (one process, one job at
+a time — two concurrent TPU jobs contend on the tunnel and both look hung).
+
+Jobs, in order of value:
+  1. bench.py measurement (clip-fusion effect on the canonical 1.06 Gb/s)
+  2. DVB-S2 16200 resident-ET waterfall artifact (results/dvbs2_16200_et)
+  3. bit-width study artifact (results/bits_wifi648)
+
+Each job is wrapped so one failure doesn't kill the rest.
+"""
+import json
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def run(tag, cmd, timeout):
+    t0 = time.time()
+    print(f"=== {tag}: {' '.join(cmd)}", flush=True)
+    try:
+        p = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout)
+        print(p.stdout[-3000:], flush=True)
+        if p.returncode != 0:
+            print(f"--- {tag} FAILED rc={p.returncode}", flush=True)
+            print(p.stderr[-2000:], flush=True)
+    except subprocess.TimeoutExpired:
+        print(f"--- {tag} TIMEOUT", flush=True)
+    print(f"=== {tag} done in {time.time()-t0:.0f}s", flush=True)
+
+
+def main():
+    run("bench", [sys.executable, "bench.py"], 3600)
+    run("et-waterfall", [
+        sys.executable, "-m", "ldpc_tpu.cli", "sweep",
+        "--family", "dvbs2", "--n", "16200", "--rate", "1/2",
+        "--algorithm", "offset-min-sum", "--schedule", "layered",
+        "--max-iter", "20", "--batch", "4096", "--superbatches", "4",
+        "--ebn0", "1.4:3.0:0.4", "--max-frames", "131072",
+        "--target-errors", "400", "--out", "results/dvbs2_16200_et",
+        "--plot"], 5400)
+    run("bits-study", [
+        sys.executable, "scripts/make_bits_study.py",
+        "--frames", "131072", "--batch", "16384",
+        "--bits", "4", "5", "6", "8",
+        "--ebn0", "1.0", "1.5", "2.0", "2.5", "3.0"], 5400)
+    print(json.dumps({"queue": "done"}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
