@@ -358,3 +358,19 @@ class TestStreamKernelOddMb:
         dec = make_stream_decoder(code, max_iter=5, beta=2, qmax=127,
                                   batch_tile=128, interpret=True)
         assert dec.variant == "dynamic"
+
+
+def test_degree1_base_row_rejected():
+    """A degree-1 base row would leave min2 at the 1<<14 sentinel and emit
+    c2v = +-(1<<14 - beta) truncated through int8 — both kernels refuse it
+    up front instead of silently mis-decoding (advisor finding, round 1)."""
+    from ldpc_tpu.codes.code import expand_qc
+    from ldpc_tpu.kernels.minsum_stream import make_stream_decoder
+    from ldpc_tpu.kernels.minsum_pallas import make_pallas_decoder
+
+    base = np.array([[0, 1, -1, 0], [-1, -1, 2, -1]], np.int64)  # row 1: deg 1
+    code = expand_qc(base, 8, name="deg1_toy", standard_exact=False)
+    with pytest.raises(ValueError, match="degree-1"):
+        make_stream_decoder(code, max_iter=4, batch_tile=128, interpret=True)
+    with pytest.raises(AssertionError, match="degree-1"):
+        make_pallas_decoder(code, max_iter=4, interpret=True)
