@@ -34,7 +34,11 @@ def _gf2_rank(cn_adj: List[np.ndarray], n: int) -> int:
     words = (n + 63) // 64
     rows = np.zeros((len(cn_adj), words), np.uint64)
     for i, vs in enumerate(cn_adj):
-        rows[i, vs // 64] |= np.uint64(1) << (vs.astype(np.uint64) % np.uint64(64))
+        # ufunc.at, NOT fancy-indexed |=: repeated word indices (two
+        # variables in the same 64-bit block) would drop all but one bit.
+        np.bitwise_or.at(
+            rows[i], vs // 64,
+            np.uint64(1) << (vs.astype(np.uint64) % np.uint64(64)))
     rank = 0
     for col in range(n):
         w, b = col // 64, np.uint64(col % 64)
@@ -81,14 +85,16 @@ def read_alist(path: str, name: str | None = None) -> LDPCCode:
     for j in range(n):
         ent = [nxt() for _ in range(dvmax)]
         vs = sorted(e for e in ent if e != 0)
-        if len(vs) != dv[j] or any(not (1 <= e <= m) for e in vs):
+        if (len(vs) != dv[j] or any(not (1 <= e <= m) for e in vs)
+                or any(a == b for a, b in zip(vs, vs[1:]))):
             raise ValueError(f"{path}: bad column {j + 1} adjacency")
         col_adj.append(vs)
     cn_adj = []
     for i in range(m):
         ent = [nxt() for _ in range(dcmax)]
         vs = sorted(e for e in ent if e != 0)
-        if len(vs) != dc[i] or any(not (1 <= e <= n) for e in vs):
+        if (len(vs) != dc[i] or any(not (1 <= e <= n) for e in vs)
+                or any(a == b for a, b in zip(vs, vs[1:]))):
             raise ValueError(f"{path}: bad row {i + 1} adjacency")
         cn_adj.append(np.array(vs, np.int64) - 1)
     # Cross-check the two adjacency views describe the same matrix.

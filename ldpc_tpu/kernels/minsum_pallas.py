@@ -158,12 +158,18 @@ def _cn_minsum(v2cs, beta: int, alpha=None, qmax: int = None):
 
 def vmem_bytes(code: LDPCCode, batch_tile: int = 256,
                schedule: str = "layered", c2v_dtype=jnp.int32,
-               early_term: bool = False) -> int:
+               early_term: bool = False, fused_in: bool = False,
+               counting: bool = False, mc: bool = False) -> int:
     """Estimated VMEM footprint of the decoder for one batch tile, including
-    the double-buffered IO blocks and a margin for Mosaic stack temporaries
-    (calibrated against observed scoped-vmem usage: the early-termination
-    path's latch/syndrome machinery costs ~40% extra on top of state+IO;
-    plain fixed-iteration ~15%)."""
+    the double-buffered IO blocks, the fused-IO/MC scratch tiles, and a
+    margin for Mosaic stack temporaries (calibrated against observed
+    scoped-vmem usage: the early-termination path's latch/syndrome machinery
+    costs ~40% extra on top of state+IO; plain fixed-iteration ~15%).
+
+    fused_in: float32 LLR input blocks (4x wider) + int8 qchan scratch.
+    counting: int8 hard-bit scratch; outputs shrink to per-lane rows.
+    mc: megakernel — no input blocks (SMEM scalars), + int8 codeword
+    scratch (mc implies fused_in and counting)."""
     qc = compile_qc_layout(code)
     n_entries = int((qc.layer_mask).sum())
     itemsize = jnp.dtype(c2v_dtype).itemsize
@@ -171,9 +177,18 @@ def vmem_bytes(code: LDPCCode, batch_tile: int = 256,
     post = tile * 4
     bufs = 2 if schedule == "flooding" else 1
     c2v = n_entries * qc.Z * batch_tile * itemsize
-    io = 2 * (tile + tile)  # chan in + hard out, double-buffered int8
+    if mc:
+        fused_in = counting = True
+        io = 0  # seeds/chanf ride SMEM; outputs are per-lane rows
+    else:
+        in_item = 4 if fused_in else 1
+        out_item = 0 if counting else 1  # counting emits per-lane rows
+        io = 2 * tile * (in_item + out_item)  # double-buffered
+    extra = tile * ((1 if fused_in else 0)    # qchan int8
+                    + (1 if counting else 0)  # hard-bit int8 scratch
+                    + (1 if mc else 0))       # codeword int8
     margin = 1.4 if early_term else 1.15
-    return int((bufs * post + c2v + io) * margin)
+    return int((bufs * post + c2v + io + extra) * margin)
 
 
 def make_pallas_decoder(

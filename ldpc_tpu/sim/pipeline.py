@@ -56,6 +56,17 @@ def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
     When cfg.decoder.phase1_iters is set (and early_term, and the caller
     supplies `batch`), the returned decoder is the two-phase repacking
     wrapper (make_two_phase_decoder) around the chosen backend."""
+    # Accept our own emitted labels as backend requests: Sweep resolves the
+    # backend once and feeds the LABEL back into make_run_batch so the
+    # plain/fused builds agree. "pallas-stream" re-resolves through the
+    # "pallas" ladder (deterministic: the same fits-probe picks the stream
+    # kernel again); the "-2phase" suffix is re-derived from cfg below.
+    if backend.endswith("-2phase"):
+        backend = backend[: -len("-2phase")]
+    if backend == "pallas-stream":
+        backend = "pallas"
+    elif backend == "jnp-float":
+        backend = "auto"  # float mode returns early below regardless
     if is_float_mode(cfg):
         from ..ops.decode_ref import make_float_decoder
         alg = cfg.decoder.algorithm.replace("-float", "")
@@ -91,8 +102,11 @@ def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
             bt, dt, fits = batch_tile, jnp.int32, False
             while True:
                 for dt in (jnp.int32, jnp.int16, jnp.int8):
-                    if mp.vmem_bytes(code, bt, dec_cfg.schedule, dt,
-                                     et) <= VMEM_BUDGET:
+                    if mp.vmem_bytes(code, bt, dec_cfg.schedule, dt, et,
+                                     fused_in=fused_io is not None,
+                                     counting=fused_io is not None,
+                                     mc=mc_batch is not None
+                                     ) <= VMEM_BUDGET:
                         fits = True
                         break
                 if fits or bt <= 128:
@@ -106,8 +120,10 @@ def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
                 if dec_cfg.schedule == "layered":
                     from ..kernels.minsum_stream import make_decoder as m_st
                     try:
-                        return m_st(code, dec_cfg, cfg.quant,
-                                    interpret=interpret), "pallas-stream"
+                        st = m_st(code, dec_cfg, cfg.quant,
+                                  interpret=interpret)
+                        chosen_bt[0] = 128  # stream decode asserts B % tile
+                        return st, "pallas-stream"
                     except ValueError:
                         pass  # outside the stream kernel's domain
                 b = "qc-jnp"
@@ -191,6 +207,7 @@ def make_two_phase_decoder(dec_p1, dec_full, capacity: int):
 
         return jax.lax.cond(n_uncv <= capacity, two_phase, full, None)
 
+    decode.capacity = capacity
     return decode
 
 

@@ -71,7 +71,7 @@ def rates_compatible(errs_a: int, trials_a: int, errs_b: int, trials_b: int,
     return lo_a <= hi_b and lo_b <= hi_a
 
 
-def snr_at_ber(rows, target_ber: float):
+def snr_at_ber(rows, target_ber: float, k: int = None):
     """Eb/N0 (dB) at which a measured waterfall crosses `target_ber`,
     log-linearly interpolated between the bracketing sweep points.
 
@@ -79,9 +79,23 @@ def snr_at_ber(rows, target_ber: float):
     Returns None if the curve never crosses the target. This is the
     BASELINE.md row-3 methodology: the fixed-point quantization bound is
     snr_at_ber(fixed) - snr_at_ber(float) at the same target BER.
+
+    Zero-error points are kept (a clean curve falling to zero measured
+    errors still brackets the crossing): with `k` (info bits/frame) they
+    are clamped to the half-error upper bound 0.5/(frames*k) — which only
+    brackets the target when enough frames were run to resolve it — and
+    without `k` to one decade below the target.
     """
-    pts = sorted(((float(r["ebn0_db"]), float(r["ber"])) for r in rows
-                  if r["ber"] > 0), key=lambda t: t[0])
+    pts = []
+    for r in rows:
+        b = float(r["ber"])
+        if b <= 0:
+            if k and float(r.get("frames", 0)) > 0:
+                b = 0.5 / (float(r["frames"]) * k)
+            else:
+                b = target_ber / 10.0
+        pts.append((float(r["ebn0_db"]), b))
+    pts.sort(key=lambda t: t[0])
     for (x0, b0), (x1, b1) in zip(pts, pts[1:]):
         if (b0 - target_ber) * (b1 - target_ber) <= 0 and b0 != b1:
             l0, l1, lt = math.log10(b0), math.log10(b1), math.log10(target_ber)

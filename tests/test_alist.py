@@ -112,3 +112,35 @@ def test_cli_export_and_sweep(tmp_path):
     assert len(files) == 12
     loaded = read_alist(str(files[0]))
     assert loaded.n in (648, 1296, 1944)
+
+
+def test_gf2_rank_same_word_columns():
+    """Round-2 review finding: fancy-indexed |= dropped all but one bit per
+    64-bit word, so checks with two variables in the same 64-aligned block
+    lost edges and valid full-rank files were rejected."""
+    from ldpc_tpu.codes.alist import _gf2_rank
+
+    adj = [np.array(a, np.int64) for a in ([0, 1], [1, 2], [2])]
+    assert _gf2_rank(adj, 3) == 3
+    # and the Hamming(7,4) H (all columns inside one word) keeps rank 3
+    code = hamming74()
+    assert _gf2_rank([np.asarray(r, np.int64) for r in code.cn_adj], 7) == 3
+
+
+def test_duplicate_adjacency_rejected(tmp_path):
+    """A doubled edge GF(2)-cancels in H but doubles a Tanner edge — the
+    loader must reject it, not silently decode on a different graph."""
+    # n=4, m=2; row 1 = {1, 1} (duplicate, declared degree 2), row 2 = {2};
+    # column 1 lists rows {1, 1} consistently, so only the strict-increase
+    # check can catch it.
+    txt = "\n".join([
+        "4 2", "2 2",
+        "2 1 0 0",                    # dv per column
+        "2 1",                        # dc per row
+        "1 1", "2 0", "0 0", "0 0",   # column lists
+        "1 1", "2 0",                 # row lists
+    ]) + "\n"
+    p = tmp_path / "dup.alist"
+    p.write_text(txt)
+    with pytest.raises(ValueError, match="adjacency"):
+        read_alist(str(p))

@@ -374,3 +374,58 @@ def test_degree1_base_row_rejected():
         make_stream_decoder(code, max_iter=4, batch_tile=128, interpret=True)
     with pytest.raises(AssertionError, match="degree-1"):
         make_pallas_decoder(code, max_iter=4, interpret=True)
+
+
+def test_backend_label_roundtrip_idempotent(monkeypatch):
+    """Sweep resolves the backend once and feeds the emitted LABEL back into
+    make_run_batch; select_decoder must accept its own labels (round-2
+    review finding: 'pallas-stream' fell through to the dense jnp decoder,
+    silently bypassing the streaming kernel for every CLI DVB-S2/NR
+    sweep)."""
+    import dataclasses
+    import ldpc_tpu.sim.pipeline as pl
+    from ldpc_tpu.config import PRESETS
+    from ldpc_tpu.sim import build_code
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    cfg = PRESETS["dvbs2-64800-r12"]
+    code = build_code(cfg)
+    _, label = pl.select_decoder(code, cfg, "auto", interpret=True)
+    assert label == "pallas-stream"
+    _, label2 = pl.select_decoder(code, cfg, label, interpret=True)
+    assert label2 == label
+    # two-phase labels strip their suffix and re-derive the wrapper
+    cfg2 = PRESETS["wifi-648-r12-minsum"]
+    cfg2 = dataclasses.replace(cfg2, decoder=dataclasses.replace(
+        cfg2.decoder, early_term=True, phase1_iters=4))
+    code2 = build_code(cfg2)
+    _, lab = pl.select_decoder(code2, cfg2, "auto", batch=1024,
+                               interpret=True)
+    assert lab == "pallas-2phase"
+    _, lab2 = pl.select_decoder(code2, cfg2, lab, batch=1024,
+                                interpret=True)
+    assert lab2 == lab
+
+
+def test_two_phase_capacity_respects_stream_tile(monkeypatch):
+    """Two-phase capacity must round to the STREAM decoder's 128-lane tile
+    (decode asserts B % batch_tile == 0) — round-2 review finding: the
+    granularity was only recorded on the VMEM-kernel branch, so phase 2
+    crashed at trace time for HBM-regime codes."""
+    import dataclasses
+    import ldpc_tpu.sim.pipeline as pl
+    from ldpc_tpu.config import PRESETS
+    from ldpc_tpu.sim import build_code
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    cfg = PRESETS["dvbs2-64800-r12"]
+    cfg = dataclasses.replace(
+        cfg,
+        code=dataclasses.replace(cfg.code, n=16200),
+        decoder=dataclasses.replace(
+            cfg.decoder, schedule="layered", early_term=True,
+            phase1_iters=4, phase2_frac=0.1))
+    code = build_code(cfg)
+    dec, label = pl.select_decoder(code, cfg, "auto", batch=2048,
+                                   interpret=True)
+    assert label == "pallas-stream-2phase"
+    # 0.1 * 2048 = 204.8 -> must round UP to a multiple of 128
+    assert dec.capacity % 128 == 0 and dec.capacity >= 205

@@ -255,3 +255,21 @@ def test_fused_retirement_and_checkpoint(tmp_path):
     with pytest.raises(ValueError, match="fused resume"):
         Sweep(cfg, decoder_backend="jnp", checkpoint_path=path).run_fused(
             [6.0, -1.0], target_frame_errors=50, max_frames=256)
+
+
+def test_snr_at_ber_zero_tail_brackets():
+    """Round-2 review finding: a waterfall falling to ZERO measured errors
+    at the last sweep point must still bracket the crossing."""
+    from ldpc_tpu.sim.stats import snr_at_ber
+
+    rows = [{"ebn0_db": 2.0, "ber": 1e-4, "frames": 10 ** 6},
+            {"ebn0_db": 2.5, "ber": 0.0, "frames": 10 ** 6}]
+    x = snr_at_ber(rows, 1e-6, k=324)   # floor = 0.5/3.24e8 ~ 1.5e-9
+    assert x is not None and 2.0 < x <= 2.5
+    # without k: one-decade-below-target sentinel still brackets
+    x2 = snr_at_ber(rows, 1e-6)
+    assert x2 is not None and 2.0 < x2 <= 2.5
+    # insufficient frames cannot resolve the target -> no claimed crossing
+    rows_small = [{"ebn0_db": 2.0, "ber": 1e-4, "frames": 100},
+                  {"ebn0_db": 2.5, "ber": 0.0, "frames": 100}]
+    assert snr_at_ber(rows_small, 1e-6, k=324) is None
