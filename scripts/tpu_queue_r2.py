@@ -46,6 +46,17 @@ def main():
         "--frames", "131072", "--batch", "16384",
         "--bits", "4", "5", "6", "8",
         "--ebn0", "1.0", "1.5", "2.0", "2.5", "3.0"], 5400)
+    # Regenerate the DVB-S2 n=64800 sweep THROUGH THE STREAM KERNEL: the
+    # round-1 artifact was produced while the backend-label round-trip bug
+    # routed CLI sweeps to the dense jnp decoder (3.5 Mb/s vs the stream
+    # kernel's ~0.5 Gb/s) — same BER, ~150x the wall time.
+    run("dvbs2-64800-sweep", [
+        sys.executable, "-m", "ldpc_tpu.cli", "sweep",
+        "--preset", "dvbs2-64800-r12",
+        "--batch", "2048", "--superbatches", "4",
+        "--ebn0", "1.0:2.25:0.25", "--max-frames", "65536",
+        "--target-errors", "200", "--out", "results/dvbs2_r12_stream",
+        "--plot"], 5400)
     print(json.dumps({"queue": "done"}), flush=True)
 
 
