@@ -30,6 +30,8 @@ def _parse_ebn0(spec: str) -> List[float]:
     """'1.0:3.0:0.5' (lo:hi:step, inclusive) or '1.0,2.0,2.5'."""
     if ":" in spec:
         lo, hi, step = (float(x) for x in spec.split(":"))
+        if step <= 0:
+            raise ValueError(f"--ebn0 {spec}: step must be positive")
         out, v = [], lo
         while v <= hi + 1e-9:
             out.append(round(v, 6))

@@ -89,8 +89,11 @@ def make_code(n: int = N_NORMAL, rate: str = "1/2", seed: int = 0) -> LDPCCode:
     kb = k // Z
     mb = (n - k) // Z
     kb_hi = n_hi // Z
+    # Full-string tag: a % 65536 truncation kept only the first two bytes,
+    # so '1/2'/'1/3'/'1/4' (and '2/3'/'2/5', '3/4'/'3/5') seeded identical
+    # RNGs — correlated shift draws across rates (round-2 review finding).
     rate_tag = int.from_bytes(rate.encode(), "little")  # stable across runs
-    rng = np.random.default_rng(0xD2B + rate_tag % 65536 + seed)
+    rng = np.random.default_rng(0xD2B + rate_tag + seed)
 
     # Column-first assignment: each info block-column picks its rows; convert
     # to row -> columns lists for gen_qc_code. Row loads are balanced greedily.

@@ -42,6 +42,10 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
+# Shared 4-cycle collision detector (one definition keeps the two
+# girth-repair paths from diverging).
+from .qcstruct import base_collisions as _base_collisions
+
 import numpy as np
 
 from .code import LDPCCode, expand_qc
@@ -183,24 +187,6 @@ MB_OF_RATE = {"1/2": 12, "2/3": 8, "3/4": 6, "5/6": 4}
 NB = 24
 
 _parsed: Dict[Tuple[int, str], Tuple[np.ndarray, bool]] = {}
-
-
-def _base_collisions(B: np.ndarray, Z: int):
-    """4-cycle collisions at base level: row pairs sharing two columns with
-    equal shift differences mod Z (equivalent to expanded-graph 4-cycles for
-    circulant blocks)."""
-    mb, nb = B.shape
-    out = []
-    for i1 in range(mb):
-        for i2 in range(i1 + 1, mb):
-            diffs: Dict[int, list] = {}
-            for j in range(nb):
-                if B[i1, j] >= 0 and B[i2, j] >= 0:
-                    diffs.setdefault(int((B[i1, j] - B[i2, j]) % Z), []).append(j)
-            for js in diffs.values():
-                if len(js) > 1:
-                    out.append((i1, i2, js))
-    return out
 
 
 def _repair_girth(B: np.ndarray, Z: int, mb: int) -> Tuple[np.ndarray, bool]:

@@ -121,15 +121,19 @@ def make_code(base_graph: int = 1, Z: Optional[int] = 384,
     n_short = k - k_info
     R = Fraction(rate)
     n_tx = int(round(k_info / R))
-    min_tx = (kb - 2 + cb) * Z - n_short  # all core parities transmitted
-    max_tx = (kb - 2 + mb_full) * Z - n_short
+    # Transmitted systematic bits: the punctured prefix [0, 2Z) and the
+    # shortened tail [k_info, k) OVERLAP when k_info < 2Z — count the union,
+    # not the sum (round-1 advisor finding, mirrored from LDPCCode.n_tx).
+    sys_tx = max(0, k_info - 2 * Z)
+    min_tx = cb * Z + sys_tx              # all core parities transmitted
+    max_tx = mb_full * Z + sys_tx
     if not (min_tx <= n_tx <= max_tx):
         raise ValueError(
             f"rate {rate} out of range for BG{base_graph} Z={Z}: n_tx={n_tx} "
             f"not in [{min_tx}, {max_tx}]")
     # Number of parity blocks needed (whole blocks; the last may be partially
     # punctured). Shortened fillers are not transmitted.
-    par_bits = n_tx - ((kb - 2) * Z - n_short)
+    par_bits = n_tx - sys_tx
     mb_used = -(-par_bits // Z)          # ceil
     mb_used = max(mb_used, cb)
     full = full_graph(base_graph, Z, seed)

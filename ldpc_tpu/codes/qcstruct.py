@@ -77,9 +77,9 @@ def detect_enc_struct(base: np.ndarray) -> Optional[EncStruct]:
         if not (len(nz_t) == 2 and tuple(nz_t) == (t - 1, t)
                 and col[t - 1] == 0 and col[t] == 0):
             return None
-        if (base[cb:, kb + t] >= 0).any() and cb < mb:
-            # extension rows may read core parities; that's fine
-            pass
+        # (Extension rows MAY read staircase/core parity columns — the
+        # encoder computes extension parities after all core parities, so
+        # no structural restriction is needed here.)
     # Extension rows: single identity in their own column, nothing after.
     for e in range(cb, mb):
         col = kb + cb + (e - cb)

@@ -47,6 +47,14 @@ class QuantConfig:
     alpha_num: int = 3
     alpha_shift: int = 2
 
+    def __post_init__(self):
+        # The whole fixed-point datapath (jnp quantize op, Pallas kernels,
+        # C-oracle marshalling) stores channel LLRs as int8: bits > 8 would
+        # silently WRAP in the int8 cast instead of saturating.
+        if not 2 <= self.bits <= 8:
+            raise ValueError(f"QuantConfig.bits={self.bits}: the int8 "
+                             f"datapath supports 2..8 bits")
+
     @property
     def qmax(self) -> int:
         return (1 << (self.bits - 1)) - 1

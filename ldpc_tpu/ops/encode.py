@@ -59,6 +59,13 @@ def make_encoder_t(code: LDPCCode) -> Callable[[jnp.ndarray], jnp.ndarray]:
     end-to-end so the decoder's (nb, Z, B) layout is a pure reshape; the
     parity matmul becomes (m, k) @ (k, B) on the MXU. Same math as
     make_encoder — H c^T = 0 property-tested for both."""
+    if _has_qc_struct(code) and code.n > _DENSE_MAX_N:
+        # Same guard as make_encoder/info_positions: never materialize the
+        # dense systematic form for large QC codes — route through the O(E)
+        # structured encoder (the transposes are trivial next to decode).
+        from ..codes.qcstruct import make_qc_encoder
+        enc = make_qc_encoder(code)
+        return lambda info_t: enc(info_t.T).T
     from ..golden.encoder import systematic_form
 
     P, perm = systematic_form(code)  # (m, k), (n,)

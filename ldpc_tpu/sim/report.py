@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import csv
 import io
+import os
 from typing import List, Optional
 
 from .sweep import SweepResult
@@ -22,6 +23,8 @@ def to_csv(result: SweepResult) -> str:
 
 
 def write_outputs(result: SweepResult, prefix: str) -> List[str]:
+    parent = os.path.dirname(os.path.abspath(prefix))
+    os.makedirs(parent, exist_ok=True)  # don't lose a finished sweep
     paths = []
     with open(prefix + ".json", "w") as f:
         f.write(result.to_json())

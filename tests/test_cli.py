@@ -72,3 +72,26 @@ def test_report_from_json(tmp_path):
 
     assert cmd_report(A) == 0
     assert (tmp_path / "out.png").exists()
+
+
+def test_ebn0_zero_step_rejected():
+    from ldpc_tpu.cli import _parse_ebn0
+    with pytest.raises(ValueError, match="step"):
+        _parse_ebn0("1.0:3.0:0")
+    with pytest.raises(ValueError, match="step"):
+        _parse_ebn0("1.0:3.0:-0.5")
+    assert _parse_ebn0("1.0:2.0:0.5") == [1.0, 1.5, 2.0]
+
+
+def test_write_outputs_creates_directory(tmp_path):
+    from ldpc_tpu.sim.report import write_outputs
+    from ldpc_tpu.sim.sweep import SweepResult
+    from ldpc_tpu.sim.stats import SnrPoint
+    from ldpc_tpu.config import PRESETS
+    res = SweepResult(config=PRESETS["wifi-648-r12-minsum"], code_name="x",
+                      k=324, n=648, points=[SnrPoint(ebn0_db=2.0)],
+                      decoder_backend="jnp")
+    prefix = str(tmp_path / "new" / "deep" / "run1")
+    paths = write_outputs(res, prefix)
+    import os
+    assert all(os.path.exists(p) for p in paths)

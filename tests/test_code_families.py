@@ -176,3 +176,27 @@ class TestShortening:
         rb = make_run_batch(code, cfg, decoder_backend="jnp")
         out = tuple(map(int, rb(jax.random.PRNGKey(0), np.float32(0.25))))
         assert out[1] == 0 and out[2] == 0  # no bit/frame errors at high SNR
+
+
+def test_nr_heavy_shortening_overlap_rate_exact():
+    """k_info < 2Z: the shortened tail overlaps the punctured prefix; the
+    rate-matching sizing must count the UNION (round-1 advisor finding,
+    codes-side completion). The built graph transmits exactly round(k/R)
+    bits and the realized rate equals the requested one."""
+    from ldpc_tpu.codes.nr_bg import make_code
+    c = make_code(base_graph=1, Z=384, rate="1/4", k_info=500)
+    assert c.n_tx == 2000 and abs(c.rate - 0.25) < 1e-9
+    # requests whose core parities cannot fit are rejected, not mis-built
+    with pytest.raises(ValueError, match="out of range"):
+        make_code(base_graph=1, Z=384, rate="1/3", k_info=500)
+
+
+def test_dvbs2_rate_seeds_differ():
+    """'1/2' vs '1/4' must not draw identical shift tables (the old
+    two-byte seed truncation collided on shared prefixes)."""
+    import numpy as np
+    from ldpc_tpu.codes.dvbs2 import make_code
+    b12 = make_code(n=64800, rate="1/2").base
+    b14 = make_code(n=64800, rate="1/4").base
+    k = min(b12.shape[1], b14.shape[1])
+    assert not np.array_equal(b12[:4, :k], b14[:4, :k])

@@ -238,3 +238,14 @@ class TestBSC:
         assert flips_in > 500  # the channel did inject faults
         assert errs_out < flips_in / 10  # decoder corrected the bulk
         assert np.asarray(conv).mean() > 0.9
+
+
+def test_quant_bits_over_8_rejected():
+    """bits > 8 would silently WRAP in the int8 datapath cast — QuantConfig
+    rejects it up front (round-2 review finding)."""
+    from ldpc_tpu.config import QuantConfig
+    with pytest.raises(ValueError, match="int8"):
+        QuantConfig(bits=10)
+    with pytest.raises(ValueError, match="int8"):
+        QuantConfig(bits=1)
+    assert QuantConfig(bits=4).qmax == 7
