@@ -64,7 +64,7 @@ def main() -> None:
     cfg = PRESETS[CONFIG]
     code = build_code(cfg)
     batch = 16384
-    # superbatches: one device call runs 16 sub-batches via fori_loop —
+    # superbatches: one device call runs 32 sub-batches via fori_loop —
     # the production sweep driver's amortization of the tunneled
     # platform's per-call dispatch overhead (~2-3 ms, which does not exist
     # on directly-attached hardware). Counters sum exactly.

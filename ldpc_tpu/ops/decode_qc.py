@@ -86,7 +86,6 @@ def make_qc_decoder(
         off += len(ents)
     n_entries = off
     flooding = schedule == "flooding"
-    max_deg = max(len(e) for e in layers)
 
     def syndrome_ok(post):
         """post: (B, nb, Z) -> (B,) bool."""

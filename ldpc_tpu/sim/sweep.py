@@ -145,7 +145,8 @@ class Sweep:
              for e in ebn0_list], np.float32)
         points = [SnrPoint(ebn0_db=float(e)) for e in ebn0_list]
         meta = {"batch": self.batch, "superbatches": self.superbatches,
-                "seed": self.cfg.run.seed, "fused_points": list(ebn0_list)}
+                "seed": self.cfg.run.seed,
+                "fused_points": [float(e) for e in ebn0_list]}
         batch_idx = 0
         if self.checkpoint_path:
             state = ckpt.load(self.checkpoint_path)
@@ -231,8 +232,13 @@ class Sweep:
         max_fr = rc.max_frames if max_frames is None else max_frames
 
         points = [SnrPoint(ebn0_db=float(e)) for e in ebn0_list]
+        # The point LIST (values and order) is part of the RNG contract:
+        # keys are fold_in(seed, positional snr index), so resuming with a
+        # reordered/subset list would silently switch each point onto
+        # another point's key stream (round-2 review finding).
         meta = {"batch": self.batch, "superbatches": self.superbatches,
-                "seed": self.cfg.run.seed}
+                "seed": self.cfg.run.seed,
+                "points": [float(e) for e in ebn0_list]}
         if self.checkpoint_path:
             state = ckpt.load(self.checkpoint_path)
             if state is not None:
@@ -240,8 +246,8 @@ class Sweep:
                     raise ValueError(
                         f"checkpoint {self.checkpoint_path} was written with "
                         f"{state['meta']}, resume requires the same "
-                        f"batch/superbatches/seed (got {meta}) for "
-                        f"sample-exact continuation")
+                        f"batch/superbatches/seed/point list (got {meta}) "
+                        f"for sample-exact continuation")
                 import json as _json
                 want = _json.loads(self.cfg.to_json())
                 if state.get("config") and state["config"] != want:

@@ -273,3 +273,22 @@ def test_snr_at_ber_zero_tail_brackets():
     rows_small = [{"ebn0_db": 2.0, "ber": 1e-4, "frames": 100},
                   {"ebn0_db": 2.5, "ber": 0.0, "frames": 100}]
     assert snr_at_ber(rows_small, 1e-6, k=324) is None
+
+
+def test_resume_rejects_changed_point_list(tmp_path):
+    """RNG keys are fold_in(seed, positional snr index): resuming with a
+    reordered/subset point list would silently cross key streams — the
+    meta guard must refuse (round-2 review finding)."""
+    import dataclasses
+    from ldpc_tpu.config import PRESETS
+    from ldpc_tpu.sim import Sweep
+    cfg = PRESETS["wifi-648-r12-minsum"]
+    cfg = dataclasses.replace(cfg, run=dataclasses.replace(
+        cfg.run, batch=128, max_frames=128, target_frame_errors=10 ** 9))
+    p = str(tmp_path / "ck.json")
+    Sweep(cfg, checkpoint_path=p).run([2.0, 2.5])
+    with pytest.raises(ValueError, match="point list"):
+        Sweep(cfg, checkpoint_path=p).run([2.5])
+    # same list resumes fine
+    res = Sweep(cfg, checkpoint_path=p).run([2.0, 2.5])
+    assert res.rows()[0]["frames"] == 128
