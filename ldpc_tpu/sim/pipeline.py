@@ -315,8 +315,9 @@ def make_run_batch(
             transposed = False
             mc = False
     if not transposed:
-        dec, _ = select_decoder(code, cfg, decoder_backend,
-                                min(batch_tile, B), interpret, batch=B)
+        dec, dec_label = select_decoder(code, cfg, decoder_backend,
+                                        min(batch_tile, B), interpret,
+                                        batch=B)
 
     # Rate matching (5G NR): punctured variables are never transmitted and
     # enter the decoder with LLR 0; shortened variables are known zeros and
@@ -481,6 +482,11 @@ def make_run_batch(
 
     if mesh is not None:
         repl = NamedSharding(mesh, P())
-        return jax.jit(run_batch, in_shardings=(repl, repl),
-                       out_shardings=repl)
-    return jax.jit(run_batch)
+        rb = jax.jit(run_batch, in_shardings=(repl, repl),
+                     out_shardings=repl)
+    else:
+        rb = jax.jit(run_batch)
+    # The resolved decoder label rides on the returned callable so callers
+    # (Sweep) don't need a second select_decoder build just to learn it.
+    rb.backend_label = dec_label
+    return rb

@@ -95,14 +95,13 @@ class Sweep:
         self.code = build_code(cfg)
         self.batch = batch or cfg.run.batch
         self.checkpoint_path = checkpoint_path
-        from .pipeline import select_decoder
-        _, self.backend = select_decoder(self.code, cfg, decoder_backend,
-                                         batch_tile, interpret,
-                                         batch=self.batch)
         self.run_batch = make_run_batch(
             self.code, cfg, batch=self.batch, mesh=mesh,
-            decoder_backend=self.backend, batch_tile=batch_tile,
+            decoder_backend=decoder_backend, batch_tile=batch_tile,
             interpret=interpret, superbatches=self.superbatches)
+        # Resolved label (rides the jitted callable): pinned so the fused
+        # builds below resolve to the SAME backend, and recorded in results.
+        self.backend = self.run_batch.backend_label
 
     def _key(self, snr_idx: int, batch_idx: int) -> jax.Array:
         k = jax.random.PRNGKey(self.cfg.run.seed)
