@@ -108,6 +108,35 @@ class Sweep:
         k = jax.random.fold_in(k, snr_idx)
         return jax.random.fold_in(k, batch_idx)
 
+    def _resume(self, meta, points):
+        """Shared checkpoint load + validation for run()/run_fused().
+
+        Refuses to merge counters unless BOTH the run meta (batch/
+        superbatches/seed/point list — the RNG-stream contract) and the full
+        SimConfig match what the checkpoint was written with. Returns
+        (points-with-saved-counters, raw state or None)."""
+        state = ckpt.load(self.checkpoint_path)
+        if state is None:
+            return points, None
+        core = {k: v for k, v in state.get("meta", {}).items()
+                if k != "fused_batch_idx"}
+        if core and core != meta:
+            raise ValueError(
+                f"checkpoint {self.checkpoint_path} was written with "
+                f"{core}, resume requires the same batch/superbatches/"
+                f"seed/point list (got {meta}) for sample-exact "
+                f"continuation")
+        import json as _json
+        want = _json.loads(self.cfg.to_json())
+        if state.get("config") and state["config"] != want:
+            raise ValueError(
+                f"checkpoint {self.checkpoint_path} was written for a "
+                f"different SimConfig; resuming would merge counters from "
+                f"a different simulation. Stored: {state['config']}")
+        saved = {p.ebn0_db: p for p in state["points"]}
+        points = [saved.get(p.ebn0_db, p) for p in points]
+        return points, state
+
     def run_fused(self, ebn0_list: Sequence[float],
                   target_frame_errors: Optional[int] = None,
                   max_frames: Optional[int] = None) -> SweepResult:
@@ -148,23 +177,8 @@ class Sweep:
                 "fused_points": [float(e) for e in ebn0_list]}
         batch_idx = 0
         if self.checkpoint_path:
-            state = ckpt.load(self.checkpoint_path)
+            points, state = self._resume(meta, points)
             if state is not None:
-                core = {k: v for k, v in state.get("meta", {}).items()
-                        if k != "fused_batch_idx"}
-                if core and core != meta:
-                    raise ValueError(
-                        f"checkpoint {self.checkpoint_path} was written with "
-                        f"{core}, fused resume requires the same batch/"
-                        f"superbatches/seed/point set (got {meta})")
-                import json as _json
-                want = _json.loads(self.cfg.to_json())
-                if state.get("config") and state["config"] != want:
-                    raise ValueError(
-                        f"checkpoint {self.checkpoint_path} was written for "
-                        f"a different SimConfig; refusing to merge counters")
-                saved = {p.ebn0_db: p for p in state["points"]}
-                points = [saved.get(p.ebn0_db, p) for p in points]
                 batch_idx = int(state["meta"].get("fused_batch_idx", 0))
                 log.info("resumed fused checkpoint %s at batch %d",
                          self.checkpoint_path, batch_idx)
@@ -239,24 +253,8 @@ class Sweep:
                 "seed": self.cfg.run.seed,
                 "points": [float(e) for e in ebn0_list]}
         if self.checkpoint_path:
-            state = ckpt.load(self.checkpoint_path)
+            points, state = self._resume(meta, points)
             if state is not None:
-                if state.get("meta") and state["meta"] != meta:
-                    raise ValueError(
-                        f"checkpoint {self.checkpoint_path} was written with "
-                        f"{state['meta']}, resume requires the same "
-                        f"batch/superbatches/seed/point list (got {meta}) "
-                        f"for sample-exact continuation")
-                import json as _json
-                want = _json.loads(self.cfg.to_json())
-                if state.get("config") and state["config"] != want:
-                    raise ValueError(
-                        f"checkpoint {self.checkpoint_path} was written for a "
-                        f"different SimConfig; resuming would merge counters "
-                        f"from a different simulation. Stored: "
-                        f"{state['config']}")
-                saved = {p.ebn0_db: p for p in state["points"]}
-                points = [saved.get(p.ebn0_db, p) for p in points]
                 log.info("resumed checkpoint %s", self.checkpoint_path)
 
         result = SweepResult(config=self.cfg, code_name=self.code.name,

@@ -252,7 +252,7 @@ def test_fused_retirement_and_checkpoint(tmp_path):
         assert 0 <= p.bit_errs <= p.frames * build_code(cfg).k
 
     # wrong point set must be rejected
-    with pytest.raises(ValueError, match="fused resume"):
+    with pytest.raises(ValueError, match="resume requires the same"):
         Sweep(cfg, decoder_backend="jnp", checkpoint_path=path).run_fused(
             [6.0, -1.0], target_frame_errors=50, max_frames=256)
 
