@@ -44,7 +44,7 @@ def main():
     run("bits-study", [
         sys.executable, "scripts/make_bits_study.py",
         "--frames", "131072", "--batch", "16384",
-        "--bits", "4", "5", "6", "8",
+        "--bits", "3", "4", "5", "6", "8",
         "--ebn0", "1.0", "1.5", "2.0", "2.5", "3.0"], 5400)
     # Regenerate the DVB-S2 n=64800 sweep THROUGH THE STREAM KERNEL: the
     # round-1 artifact was produced while the backend-label round-trip bug
