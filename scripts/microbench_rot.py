@@ -236,10 +236,69 @@ def fetch_timed(fn, chan, reps=4, trials=4):
     return best
 
 
+def make_opchain(shape, n_ops, iters=200):
+    """Dependent elementwise int32 op chain on one operand shape.
+
+    Isolates Mosaic PER-OP overhead vs per-element cost: running the same
+    total element-ops as fewer ops on a taller operand (Z, 2Z, 4Z rows)
+    tells whether stacking independent layers into one op would pay in the
+    decoder sweep (ns/kelem/op should FALL with operand size if per-op
+    issue overhead is significant)."""
+    def kernel(x_ref, o_ref, a_ref, b_ref):
+        a_ref[...] = x_ref[...].astype(jnp.int32)
+        b_ref[...] = a_ref[...] ^ jnp.array(11, jnp.int32)
+
+        def body(i, _):
+            a = a_ref[...]
+            b = b_ref[...]
+            for _ in range(n_ops // 4):
+                a = jnp.abs(b - a)
+                b = jnp.minimum(b, jnp.maximum(a, b ^ a))
+            a_ref[...] = a
+            b_ref[...] = b
+            return 0
+
+        jax.lax.fori_loop(0, iters, body, 0)
+        o_ref[...] = a_ref[...].astype(jnp.int8)
+
+    def run(x):
+        return pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(shape, jnp.int8),
+            scratch_shapes=[pltpu.VMEM(shape, jnp.int32),
+                            pltpu.VMEM(shape, jnp.int32)],
+        )(x)
+    return jax.jit(run)
+
+
+def opshape_test():
+    """Same TOTAL element-ops at three operand heights; prints ns/kelem/op."""
+    rng = np.random.default_rng(0)
+    for rows, n_ops in ((Z, 64), (2 * Z, 32), (4 * Z, 16)):
+        shape = (rows, 512)
+        f1 = make_opchain(shape, n_ops, iters=100)
+        f2 = make_opchain(shape, n_ops, iters=400)
+        x = jnp.asarray(rng.integers(-100, 100, size=shape).astype(np.int8))
+        t1 = fetch_timed(f1, x)
+        t2 = fetch_timed(f2, x)
+        per_iter = (t2 - t1) / 300
+        kelem = rows * 512 / 1000.0
+        print(json.dumps({
+            "variant": f"opshape_{rows}x512", "ops_per_iter": n_ops,
+            "us_per_iter": round(per_iter * 1e6, 3),
+            "ns_per_kelem_per_op": round(per_iter * 1e9 / kelem / n_ops, 4),
+        }), flush=True)
+
+
 def main():
     variant = sys.argv[1]
     if variant == "int16":
         int16_test()
+        return
+    if variant == "opshape":
+        opshape_test()
         return
     layout, kind = variant.split("_", 1)
     if layout == "flat":
