@@ -208,6 +208,7 @@ def make_pallas_decoder(
     inject_random: bool = False,
     mc_inner_loop: bool = False,
     alpha=None,
+    pair_layers: bool = False,
 ) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Build decode(chan_i8[B, n]) -> (hard[B, n] u8, iters[B] i32, conv[B] bool).
 
@@ -635,6 +636,76 @@ def make_pallas_decoder(
                         flood_iter(tot_ref, post_ref)
                         return lambda j: post_ref[j]
                     return lambda j: tot_ref[j]
+
+                if pair_layers and not early_term:
+                    # Paired flooding sweep (opt-in): two INDEPENDENT base
+                    # rows stacked on the sublane axis, halving the vector
+                    # OP COUNT of the CN reduction (each op covers 2x the
+                    # elements). Slots past the shorter row's degree ride as
+                    # a +qmax constant: after the qmax fold every real
+                    # magnitude is <= qmax and row degrees are >= 2, so a
+                    # qmax candidate can never displace min1 or min2, and
+                    # its clear sign bit leaves the parity XOR unchanged —
+                    # bit-exact by construction (asserted vs the unpaired
+                    # kernel in tests/test_kernels.py).
+                    mb_l = len(layers)
+                    GROUPS = [(i, i + 1) for i in range(0, mb_l - 1, 2)]
+                    if mb_l % 2:
+                        GROUPS.append((mb_l - 1, None))
+
+                    def flood_pair(src, dst, first):
+                        for j in range(nb):
+                            dst[j] = chan32(j)
+                        pad = jnp.full((Z,) + bshape, jnp.array(qmax, _C),
+                                       _C)
+                        for (la, lb) in GROUPS:
+                            parts = [(layers[la], entry_of[la])]
+                            if lb is not None:
+                                parts.append((layers[lb], entry_of[lb]))
+                            d = max(len(e) for e, _ in parts)
+                            v2cs = []
+                            for t in range(d):
+                                halves = []
+                                for ents, eids in parts:
+                                    if t < len(ents):
+                                        j, s = ents[t]
+                                        r = _rot_fwd(src[j], s)
+                                        if not first:
+                                            r = r - c2v_ref[eids[t]].astype(
+                                                _C)
+                                        halves.append(r)
+                                    else:
+                                        halves.append(pad)
+                                v2cs.append(halves[0] if len(halves) == 1
+                                            else jnp.concatenate(halves,
+                                                                 axis=0))
+                            news = _cn_minsum(v2cs, beta, alpha,
+                                              qmax=None if first else qmax)
+                            for t, new in enumerate(news):
+                                for h, (ents, eids) in enumerate(parts):
+                                    if t >= len(ents):
+                                        continue
+                                    j, s = ents[t]
+                                    nh = (new if len(parts) == 1
+                                          else new[h * Z:(h + 1) * Z])
+                                    c2v_ref[eids[t]] = nh.astype(
+                                        c2v_ref.dtype)
+                                    dst[j] = dst[j] + _rot_bwd(nh, s)
+
+                    def run_plain():  # noqa: F811
+                        flood_pair(post_ref, tot_ref, True)
+                        rem = max_iter - 1
+
+                        def iter_pair(_, carry):
+                            flood_pair(tot_ref, post_ref, False)
+                            flood_pair(post_ref, tot_ref, False)
+                            return carry
+
+                        jax.lax.fori_loop(0, rem // 2, iter_pair, 0)
+                        if rem % 2:
+                            flood_pair(tot_ref, post_ref, False)
+                            return lambda j: post_ref[j]
+                        return lambda j: tot_ref[j]
             else:
                 def layered_iter():
                     def emit(j, s, e, old, new):

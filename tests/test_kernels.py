@@ -390,3 +390,25 @@ def test_mc_inner_loop_matches_grid(rng):
         outs.append(tuple(map(np.asarray, d(seeds, chanf, ui, u1, u2))))
     for a, b in zip(*outs):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("code_fn,max_iter", [
+    (lambda: toy_qc(4), 5),            # mb=3: odd -> unpaired tail layer
+    (lambda: make_code(648, "1/2"), 4),  # mb=12: fully paired
+])
+def test_pair_layers_bitexact(code_fn, max_iter, rng):
+    """Opt-in paired flooding sweep (two base rows stacked on sublanes,
+    +qmax pad slots) must equal the unpaired kernel EXACTLY — the pad can
+    never displace min1/min2 (all real magnitudes <= qmax, degrees >= 2)
+    nor flip the parity XOR (positive pad)."""
+    code = code_fn()
+    chan = _random_llrs(rng, 8, code.n)
+    kw = dict(schedule="flooding", early_term=False, max_iter=max_iter,
+              beta=1, qmax=127, batch_tile=4, interpret=True)
+    ref = make_pallas_decoder(code, **kw)
+    paired = make_pallas_decoder(code, pair_layers=True, **kw)
+    h0, i0, c0 = map(np.asarray, ref(chan))
+    h1, i1, c1 = map(np.asarray, paired(chan))
+    np.testing.assert_array_equal(h1, h0)
+    np.testing.assert_array_equal(i1, i0)
+    np.testing.assert_array_equal(c1, c0)
