@@ -968,11 +968,15 @@ def make_decoder(code: LDPCCode, dec: DecoderConfig, quant: QuantConfig,
                  c2v_dtype=jnp.int32, pre_transposed: bool = False,
                  input_scale=None, count_info_cols=None, mc_batch=None,
                  inject_random: bool = False, mc_inner_loop: bool = False):
-    """Factory from configs, mirroring ops.decode_ref.make_decoder."""
+    """Factory from configs, mirroring ops.decode_ref.make_decoder.
+
+    LDPC_PAIR_LAYERS=1 opts the plain-flooding path into the paired sweep
+    (measurement hook — see scripts/diag_pair.py; bit-exact either way)."""
     if dec.algorithm not in ("min-sum", "offset-min-sum",
                              "normalized-min-sum"):
         raise ValueError(f"Pallas decoder supports the min-sum family, "
                          f"got {dec.algorithm}")
+    import os
     from ..config import cn_params
     beta, alpha = cn_params(dec, quant)
     return make_pallas_decoder(
@@ -981,4 +985,5 @@ def make_decoder(code: LDPCCode, dec: DecoderConfig, quant: QuantConfig,
         batch_tile=batch_tile, interpret=interpret, c2v_dtype=c2v_dtype,
         pre_transposed=pre_transposed, input_scale=input_scale,
         count_info_cols=count_info_cols, mc_batch=mc_batch,
-        inject_random=inject_random, mc_inner_loop=mc_inner_loop)
+        inject_random=inject_random, mc_inner_loop=mc_inner_loop,
+        pair_layers=os.environ.get("LDPC_PAIR_LAYERS") == "1")

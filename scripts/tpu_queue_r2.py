@@ -16,12 +16,15 @@ import time
 sys.path.insert(0, ".")
 
 
-def run(tag, cmd, timeout):
+def run(tag, cmd, timeout, env=None):
     t0 = time.time()
     print(f"=== {tag}: {' '.join(cmd)}", flush=True)
+    if env:
+        import os
+        env = {**os.environ, **env}
     try:
         p = subprocess.run(cmd, capture_output=True, text=True,
-                           timeout=timeout)
+                           timeout=timeout, env=env)
         print(p.stdout[-3000:], flush=True)
         if p.returncode != 0:
             print(f"--- {tag} FAILED rc={p.returncode}", flush=True)
@@ -57,6 +60,12 @@ def main():
         "--ebn0", "1.0:2.25:0.25", "--max-frames", "65536",
         "--target-errors", "200", "--out", "results/dvbs2_r12_stream",
         "--plot"], 5400)
+    # Perf experiments (decision data for the paired flooding sweep).
+    run("diag-pair", [sys.executable, "scripts/diag_pair.py"], 3600)
+    run("opshape", [sys.executable, "scripts/microbench_rot.py", "opshape"],
+        3600)
+    run("bench-paired", [sys.executable, "bench.py"], 3600,
+        env={"LDPC_PAIR_LAYERS": "1"})
     print(json.dumps({"queue": "done"}), flush=True)
 
 
