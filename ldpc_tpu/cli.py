@@ -208,7 +208,8 @@ def build_parser() -> argparse.ArgumentParser:
         q.add_argument("--k-info", dest="k_info", type=int, default=None,
                        help="5G NR payload bits (enables shortening)")
         q.add_argument("--modulation", default=None,
-                       choices=["bpsk", "qpsk", "16qam", "64qam"])
+                       choices=["bpsk", "qpsk", "16qam", "64qam",
+                                "8psk", "16apsk", "32apsk"])
         q.add_argument("--algorithm", default=None,
                        choices=["min-sum", "offset-min-sum",
                                 "normalized-min-sum", "sum-product",

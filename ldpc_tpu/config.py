@@ -90,7 +90,8 @@ class ChannelConfig:
     """Modulation + channel (BASELINE.json:5 'AWGN channel + BPSK/QAM LLR
     computation')."""
 
-    modulation: str = "bpsk"  # 'bpsk' | 'qpsk' | '16qam' | '64qam'
+    modulation: str = "bpsk"  # ops.channel.MODULATIONS: bpsk/qpsk/16qam/
+    # 64qam + the DVB-S2 set 8psk/16apsk/32apsk
     ebn0_db: float = 2.0
 
 

@@ -110,7 +110,8 @@ class TestDecodeRefBitExact:
 
 
 class TestChannel:
-    @pytest.mark.parametrize("mod", ["qpsk", "16qam", "64qam"])
+    @pytest.mark.parametrize("mod", ["qpsk", "16qam", "64qam",
+                                     "8psk", "16apsk", "32apsk"])
     def test_unit_energy(self, mod, rng):
         m = ch.BITS_PER_SYM[mod]
         bits = rng.integers(0, 2, size=(64, 60 * m)).astype(np.uint8)
@@ -118,7 +119,8 @@ class TestChannel:
         es = np.mean(np.sum(sym**2, axis=-1))
         assert es == pytest.approx(1.0, rel=0.05)
 
-    @pytest.mark.parametrize("mod", ["bpsk", "qpsk", "16qam", "64qam"])
+    @pytest.mark.parametrize("mod", ["bpsk", "qpsk", "16qam", "64qam",
+                                     "8psk", "16apsk", "32apsk"])
     def test_noiseless_demap_roundtrip(self, mod, rng):
         m = ch.BITS_PER_SYM[mod]
         bits = rng.integers(0, 2, size=(16, 30 * m)).astype(np.uint8)
@@ -174,11 +176,92 @@ class TestChannel:
             assert np.allclose(got, ref, rtol=1e-4, atol=1e-4), (mod, b)
 
 
+class TestAPSK:
+    """DVB-S2 native constellations (8PSK, 16/32APSK; EN 302 307-1 ring
+    geometry, quasi-Gray labels — see ops/channel._quadrant_gray_rings)."""
+
+    @pytest.mark.parametrize("mod", ["8psk", "16apsk", "32apsk"])
+    def test_ring_gray_adjacency(self, mod):
+        """Angularly adjacent points on each ring (incl. the wrap) differ in
+        exactly one label bit — the property the boustrophedon construction
+        exists to guarantee."""
+        pts, labels = ch._constellation(mod)
+        radii = np.round(np.hypot(pts[:, 0], pts[:, 1]), 6)
+        for r in np.unique(radii):
+            on = np.where(radii == r)[0]
+            ang = np.arctan2(pts[on, 1], pts[on, 0])
+            ring = on[np.argsort(ang)]
+            for a, b in zip(ring, np.roll(ring, -1)):
+                d = int(np.sum(labels[a] != labels[b]))
+                assert d == 1, (mod, r, a, b)
+
+    def test_ring_geometry(self):
+        """Ring counts and radius ratios match the configured DVB-S2 values;
+        Es = 1 exactly (constellation is deterministic)."""
+        for mod, counts, gammas in [("8psk", (8,), ()),
+                                    ("16apsk", (4, 12), (3.15,)),
+                                    ("32apsk", (4, 12, 16), (2.84, 5.27))]:
+            pts, labels = ch._constellation(mod)
+            radii = np.round(np.hypot(pts[:, 0], pts[:, 1]), 9)
+            uniq, cnt = np.unique(radii, return_counts=True)
+            assert tuple(cnt) == counts, mod
+            for g, expect in zip(uniq[1:] / uniq[0], gammas):
+                assert g == pytest.approx(expect, rel=1e-6), mod
+            assert np.mean(np.sum(pts**2, axis=-1)) == pytest.approx(1.0)
+            # labels are a bijection onto {0,1}^m
+            m = ch.BITS_PER_SYM[mod]
+            codes = {int("".join(map(str, l)), 2) for l in labels}
+            assert codes == set(range(1 << m))
+
+    @pytest.mark.parametrize("mod", ["8psk", "16apsk", "32apsk"])
+    def test_demap_matches_bruteforce(self, mod, rng):
+        """Generic max-log demap vs an independent scalar brute force over
+        the constellation (SURVEY.md §4.2 'QAM LLR vs exhaustive max-log')."""
+        m = ch.BITS_PER_SYM[mod]
+        bits = rng.integers(0, 2, size=(3, 8 * m)).astype(np.uint8)
+        sym = np.asarray(ch.modulate(jnp.asarray(bits), mod))
+        sigma = 0.4
+        rx = (sym + sigma * rng.standard_normal(sym.shape)).astype(np.float32)
+        llr = np.asarray(ch.demap(jnp.asarray(rx), sigma, mod))
+        pts, labels = ch._constellation(mod)
+        n0 = 2 * sigma**2
+        for fi, frame in enumerate(rx):
+            for si, y in enumerate(frame):
+                for b in range(m):
+                    d0 = min(np.sum((y - pts[i]) ** 2)
+                             for i in range(len(pts)) if labels[i, b] == 0)
+                    d1 = min(np.sum((y - pts[i]) ** 2)
+                             for i in range(len(pts)) if labels[i, b] == 1)
+                    ref = (d1 - d0) / n0
+                    got = llr[fi, si * m + b]
+                    assert got == pytest.approx(ref, rel=1e-3, abs=1e-3)
+
+    def test_8psk_chain_decodes(self, rng):
+        """End-to-end pipeline smoke: 802.11n n=648 r=1/2 OMS over 8PSK/AWGN
+        at high SNR decodes nearly all frames (n=648 is divisible by the
+        3-bit symbol size)."""
+        import dataclasses
+        import jax
+        from ldpc_tpu.config import PRESETS
+        from ldpc_tpu.sim import build_code, make_run_batch
+        cfg = PRESETS["wifi-648-r12-minsum"]
+        cfg = dataclasses.replace(
+            cfg, run=dataclasses.replace(cfg.run, batch=32),
+            channel=dataclasses.replace(cfg.channel, modulation="8psk"))
+        code = build_code(cfg)
+        rb = make_run_batch(code, cfg, batch=32, decoder_backend="jnp")
+        sigma = np.float32(ch.sigma_for(7.0, code.rate, "8psk"))
+        out = np.asarray(rb(jax.random.PRNGKey(0), sigma))
+        frames, bit_e, frame_e = map(int, out[:3])
+        assert frames == 32
+        assert frame_e <= 2  # ~7 dB Eb/N0: waterfall floor for 8PSK r=1/2
+
+
 class TestPerLaneSigma:
     """Per-codeword sigma broadcasting (the fused-SNR-sweep path) must equal
     per-row scalar-sigma calls for both BPSK and QAM."""
 
-    @pytest.mark.parametrize("mod", ["bpsk", "16qam"])
+    @pytest.mark.parametrize("mod", ["bpsk", "16qam", "8psk"])
     def test_vector_sigma_matches_scalar(self, mod, rng):
         import jax
         from ldpc_tpu.ops import channel as ch
