@@ -278,12 +278,16 @@ def opshape_test():
     rng = np.random.default_rng(0)
     for rows, n_ops in ((Z, 64), (2 * Z, 32), (4 * Z, 16)):
         shape = (rows, 512)
-        f1 = make_opchain(shape, n_ops, iters=100)
-        f2 = make_opchain(shape, n_ops, iters=400)
+        # Slope needs the iteration DELTA to dwarf the tunnel's bursty
+        # 10-200 ms dispatch noise: ~0.7 us/iter here, so 60k extra iters
+        # puts the delta at ~40 ms (the 100-vs-400 first attempt measured
+        # noise and returned negative slopes).
+        f1 = make_opchain(shape, n_ops, iters=20000)
+        f2 = make_opchain(shape, n_ops, iters=80000)
         x = jnp.asarray(rng.integers(-100, 100, size=shape).astype(np.int8))
         t1 = fetch_timed(f1, x)
         t2 = fetch_timed(f2, x)
-        per_iter = (t2 - t1) / 300
+        per_iter = (t2 - t1) / 60000
         kelem = rows * 512 / 1000.0
         print(json.dumps({
             "variant": f"opshape_{rows}x512", "ops_per_iter": n_ops,
