@@ -49,6 +49,47 @@ class SweepResult:
         }, indent=1)
 
 
+def _config_compatible(stored: dict, cfg: SimConfig) -> bool:
+    """True when `stored` (the config dict a checkpoint was written with)
+    describes the same simulation as `cfg`.
+
+    Exact equality is the base rule, relaxed one way for schema growth:
+    a field PRESENT in cfg but ABSENT from the stored dict is accepted
+    only at its dataclass default — at the default, the old code's
+    behavior is what the default encodes, so the counters are mergeable;
+    at any other value the simulation differs and resume must refuse.
+    Removed or changed fields always refuse."""
+    import dataclasses as dc
+    import json as _json
+
+    def jsonify(v):
+        return _json.loads(_json.dumps(v, default=list))
+
+    def walk(st: dict, obj) -> bool:
+        fields = {f.name: f for f in dc.fields(obj)}
+        if any(k not in fields for k in st):  # field removed since
+            return False
+        for name, f in fields.items():
+            cur = getattr(obj, name)
+            if dc.is_dataclass(cur):
+                if not walk(st.get(name, {}), cur):
+                    return False
+                continue
+            if name in st:
+                if jsonify(st[name]) != jsonify(cur):
+                    return False
+            else:
+                default = (f.default if f.default is not dc.MISSING
+                           else f.default_factory()
+                           if f.default_factory is not dc.MISSING
+                           else dc.MISSING)
+                if default is dc.MISSING or jsonify(cur) != jsonify(default):
+                    return False
+        return True
+
+    return walk(stored, cfg)
+
+
 def build_code(cfg: SimConfig) -> LDPCCode:
     """CodeConfig -> LDPCCode across all supported families."""
     c = cfg.code
@@ -126,9 +167,8 @@ class Sweep:
                 f"{core}, resume requires the same batch/superbatches/"
                 f"seed/point list (got {meta}) for sample-exact "
                 f"continuation")
-        import json as _json
-        want = _json.loads(self.cfg.to_json())
-        if state.get("config") and state["config"] != want:
+        if state.get("config") and not _config_compatible(state["config"],
+                                                          self.cfg):
             raise ValueError(
                 f"checkpoint {self.checkpoint_path} was written for a "
                 f"different SimConfig; resuming would merge counters from "

@@ -198,6 +198,33 @@ def test_checkpoint_config_mismatch_rejected(tmp_path):
             [2.0], max_frames=64)
 
 
+def test_checkpoint_schema_growth_resumes(tmp_path):
+    """A checkpoint written BEFORE a config field existed must still resume
+    when the new field sits at its dataclass default (the old code behaved
+    identically there) — and must refuse at any other value. Regression: the
+    round-1 .state artifacts broke every rerun after fields were added."""
+    import dataclasses
+    import json
+    cfg = _toy_cfg(batch=32)
+    path = str(tmp_path / "s.json")
+    Sweep(cfg, decoder_backend="jnp", checkpoint_path=path).run(
+        [2.0], max_frames=32)
+    # simulate an old-schema checkpoint: drop a defaulted decoder field
+    state = json.load(open(path))
+    assert state["config"]["decoder"].pop("phase2_frac") == 0.25  # default
+    json.dump(state, open(path, "w"))
+    res = Sweep(cfg, decoder_backend="jnp", checkpoint_path=path).run(
+        [2.0], max_frames=64)
+    assert res.points[0].frames == 64  # resumed and advanced
+    # same dropped field, but the CURRENT config sets it off-default
+    json.dump(state, open(path, "w"))
+    cfg2 = dataclasses.replace(
+        cfg, decoder=dataclasses.replace(cfg.decoder, phase2_frac=0.5))
+    with pytest.raises(ValueError, match="different SimConfig"):
+        Sweep(cfg2, decoder_backend="jnp", checkpoint_path=path).run(
+            [2.0], max_frames=96)
+
+
 def test_run_lookahead_pipelining_exact(tmp_path):
     """Pipelined dispatch (lookahead > 1) must produce identical counters to
     the synchronous path — batches are consumed in key order either way."""
