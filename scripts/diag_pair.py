@@ -43,9 +43,12 @@ def main():
     checksum = jax.jit(lambda h: jnp.sum(h.astype(jnp.int32)))
 
     for tag, pair in (("plain", False), ("paired", True)):
-        dec = make_pallas_decoder(code, max_iter=iters, beta=2, qmax=127,
-                                  schedule="flooding", early_term=False,
-                                  batch_tile=bt, pair_layers=pair)
+        # jit the wrapper: make_pallas_decoder returns an unjitted callable
+        # (production callers jit the surrounding pipeline); called raw it
+        # runs eagerly — one tunnel round-trip per op.
+        dec = jax.jit(make_pallas_decoder(
+            code, max_iter=iters, beta=2, qmax=127, schedule="flooding",
+            early_term=False, batch_tile=bt, pair_layers=pair))
         h, _, _ = dec(chan)
         cs = int(np.asarray(checksum(h)))  # compile + warm + scalar fetch
         best, trials, reps = float("inf"), 7, 10
