@@ -339,6 +339,12 @@ def make_run_batch(
             raise ValueError(
                 f"transmitted length {n_tx} not a multiple of the {mod} "
                 f"symbol size ({bps} bits)")
+    elif mod != "bpsk" and code.n % ch.BITS_PER_SYM[mod]:
+        # without rate matching the whole codeword is transmitted; catch a
+        # non-dividing symbol size here instead of a reshape error mid-trace
+        raise ValueError(
+            f"codeword length {code.n} not a multiple of the {mod} "
+            f"symbol size ({ch.BITS_PER_SYM[mod]} bits)")
 
     if mesh is not None:
         if B % mesh.size:

@@ -236,6 +236,21 @@ class TestAPSK:
                     got = llr[fi, si * m + b]
                     assert got == pytest.approx(ref, rel=1e-3, abs=1e-3)
 
+    def test_non_dividing_symbol_size_rejected(self):
+        """n=648 is not a multiple of the 32APSK 5-bit symbol: the pipeline
+        must refuse up front, not die in a reshape mid-trace."""
+        import dataclasses
+        import pytest as _pytest
+        from ldpc_tpu.config import PRESETS
+        from ldpc_tpu.sim import build_code, make_run_batch
+        cfg = PRESETS["wifi-648-r12-minsum"]
+        cfg = dataclasses.replace(
+            cfg, run=dataclasses.replace(cfg.run, batch=32),
+            channel=dataclasses.replace(cfg.channel, modulation="32apsk"))
+        with _pytest.raises(ValueError, match="symbol size"):
+            make_run_batch(build_code(cfg), cfg, batch=32,
+                           decoder_backend="jnp")
+
     def test_8psk_chain_decodes(self, rng):
         """End-to-end pipeline smoke: 802.11n n=648 r=1/2 OMS over 8PSK/AWGN
         at high SNR decodes nearly all frames (n=648 is divisible by the
