@@ -15,8 +15,9 @@ more than 15% below the recorded baseline.
 
 Also prints (stderr) the roofline ratio: measured vs the VPU-bound model of
 docs/PERFORMANCE.md — ~14 essential int32 vector ops per base-matrix entry
-per flooding sweep at the per-op throughput measured on this chip
-(scripts/microbench_rot.py flat_base: 0.78 ns per kilo-element per op).
+per flooding sweep at the per-op throughput measured on this chip at the
+kernel's real operand shape (scripts/microbench_rot.py opshape: 0.448 ns
+per kilo-element per op on (Z=27, 512); recalibrated round 2).
 
 Timing methodology: the tunneled single-chip platform has bursty dispatch
 latency (observed 10 ms..200 ms for the identical program), so the metric is
@@ -37,10 +38,15 @@ BASELINES_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "bench_baselines.json")
 CONFIG = "wifi-648-r12-minsum"
 
-# VPU-bound roofline model (docs/PERFORMANCE.md): per kilo-element of
-# decoder state per flooding sweep, ~14 essential vector ops/entry at the
-# measured 0.78 ns/kelem/op; plus ~12% measured non-decode pipeline cost.
-ROOFLINE_NS_PER_KELEM_SWEEP = 14 * 0.78
+# VPU-bound roofline model, recalibrated round 2 (docs/PERFORMANCE.md
+# 'Roofline'): ~14 essential int32 vector ops per base-matrix entry per
+# flooding sweep, each op measured at 0.448 ns/kelem on the kernel's real
+# (Z=27, Bt) operand shape (microbench_rot.py `opshape` — the earlier 0.78
+# flat_base figure mixed in rotation concats and understated attainable
+# per-op speed, masking that the kernel is ~at the elementwise ceiling).
+# Entries x Z / n converts per-entry ops to per-codeword-element cost
+# (88 * 27 / 648 for 802.11n); +12% measured non-decode pipeline cost.
+ROOFLINE_NS_PER_KELEM_SWEEP = 14 * 0.448 * (88 * 27 / 648)
 PIPELINE_OVERHEAD = 1.12
 
 

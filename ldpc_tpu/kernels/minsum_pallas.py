@@ -809,6 +809,15 @@ def make_pallas_decoder(
     import math as _math
     scratch_bytes = sum(
         _math.prod(s.shape) * jnp.dtype(s.dtype).itemsize for s in scratch)
+    # Scoped-VMEM grant: scratch x1.6 Mosaic stack margin PLUS a flat 6 MB
+    # for the pallas_call IO blocks, which share the same scoped budget but
+    # are not in `scratch` (a fused-IO float32 input block at tile 512 is
+    # ~1.3 MB, double-buffered, plus info/output/mask blocks — the layered+
+    # ET+fused-IO combination measured 17 MB demand against the bare 16 MB
+    # floor). Capped at 40 MB: grants in the verified-safe window
+    # (CLAUDE.md: the chip faults somewhere between 42 and 69 MB).
+    vmem_grant = min(40 * 2 ** 20,
+                     max(16 * 2 ** 20, int(scratch_bytes * 1.6)) + 6 * 2 ** 20)
 
     in_dtype = jnp.float32 if fused_in else jnp.int8
 
@@ -862,8 +871,7 @@ def make_pallas_decoder(
                 ],
                 scratch_shapes=scratch,
                 compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=max(16 * 2 ** 20,
-                                         int(scratch_bytes * 1.6))),
+                    vmem_limit_bytes=vmem_grant),
                 interpret=interpret,
             )(*inputs)
             return (bits.reshape(B), frame.reshape(B).astype(jnp.int32),
@@ -944,7 +952,7 @@ def make_pallas_decoder(
             out_shape=out_shape,
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=max(16 * 2 ** 20, int(scratch_bytes * 1.6))),
+                vmem_limit_bytes=vmem_grant),
             interpret=interpret,
         )(*inputs)
         if counting:
