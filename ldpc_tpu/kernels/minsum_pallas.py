@@ -209,6 +209,7 @@ def make_pallas_decoder(
     mc_inner_loop: bool = False,
     alpha=None,
     pair_layers: bool = False,
+    mc_lane_sigma: bool = False,
 ) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Build decode(chan_i8[B, n]) -> (hard[B, n] u8, iters[B] i32, conv[B] bool).
 
@@ -241,6 +242,10 @@ def make_pallas_decoder(
       decode(seeds_i32[3], chanf_f32[2]) -> (bits, frame, iters, conv)
       chanf = [sigma, gain] with gain = 2*scale/sigma^2: the kernel computes
       q = quantize((x + sigma*n) * gain), x = 1-2c.
+      mc_lane_sigma=True serves the FUSED multi-SNR sweep: decode(seeds,
+      chanf_ignored, sigma_lane=(B,), gain_lane=(B,)) — per-lane noise
+      rows shaped like the counter outputs, broadcast against the
+      (Z, ...) datapath blocks (lane b simulates SNR point b % n_points).
     RNG contract: stream = f(seeds[0..2], grid tile index) — deterministic
     and reproducible for a fixed (seed, batch_tile); it is a DIFFERENT
     random family than the host threefry path, so device-rng counters are
@@ -307,6 +312,9 @@ def make_pallas_decoder(
         if mc_mode:
             seed_ref = next(it_refs)
             chanf_ref = next(it_refs)
+            if mc_lane_sigma:
+                sigl_ref = next(it_refs)
+                gainl_ref = next(it_refs)
             if inject_random:
                 uinfo_ref = next(it_refs)
                 un1_ref = next(it_refs)
@@ -354,8 +362,25 @@ def make_pallas_decoder(
                            + tile_idx * jnp.int32(-2048144789))  # 0x85EBCA6B
                     pltpu.prng_seed(seed_ref[0] ^ mix,
                                     seed_ref[1] + mix)
-                sigma_f = chanf_ref[0]
-                gain_f = chanf_ref[1]
+                if mc_lane_sigma:
+                    # Per-LANE noise level (the fused multi-SNR sweep: lane
+                    # b simulates point b % n_points): f32 rows shaped like
+                    # the counter outputs; (Bs, 128) / (Bt,) broadcast
+                    # against the (Z,)+bshape datapath tensors.
+                    if not mc_inner:
+                        sigma_f = sigl_ref[0]
+                        gain_f = gainl_ref[0]
+                    elif vreg_layout:
+                        sigma_f = sigl_ref[0, pl.ds(tile_idx * Bs, Bs), :]
+                        gain_f = gainl_ref[0, pl.ds(tile_idx * Bs, Bs), :]
+                    else:
+                        sigma_f = sigl_ref[0, pl.ds(tile_idx * batch_tile,
+                                                    batch_tile)]
+                        gain_f = gainl_ref[0, pl.ds(tile_idx * batch_tile,
+                                                    batch_tile)]
+                else:
+                    sigma_f = chanf_ref[0]
+                    gain_f = chanf_ref[1]
 
                 def draw(idx, which):
                     """One (Z,)+bshape block of raw 32-bit random words."""
@@ -842,13 +867,25 @@ def make_pallas_decoder(
 
         def decode_mc(seeds: jnp.ndarray, chanf: jnp.ndarray,
                       u_info: jnp.ndarray = None, u_n1: jnp.ndarray = None,
-                      u_n2: jnp.ndarray = None):
+                      u_n2: jnp.ndarray = None, *,
+                      sigma_lane: jnp.ndarray = None,
+                      gain_lane: jnp.ndarray = None):
             """seeds: (3,) int32 [key_hi, key_lo, stream]; chanf: (2,)
             float32 [sigma, gain]. Returns per-lane (bit_errs i32,
-            frame_err i32, iters i32, conv bool), each (B,)."""
+            frame_err i32, iters i32, conv bool), each (B,).
+
+            mc_lane_sigma mode (the fused multi-SNR sweep): sigma_lane and
+            gain_lane are (B,) float32 per-lane noise parameters; chanf is
+            ignored by the datapath (pass zeros)."""
             in_specs = [smem_spec, smem_spec]
             inputs = [seeds.astype(jnp.int32), chanf.astype(jnp.float32)]
             full_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+            assert (sigma_lane is not None) == mc_lane_sigma
+            if mc_lane_sigma:
+                for row in (sigma_lane, gain_lane):
+                    in_specs.append(full_spec if mc_inner else pl.BlockSpec(
+                        mask_block, mask_idx, memory_space=pltpu.VMEM))
+                    inputs.append(row.astype(jnp.float32).reshape(mask_full))
             if inject_random:
                 assert u_info is not None
                 for u, rows in ((u_info, enc_st.kb), (u_n1, nph),
@@ -976,7 +1013,8 @@ def make_decoder(code: LDPCCode, dec: DecoderConfig, quant: QuantConfig,
                  batch_tile: int = 256, interpret: bool = False,
                  c2v_dtype=jnp.int32, pre_transposed: bool = False,
                  input_scale=None, count_info_cols=None, mc_batch=None,
-                 inject_random: bool = False, mc_inner_loop: bool = False):
+                 inject_random: bool = False, mc_inner_loop: bool = False,
+                 mc_lane_sigma: bool = False):
     """Factory from configs, mirroring ops.decode_ref.make_decoder.
 
     The plain-flooding path defaults to the PAIRED sweep (two base rows per
@@ -997,4 +1035,5 @@ def make_decoder(code: LDPCCode, dec: DecoderConfig, quant: QuantConfig,
         pre_transposed=pre_transposed, input_scale=input_scale,
         count_info_cols=count_info_cols, mc_batch=mc_batch,
         inject_random=inject_random, mc_inner_loop=mc_inner_loop,
+        mc_lane_sigma=mc_lane_sigma,
         pair_layers=os.environ.get("LDPC_PAIR_LAYERS", "1") == "1")

@@ -48,7 +48,8 @@ def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
                    pre_transposed: bool = False,
                    fused_io: Optional[tuple] = None,
                    mc_batch: Optional[int] = None,
-                   mc_inner_loop: bool = True):
+                   mc_inner_loop: bool = True,
+                   mc_lane_sigma: bool = False):
     """Decoder dispatch: the Pallas kernel on TPU, the jnp reference op
     elsewhere (SURVEY.md §2.1 C8: kernel + pure-XLA fallback); float
     algorithms always use the jnp float decoder.
@@ -137,7 +138,8 @@ def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
                                        input_scale=scale,
                                        count_info_cols=kb,
                                        mc_batch=mc_batch,
-                                       mc_inner_loop=mc_inner_loop), "pallas"
+                                       mc_inner_loop=mc_inner_loop,
+                                       mc_lane_sigma=mc_lane_sigma), "pallas"
         if b == "qc-jnp":
             from ..ops.decode_qc import make_decoder as make_qc
             return make_qc(code, dec_cfg, cfg.quant), "qc-jnp"
@@ -276,14 +278,18 @@ def make_run_batch(
     # scripts/diag_split.py), a sixth of the whole pipeline. Applies to the
     # elementwise-only chain (BPSK, no rate matching, single sigma) on the
     # VMEM Pallas decoder; everything else keeps the batch-first layout.
-    transposed = (mod == "bpsk" and not float_mode and n_points == 1
+    rng_mode = rng if rng is not None else cfg.run.rng
+    # n_points > 1 (the fused multi-SNR sweep) is admitted ONLY through the
+    # MC megakernel's per-lane-sigma mode: the host-side transposed chain
+    # runs batch-last, where per-codeword sigma broadcasting doesn't apply.
+    transposed = (mod == "bpsk" and not float_mode
+                  and (n_points == 1 or rng_mode == "device")
                   and not cfg.run.all_zeros
                   and not (cfg.decoder.phase1_iters
                            and cfg.decoder.early_term)
                   and not (len(code.punct_vns) or len(code.shortened_vns))
                   and code.base is not None and code.Z is not None
                   and code.n <= 4096)
-    rng_mode = rng if rng is not None else cfg.run.rng
     fused_io = None
     mc = False
     if transposed:
@@ -306,14 +312,18 @@ def make_run_batch(
                 and fused_io[1] is not None):
             from ..codes.qcstruct import detect_enc_struct
             mc = detect_enc_struct(code.base) is not None
-        dec, dec_label = select_decoder(code, cfg, decoder_backend,
-                                        min(batch_tile, B), interpret,
-                                        batch=B, pre_transposed=True,
-                                        fused_io=fused_io,
-                                        mc_batch=B if mc else None)
-        if dec_label != "pallas":
+        if n_points > 1 and not mc:
             transposed = False
-            mc = False
+            fused_io = None
+        else:
+            dec, dec_label = select_decoder(
+                code, cfg, decoder_backend, min(batch_tile, B), interpret,
+                batch=B, pre_transposed=True, fused_io=fused_io,
+                mc_batch=B if mc else None,
+                mc_lane_sigma=mc and n_points > 1)
+            if dec_label != "pallas":
+                transposed = False
+                mc = False
     if not transposed:
         dec, dec_label = select_decoder(code, cfg, decoder_backend,
                                         min(batch_tile, B), interpret,
@@ -387,20 +397,45 @@ def make_run_batch(
     if mc:
         scale = float(cfg.quant.scale)
 
-        def run_batch(key: jax.Array, sigma: jnp.ndarray):
+        def _mc_seeds(key: jax.Array):
             # Stream identity: the raw 32-bit key words + a zero stream slot
             # (superbatching folds the key per sub-batch, so every sub-batch
             # reseeds distinctly); the kernel adds the grid tile index.
             kd = jax.random.key_data(key).astype(jnp.int32).reshape(-1)
-            seeds = jnp.stack([kd[0], kd[-1], jnp.int32(0)])
-            sig = jnp.float32(sigma)
-            chanf = jnp.stack(
-                [sig, jnp.float32(2.0) * jnp.float32(scale) / (sig * sig)])
-            lane_bits, lane_frame, iters, conv = dec(seeds, chanf)
-            return jnp.stack([
-                jnp.int32(B), jnp.sum(lane_bits), jnp.sum(lane_frame),
-                jnp.sum(iters, dtype=jnp.int32),
-                jnp.sum(conv, dtype=jnp.int32)])
+            return jnp.stack([kd[0], kd[-1], jnp.int32(0)])
+
+        if n_points > 1:
+            # Fused multi-SNR sweep through the megakernel: lane b simulates
+            # point b % n_points (the same striping as the host fused path,
+            # so Sweep.run_fused's slot attribution applies unchanged); the
+            # kernel reads per-lane sigma/gain rows.
+            point = jax.lax.rem(
+                jax.lax.broadcasted_iota(jnp.int32, (B,), 0), n_points)
+
+            def run_batch(key: jax.Array, sigma: jnp.ndarray):
+                sig_lane = jnp.asarray(sigma, jnp.float32)[point]
+                gain_lane = (jnp.float32(2.0) * jnp.float32(scale)
+                             / (sig_lane * sig_lane))
+                lane_bits, lane_frame, iters, conv = dec(
+                    _mc_seeds(key), jnp.zeros((2,), jnp.float32),
+                    sigma_lane=sig_lane, gain_lane=gain_lane)
+                seg = lambda v: jax.ops.segment_sum(  # noqa: E731
+                    v.astype(jnp.int32), point, num_segments=n_points)
+                return jnp.stack([
+                    jnp.full((n_points,), B // n_points, jnp.int32),
+                    seg(lane_bits), seg(lane_frame), seg(iters), seg(conv)])
+        else:
+            def run_batch(key: jax.Array, sigma: jnp.ndarray):
+                sig = jnp.float32(sigma)
+                chanf = jnp.stack(
+                    [sig,
+                     jnp.float32(2.0) * jnp.float32(scale) / (sig * sig)])
+                lane_bits, lane_frame, iters, conv = dec(_mc_seeds(key),
+                                                         chanf)
+                return jnp.stack([
+                    jnp.int32(B), jnp.sum(lane_bits), jnp.sum(lane_frame),
+                    jnp.sum(iters, dtype=jnp.int32),
+                    jnp.sum(conv, dtype=jnp.int32)])
     elif transposed:
         from ..ops.encode import make_encoder_t
         enc_t = make_encoder_t(code)
@@ -495,4 +530,5 @@ def make_run_batch(
     # The resolved decoder label rides on the returned callable so callers
     # (Sweep) don't need a second select_decoder build just to learn it.
     rb.backend_label = dec_label
+    rb.mc = mc  # Monte-Carlo megakernel mode (diagnostics/tests)
     return rb

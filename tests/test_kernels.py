@@ -392,6 +392,51 @@ def test_mc_inner_loop_matches_grid(rng):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.parametrize("inner", [False, True])
+def test_mc_lane_sigma_matches_scalar(inner, rng):
+    """Per-lane-sigma megakernel (the fused multi-SNR sweep mode): with
+    injected random words, every lane must equal the SCALAR-sigma megakernel
+    run at that lane's sigma — lanes are independent and the injected stream
+    is identical, so the contract is exact equality, stripe by stripe."""
+    import jax.numpy as jnp
+
+    code = make_code(648, "1/2")
+    nb, Z = code.base.shape[1], code.Z
+    kb = code.k // Z
+    nph = (nb + 1) // 2
+    B, P = 256, 2
+    scale, qmax = 4.0, 127
+    sigmas = np.asarray([0.55, 1.1], np.float32)
+    ui = jnp.asarray(rng.integers(0, 1 << 32, (kb, Z, B),
+                                  dtype=np.uint32).view(np.int32))
+    u1 = jnp.asarray(rng.integers(0, 1 << 32, (nph, Z, B),
+                                  dtype=np.uint32).view(np.int32))
+    u2 = jnp.asarray(rng.integers(0, 1 << 32, (nph, Z, B),
+                                  dtype=np.uint32).view(np.int32))
+    seeds = jnp.zeros((3,), jnp.int32)
+    kw = dict(qmax=qmax, batch_tile=128, interpret=True, input_scale=scale,
+              count_info_cols=kb, mc_batch=B, inject_random=True,
+              mc_inner_loop=inner, schedule="flooding", early_term=True,
+              max_iter=4, beta=2)
+    point = np.arange(B) % P
+    sig_lane = jnp.asarray(sigmas[point])
+    gain_lane = jnp.float32(2.0 * scale) / (sig_lane * sig_lane)
+    d_lane = make_pallas_decoder(code, mc_lane_sigma=True, **kw)
+    lane_out = tuple(map(np.asarray, d_lane(
+        seeds, jnp.zeros((2,), jnp.float32), ui, u1, u2,
+        sigma_lane=sig_lane, gain_lane=gain_lane)))
+    d_scalar = make_pallas_decoder(code, **kw)
+    for p in range(P):
+        sig = float(sigmas[p])
+        chanf = jnp.asarray(
+            [sig, np.float32(2.0 * scale) / np.float32(sig * sig)],
+            jnp.float32)
+        ref = tuple(map(np.asarray, d_scalar(seeds, chanf, ui, u1, u2)))
+        sel = point == p
+        for a, b in zip(lane_out, ref):
+            np.testing.assert_array_equal(a[sel], b[sel])
+
+
 @pytest.mark.parametrize("code_fn,max_iter", [
     (lambda: toy_qc(4), 5),            # mb=3: odd -> unpaired tail layer
     (lambda: make_code(648, "1/2"), 4),  # mb=12: fully paired

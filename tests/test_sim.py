@@ -198,6 +198,41 @@ def test_checkpoint_config_mismatch_rejected(tmp_path):
             [2.0], max_frames=64)
 
 
+def test_fused_mc_admission():
+    """Fused multi-SNR sweeps (n_points > 1) are admitted into the MC
+    megakernel's per-lane-sigma mode only with rng='device' on Pallas;
+    otherwise they keep the host batch-first path. (The hardware PRNG has
+    no CPU interpret lowering, so exact single-vs-fused equality runs at
+    the KERNEL level with injected words — test_kernels.py
+    test_mc_lane_sigma_matches_scalar — and on hardware via
+    scripts/diag_fused_mc.py; this test pins the dispatch.)"""
+    import dataclasses
+    from ldpc_tpu.config import PRESETS
+    from ldpc_tpu.sim import build_code, make_run_batch
+    cfg = PRESETS["wifi-648-r12-minsum"]
+    cfg = dataclasses.replace(
+        cfg,
+        run=dataclasses.replace(cfg.run, batch=256, rng="device"),
+        decoder=dataclasses.replace(cfg.decoder, max_iter=4))
+    code = build_code(cfg)
+    rb = make_run_batch(code, cfg, batch=256, decoder_backend="pallas",
+                        batch_tile=128, interpret=True, n_points=2)
+    assert rb.backend_label == "pallas" and rb.mc  # megakernel serves fused
+    cfg_host = dataclasses.replace(
+        cfg, run=dataclasses.replace(cfg.run, rng="host"))
+    rb_host = make_run_batch(build_code(cfg_host), cfg_host, batch=256,
+                             decoder_backend="pallas", batch_tile=128,
+                             interpret=True, n_points=2)
+    assert rb_host.backend_label == "pallas" and not rb_host.mc
+    # host-RNG fused mode still runs end-to-end (batch-first path)
+    import jax.numpy as jnp
+    from ldpc_tpu.ops.channel import sigma_for
+    sigma = np.float32(sigma_for(2.0, code.rate, "bpsk"))
+    out = np.asarray(rb_host(jax.random.PRNGKey(5),
+                             jnp.asarray([sigma, sigma])))
+    assert out.shape == (5, 2) and (out[0] == 128).all()
+
+
 def test_checkpoint_schema_growth_resumes(tmp_path):
     """A checkpoint written BEFORE a config field existed must still resume
     when the new field sits at its dataclass default (the old code behaved
