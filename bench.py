@@ -45,13 +45,17 @@ CONFIG = "wifi-648-r12-minsum"
 # flat_base figure mixed in rotation concats and understated attainable
 # per-op speed, masking that the kernel is ~at the elementwise ceiling).
 # Entries x Z / n converts per-entry ops to per-codeword-element cost
-# (88 * 27 / 648 for 802.11n); +12% measured non-decode pipeline cost.
-ROOFLINE_NS_PER_KELEM_SWEEP = 14 * 0.448 * (88 * 27 / 648)
+# (computed from the actual base matrix at the call site — 88 * 27 / 648
+# for 802.11n); +12% measured non-decode pipeline cost.
+OP_NS_PER_KELEM = 0.448
+OPS_PER_ENTRY = 14
 PIPELINE_OVERHEAD = 1.12
 
 
-def roofline_info_bps(k: int, n: int, iters: int) -> float:
-    ns_per_cw = ROOFLINE_NS_PER_KELEM_SWEEP * (n / 1000.0) * iters
+def roofline_info_bps(k: int, n: int, iters: int, entries: int,
+                      Z: int) -> float:
+    ns_per_kelem_sweep = OPS_PER_ENTRY * OP_NS_PER_KELEM * (entries * Z / n)
+    ns_per_cw = ns_per_kelem_sweep * (n / 1000.0) * iters
     return k / (ns_per_cw * PIPELINE_OVERHEAD) * 1e9
 
 
@@ -89,7 +93,10 @@ def main() -> None:
 
     out = run_batch(key, sigma)          # compile + warm up
     bit_errs = int(out[1])
-    trials, reps = 6, 2
+    # Tunnel dispatch latency is bursty (same-day best-of-6 measurements
+    # ranged 1.00-1.06 Gb/s); more trials tighten the best-of estimator at
+    # ~1 s/trial.
+    trials, reps = 10, 2
     best = float("inf")
     for t in range(trials):
         t0 = time.time()
@@ -111,7 +118,9 @@ def main() -> None:
         "vs_baseline": round(info_bps / 1e9, 4),
         "vs_prev": vs_prev,
     }))
-    roof = roofline_info_bps(code.k, code.n, cfg.decoder.max_iter)
+    roof = roofline_info_bps(code.k, code.n, cfg.decoder.max_iter,
+                             entries=int((code.base >= 0).sum()),
+                             Z=code.Z)
     print(f"# config={CONFIG} batch={batch} "
           f"platform={jax.default_backend()} ms/batch={best*1e3:.2f} "
           f"roofline_ratio={info_bps/roof:.2f} (model {roof/1e9:.2f} Gb/s) "

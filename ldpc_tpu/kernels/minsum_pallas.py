@@ -880,11 +880,14 @@ def make_pallas_decoder(
             in_specs = [smem_spec, smem_spec]
             inputs = [seeds.astype(jnp.int32), chanf.astype(jnp.float32)]
             full_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-            assert (sigma_lane is not None) == mc_lane_sigma
+            if ((sigma_lane is not None) != mc_lane_sigma
+                    or (gain_lane is not None) != mc_lane_sigma):
+                raise ValueError(
+                    "sigma_lane and gain_lane must BOTH be given exactly "
+                    f"when mc_lane_sigma={mc_lane_sigma}")
             if mc_lane_sigma:
                 for row in (sigma_lane, gain_lane):
-                    in_specs.append(full_spec if mc_inner else pl.BlockSpec(
-                        mask_block, mask_idx, memory_space=pltpu.VMEM))
+                    in_specs.append(full_spec if mc_inner else mask_spec)
                     inputs.append(row.astype(jnp.float32).reshape(mask_full))
             if inject_random:
                 assert u_info is not None

@@ -413,7 +413,13 @@ def make_run_batch(
                 jax.lax.broadcasted_iota(jnp.int32, (B,), 0), n_points)
 
             def run_batch(key: jax.Array, sigma: jnp.ndarray):
-                sig_lane = jnp.asarray(sigma, jnp.float32)[point]
+                sigma = jnp.asarray(sigma, jnp.float32)
+                if sigma.shape != (n_points,):
+                    # gather clamping would silently map out-of-range point
+                    # indices to the last element — refuse at trace time
+                    raise ValueError(f"fused sweep expects sigma of shape "
+                                     f"({n_points},), got {sigma.shape}")
+                sig_lane = sigma[point]
                 gain_lane = (jnp.float32(2.0) * jnp.float32(scale)
                              / (sig_lane * sig_lane))
                 lane_bits, lane_frame, iters, conv = dec(
@@ -477,7 +483,11 @@ def make_run_batch(
         if n_points > 1:
             point = jax.lax.rem(
                 jax.lax.broadcasted_iota(jnp.int32, (B,), 0), n_points)
-            sigma = jnp.asarray(sigma)[point]  # (B,) per-lane noise level
+            sigma = jnp.asarray(sigma)
+            if sigma.shape != (n_points,):
+                raise ValueError(f"fused sweep expects sigma of shape "
+                                 f"({n_points},), got {sigma.shape}")
+            sigma = sigma[point]  # (B,) per-lane noise level
         cw = jnp.zeros((B, code.n), jnp.uint8) if all_zeros else enc(info)
         tx = cw[:, tx_pos] if punctured else cw
         x = ch.modulate(tx, mod)

@@ -66,6 +66,8 @@ def _config_compatible(stored: dict, cfg: SimConfig) -> bool:
         return _json.loads(_json.dumps(v, default=list))
 
     def walk(st: dict, obj) -> bool:
+        if not isinstance(st, dict):  # corrupted/hand-edited section
+            return False
         fields = {f.name: f for f in dc.fields(obj)}
         if any(k not in fields for k in st):  # field removed since
             return False

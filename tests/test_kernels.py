@@ -392,8 +392,12 @@ def test_mc_inner_loop_matches_grid(rng):
         np.testing.assert_array_equal(a, b)
 
 
-@pytest.mark.parametrize("inner", [False, True])
-def test_mc_lane_sigma_matches_scalar(inner, rng):
+@pytest.mark.parametrize("inner,bt,B", [
+    (False, 128, 256),   # flat layout, grid mode
+    (True, 128, 256),    # flat layout, internal tile loop
+    (True, 1024, 2048),  # vreg-exact layout (production run_fused default)
+])
+def test_mc_lane_sigma_matches_scalar(inner, bt, B, rng):
     """Per-lane-sigma megakernel (the fused multi-SNR sweep mode): with
     injected random words, every lane must equal the SCALAR-sigma megakernel
     run at that lane's sigma — lanes are independent and the injected stream
@@ -404,7 +408,7 @@ def test_mc_lane_sigma_matches_scalar(inner, rng):
     nb, Z = code.base.shape[1], code.Z
     kb = code.k // Z
     nph = (nb + 1) // 2
-    B, P = 256, 2
+    P = 2
     scale, qmax = 4.0, 127
     sigmas = np.asarray([0.55, 1.1], np.float32)
     ui = jnp.asarray(rng.integers(0, 1 << 32, (kb, Z, B),
@@ -414,7 +418,7 @@ def test_mc_lane_sigma_matches_scalar(inner, rng):
     u2 = jnp.asarray(rng.integers(0, 1 << 32, (nph, Z, B),
                                   dtype=np.uint32).view(np.int32))
     seeds = jnp.zeros((3,), jnp.int32)
-    kw = dict(qmax=qmax, batch_tile=128, interpret=True, input_scale=scale,
+    kw = dict(qmax=qmax, batch_tile=bt, interpret=True, input_scale=scale,
               count_info_cols=kb, mc_batch=B, inject_random=True,
               mc_inner_loop=inner, schedule="flooding", early_term=True,
               max_iter=4, beta=2)

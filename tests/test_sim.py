@@ -231,6 +231,9 @@ def test_fused_mc_admission():
     out = np.asarray(rb_host(jax.random.PRNGKey(5),
                              jnp.asarray([sigma, sigma])))
     assert out.shape == (5, 2) and (out[0] == 128).all()
+    # a too-short sigma vector must refuse, not gather-clamp silently
+    with pytest.raises(ValueError, match="sigma of shape"):
+        rb_host(jax.random.PRNGKey(5), jnp.asarray([sigma]))
 
 
 def test_checkpoint_schema_growth_resumes(tmp_path):
