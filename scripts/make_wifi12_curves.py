@@ -12,6 +12,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, ".")
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/ldpc_jax_cache")

@@ -55,6 +55,45 @@ def test_toy_qc_bitexact(rng, kw):
     np.testing.assert_array_equal(conv, g_conv)
 
 
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_random_topology_bitexact(seed, rng):
+    """Topology fuzz: randomly GENERATED small QC codes (random row
+    supports, random shifts via gen_qc_code — different kb/cb/extension
+    shapes per seed) must decode bit-exactly vs golden through the Pallas
+    kernel, both schedules. Guards the layout compiler + kernel against
+    assumptions that happen to hold for the standard code shapes."""
+    from ldpc_tpu.codes.qcstruct import gen_qc_code
+    g = np.random.default_rng(seed)
+    kb = int(g.integers(3, 7))
+    cb = int(g.integers(3, 5))
+    mb = cb + int(g.integers(0, 3))  # 0-2 extension rows
+    Z = int(g.choice([4, 6, 8]))
+    rows = []
+    for i in range(mb):
+        deg = int(g.integers(2, kb + 1))
+        rows.append(sorted(g.choice(kb, size=deg, replace=False).tolist()))
+    ext_core = [sorted((kb + g.choice(cb, size=int(g.integers(1, 3)),
+                                      replace=False)).tolist())
+                for _ in range(mb - cb)]
+    code = gen_qc_code(rows, kb=kb, cb=cb, Z=Z, rng=g,
+                       name=f"fuzz_{seed}",
+                       ext_core_cols=ext_core if mb > cb else None,
+                       require_girth6=False)
+    B = 8
+    chan = _random_llrs(rng, B, code.n)
+    for kw in (dict(schedule="flooding", beta=2, early_term=True,
+                    max_iter=5),
+               dict(schedule="layered", beta=0, early_term=True,
+                    max_iter=5)):
+        dec = make_pallas_decoder(code, qmax=127, batch_tile=8,
+                                  interpret=True, **kw)
+        hard, iters, conv = map(np.asarray, dec(chan))
+        g_hard, g_iters, g_conv = _golden_batch(chan, code, qmax=127, **kw)
+        np.testing.assert_array_equal(hard, g_hard)
+        np.testing.assert_array_equal(iters, g_iters)
+        np.testing.assert_array_equal(conv, g_conv)
+
+
 @pytest.mark.parametrize("kw", [
     dict(schedule="flooding", beta=0, early_term=False, max_iter=5),
     dict(schedule="layered", beta=2, early_term=True, max_iter=5),
