@@ -9,7 +9,8 @@ from typing import List, Optional
 
 from .sweep import SweepResult
 
-_COLUMNS = ["ebn0_db", "frames", "bit_errs", "frame_errs", "ber", "fer",
+_COLUMNS = ["ebn0_db", "frames", "bit_errs", "frame_errs",
+            "ber", "ber_lo", "ber_hi", "fer", "fer_lo", "fer_hi",
             "avg_iters", "early_term_rate", "wall_s", "info_bps"]
 
 
@@ -45,9 +46,17 @@ def plot_waterfall(results: List[SweepResult], path: str,
     fig, ax = plt.subplots(figsize=(7, 5))
     for r in results:
         rows = [row for row in r.rows() if row[metric] > 0]
-        ax.semilogy([row["ebn0_db"] for row in rows],
-                    [row[metric] for row in rows],
-                    marker="o", label=f"{r.code_name} [{r.decoder_backend}]")
+        xs = [row["ebn0_db"] for row in rows]
+        line, = ax.semilogy(xs, [row[metric] for row in rows],
+                            marker="o",
+                            label=f"{r.code_name} [{r.decoder_backend}]")
+        if rows and f"{metric}_lo" in rows[0]:
+            # 99% Wilson band (lo clipped away from 0 for the log axis)
+            his = [row[f"{metric}_hi"] for row in rows]
+            los = [max(row[f"{metric}_lo"], row[metric] * 1e-2)
+                   for row in rows]
+            ax.fill_between(xs, los, his, alpha=0.15,
+                            color=line.get_color(), linewidth=0)
     ax.set_xlabel("Eb/N0 (dB)")
     ax.set_ylabel(metric.upper())
     ax.grid(True, which="both", alpha=0.3)

@@ -37,13 +37,20 @@ class SnrPoint:
 
     def row(self, k: int, n: int) -> Dict:
         info_bits = self.frames * k
+        ber_lo, ber_hi = wilson_interval(self.bit_errs, max(info_bits, 1))
+        fer_lo, fer_hi = wilson_interval(self.frame_errs,
+                                         max(self.frames, 1))
         return {
             "ebn0_db": self.ebn0_db,
             "frames": self.frames,
             "bit_errs": self.bit_errs,
             "frame_errs": self.frame_errs,
             "ber": self.bit_errs / max(info_bits, 1),
+            "ber_lo": ber_lo,  # 99% Wilson interval (SURVEY.md §5.5)
+            "ber_hi": ber_hi,
             "fer": self.fer,
+            "fer_lo": fer_lo,
+            "fer_hi": fer_hi,
             "avg_iters": self.avg_iters,
             "early_term_rate": self.early_term_rate,
             "wall_s": self.wall_s,
