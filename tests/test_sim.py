@@ -59,6 +59,24 @@ def test_mesh_size_invariance():
     assert out1 == out8
 
 
+def test_fused_mesh_size_invariance():
+    """The fused multi-SNR program (per-lane sigma striping + per-point
+    segment_sum) must also produce identical counters on 1-device and
+    8-device meshes — the point striping is lane-position-dependent, so
+    this pins that batch sharding doesn't permute lane->point attribution."""
+    import jax.numpy as jnp
+    cfg = _toy_cfg(batch=64)
+    code = build_code(cfg)
+    key = jax.random.PRNGKey(9)
+    sigmas = jnp.asarray([0.7, 1.1], jnp.float32)
+    out1 = np.asarray(make_run_batch(code, cfg, decoder_backend="jnp",
+                                     n_points=2)(key, sigmas))
+    mesh = make_mesh()
+    out8 = np.asarray(make_run_batch(code, cfg, mesh=mesh, n_points=2,
+                                     decoder_backend="jnp")(key, sigmas))
+    np.testing.assert_array_equal(out1, out8)
+
+
 def test_sweep_and_checkpoint_resume(tmp_path):
     """Interrupted + resumed sweep == uninterrupted sweep, sample-exactly."""
     cfg = _toy_cfg(batch=32)
