@@ -121,8 +121,13 @@ def cmd_sweep(args) -> int:
     elif args.num_processes and args.num_processes > 1:
         from .parallel import make_mesh
         mesh = make_mesh()  # all global devices on one flat axis
+    # Default checkpoint rides next to the artifacts: an interrupted sweep
+    # resumes sample-exactly by rerunning the same command (SURVEY.md §5.4).
+    ckpt = args.checkpoint
+    if ckpt is None and args.out and not args.no_checkpoint:
+        ckpt = args.out + ".state"
     sweep = Sweep(cfg, mesh=mesh, decoder_backend=args.decoder_backend,
-                  checkpoint_path=args.checkpoint,
+                  checkpoint_path=ckpt,
                   lookahead=args.lookahead, superbatches=args.superbatches)
     ebn0 = _parse_ebn0(args.ebn0)
     res = sweep.run_fused(ebn0) if args.fused else sweep.run(ebn0)
@@ -247,7 +252,10 @@ def build_parser() -> argparse.ArgumentParser:
     sw.add_argument("--fused", action="store_true",
                     help="advance all SNR points in one fused device program")
     sw.add_argument("--checkpoint", default=None,
-                    help="JSON state path for resume")
+                    help="JSON state path for resume (default: <out>.state "
+                         "when --out is given)")
+    sw.add_argument("--no-checkpoint", action="store_true",
+                    help="disable the <out>.state default checkpoint")
     sw.add_argument("--lookahead", type=int, default=4,
                     help="device calls kept in flight (latency hiding)")
     sw.add_argument("--superbatches", type=int, default=1,

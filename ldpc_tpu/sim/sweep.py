@@ -58,23 +58,36 @@ def _config_compatible(stored: dict, cfg: SimConfig) -> bool:
     only at its dataclass default — at the default, the old code's
     behavior is what the default encodes, so the counters are mergeable;
     at any other value the simulation differs and resume must refuse.
-    Removed or changed fields always refuse."""
+    Removed or changed fields always refuse.
+
+    Exempt fields (never compared): STOP RULES (run.max_frames,
+    run.target_frame_errors) — they bound how long a sweep runs, not what
+    it simulates; extending a finished sweep with a bigger budget is the
+    canonical resume use case. Mesh shape/axes are exempt too: same-seed
+    counters are mesh-size invariant by tested contract
+    (test_mesh_size_invariance), so resuming on different hardware is
+    sound."""
     import dataclasses as dc
     import json as _json
+
+    IGNORE = {("run", "max_frames"), ("run", "target_frame_errors"),
+              ("run", "mesh_shape"), ("run", "mesh_axes")}
 
     def jsonify(v):
         return _json.loads(_json.dumps(v, default=list))
 
-    def walk(st: dict, obj) -> bool:
+    def walk(st: dict, obj, section: str = "") -> bool:
         if not isinstance(st, dict):  # corrupted/hand-edited section
             return False
         fields = {f.name: f for f in dc.fields(obj)}
         if any(k not in fields for k in st):  # field removed since
             return False
         for name, f in fields.items():
+            if (section, name) in IGNORE:
+                continue
             cur = getattr(obj, name)
             if dc.is_dataclass(cur):
-                if not walk(st.get(name, {}), cur):
+                if not walk(st.get(name, {}), cur, section=name):
                     return False
                 continue
             if name in st:

@@ -2,6 +2,7 @@
 listings, and report generation (the sweep path itself is covered by
 tests/test_sim.py and the CPU smoke in CI use)."""
 import json
+import os
 
 import pytest
 
@@ -72,6 +73,30 @@ def test_report_from_json(tmp_path):
 
     assert cmd_report(A) == 0
     assert (tmp_path / "out.png").exists()
+
+
+def test_sweep_default_checkpoint_and_extension(tmp_path):
+    """--out implies a <out>.state checkpoint (docs/USAGE.md contract);
+    rerunning the same command with a LARGER --max-frames resumes and
+    extends instead of starting over or refusing (stop rules are exempt
+    from the resume config guard)."""
+    from ldpc_tpu.cli import main
+    out = str(tmp_path / "sw")
+    base = ["sweep", "--preset", "wifi-648-r12-minsum", "--batch", "64",
+            "--ebn0", "2.0", "--target-errors", "999999",
+            "--decoder-backend", "jnp", "--out", out]
+    assert main(base + ["--max-frames", "64"]) == 0
+    assert os.path.exists(out + ".state")
+    assert json.load(open(out + ".json"))["results"][0]["frames"] == 64
+    assert main(base + ["--max-frames", "128"]) == 0
+    assert json.load(open(out + ".json"))["results"][0]["frames"] == 128
+    # --no-checkpoint opts out
+    out2 = str(tmp_path / "nw")
+    assert main(["sweep", "--preset", "wifi-648-r12-minsum", "--batch",
+                 "64", "--ebn0", "2.0", "--max-frames", "64",
+                 "--target-errors", "999999", "--decoder-backend", "jnp",
+                 "--out", out2, "--no-checkpoint"]) == 0
+    assert not os.path.exists(out2 + ".state")
 
 
 def test_ebn0_zero_step_rejected():

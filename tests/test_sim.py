@@ -281,6 +281,28 @@ def test_checkpoint_schema_growth_resumes(tmp_path):
             [2.0], max_frames=96)
 
 
+def test_resume_allows_extended_stop_rules(tmp_path):
+    """Stop rules are not part of the simulation identity: extending a
+    finished sweep with a larger --max-frames (the canonical resume use
+    case) must resume and advance, and the extended counters must equal an
+    uninterrupted run of the same total budget (sample-exactness)."""
+    import dataclasses
+    cfg = _toy_cfg(batch=32)
+    path = str(tmp_path / "s.json")
+    Sweep(cfg, decoder_backend="jnp", checkpoint_path=path).run(
+        [2.0], max_frames=32, target_frame_errors=10 ** 9)
+    cfg2 = dataclasses.replace(
+        cfg, run=dataclasses.replace(cfg.run, max_frames=96,
+                                     target_frame_errors=123))
+    res = Sweep(cfg2, decoder_backend="jnp", checkpoint_path=path).run(
+        [2.0], max_frames=96, target_frame_errors=10 ** 9)
+    assert res.points[0].frames == 96
+    ref = Sweep(cfg, decoder_backend="jnp").run(
+        [2.0], max_frames=96, target_frame_errors=10 ** 9)
+    assert res.points[0].bit_errs == ref.points[0].bit_errs
+    assert res.points[0].frame_errs == ref.points[0].frame_errs
+
+
 def test_run_lookahead_pipelining_exact(tmp_path):
     """Pipelined dispatch (lookahead > 1) must produce identical counters to
     the synchronous path — batches are consumed in key order either way."""
