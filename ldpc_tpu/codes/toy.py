@@ -40,6 +40,18 @@ def toy_qc_odd(Z: int = 16) -> LDPCCode:
                        name=f"toy_qc_odd_z{Z}")
 
 
+def array_qc(rows: int = 3, cols: int = 6, Z: int = 17) -> LDPCCode:
+    """(rows, cols)-regular QC array code: base shifts s[i, j] = i*j mod Z,
+    girth >= 6 for prime Z (Fan's array-code construction). The regular-code
+    fixture for hard-decision decoder tests — unlike every standard code in
+    this repo it has NO degree-2 variables, which is the regime Gallager-A/B
+    analysis assumes. Not systematically encodable; used with the all-zeros
+    codeword."""
+    base = np.array([[(i * j) % Z for j in range(cols)]
+                     for i in range(rows)], np.int64)
+    return expand_qc(base, Z, name=f"array_{rows}x{cols}_z{Z}")
+
+
 def toy_qc(Z: int = 4) -> LDPCCode:
     """A 3x6 base-matrix QC code (rate 1/2, n = 6Z) with an 802.11n-style
     parity structure: weight-3 first parity column with equal top/bottom

@@ -216,6 +216,135 @@ def _decode_layered(chan, code, max_iter, beta, qmax, early_term, trace,
 
 
 # ---------------------------------------------------------------------------
+# Hard-decision golden decoders — the BSC companions to ops/channel.bsc
+# (SURVEY.md §5.3 fault injection). Gallager-A/B message passing and the
+# parallel bit-flipping decoder operate directly on hard channel bits; they
+# are the classic low-complexity counterparts every fixed-point LDPC study
+# keeps next to min-sum. Like decode_fixed, these are integer-deterministic:
+# the batched jnp op (ops/decode_hard.py) must match them EXACTLY.
+#
+# Applicability caveat (measured, see tests/test_decode_hard.py and
+# results/bsc_hard_wifi648): Gallager-A/B analysis assumes variable degree
+# >= 3. On the standard codes in this repo ~half the variables have degree 2
+# (dual-diagonal parity chains), through which hard-decision message passing
+# propagates errors — unconverged frames can end far from the codeword.
+# Parallel bit-flipping degrades gracefully there; both are stress-test /
+# study decoders, not replacements for the soft min-sum family.
+#
+# Pinned semantics (frozen here, mirrored by ops/decode_hard.py):
+#   * Edge messages are bits {0, 1}; init v2c[e] = y[vn(e)].
+#   * CN update: c2v[e] = XOR of the OTHER incoming v2c bits on the check
+#     (empty exclusion set, i.e. a degree-1 check, yields 0).
+#   * Decision: with D(v) = #{incoming c2v != y[v]}, hard[v] = 1 - y[v] iff
+#     2*D(v) > dv(v), else y[v] (tie keeps the channel bit).
+#   * VN message update (after a non-converged decision): for edge e at
+#     variable v, d_e = #{OTHER incoming c2v != y[v]}; v2c[e] = 1 - y[v] iff
+#     d_e >= t(v), else y[v].
+#   * Thresholds: Gallager-B default t(v) = floor((dv(v)-1)/2) + 1 (strict
+#     majority of the other checks); Gallager-A t(v) = max(dv(v)-1, 1) (all
+#     other checks must disagree). An explicit integer threshold overrides.
+#   * Iteration = CN pass -> decision -> syndrome early-exit -> VN pass;
+#     iters counts CN passes executed, 0 when y is already a codeword.
+#   * Parallel bit-flipping keeps a bit estimate x (init y), no messages:
+#     per iteration flip every v with 2*unsat(v) > dv(v) (strict majority of
+#     its checks unsatisfied; explicit threshold t means unsat(v) >= t),
+#     then re-check the syndrome.
+# ---------------------------------------------------------------------------
+
+
+def _default_thresholds(code: LDPCCode, algorithm: str) -> np.ndarray:
+    dv = np.zeros(code.n, np.int32)
+    for vs in code.cn_adj:
+        dv[vs] += 1
+    if algorithm == "gallager-a":
+        return np.maximum(dv - 1, 1).astype(np.int32)
+    return ((dv - 1) // 2 + 1).astype(np.int32)
+
+
+def decode_hard(
+    y: np.ndarray,
+    code: LDPCCode,
+    max_iter: int = 30,
+    algorithm: str = "gallager-b",
+    threshold: Optional[int] = None,
+    early_term: bool = True,
+) -> DecodeResult:
+    """Hard-decision decoder, one codeword of channel bits y in {0,1}^n.
+
+    algorithm: 'gallager-b' | 'gallager-a' | 'bit-flip'. threshold overrides
+    the per-variable default (see module notes above) with a constant.
+    """
+    y = np.asarray(y, np.int32)
+    assert y.shape == (code.n,) and ((y == 0) | (y == 1)).all()
+    if algorithm == "bit-flip":
+        return _decode_bitflip(y, code, max_iter, threshold, early_term)
+    if algorithm not in ("gallager-a", "gallager-b"):
+        raise ValueError(algorithm)
+    dv = np.zeros(code.n, np.int32)
+    for vs in code.cn_adj:
+        dv[vs] += 1
+    t = (np.full(code.n, int(threshold), np.int32) if threshold is not None
+         else _default_thresholds(code, algorithm))
+
+    v2c = [y[vs].copy() for vs in code.cn_adj]
+    hard = y.astype(np.uint8)
+    it_done = 0
+    converged = _syndrome_ok(code, hard) if early_term else False
+    for _ in range(max_iter):
+        if converged:
+            break
+        # CN pass: exclude-self XOR.
+        c2v = []
+        for c, vs in enumerate(code.cn_adj):
+            par = np.bitwise_xor.reduce(v2c[c]) if len(v2c[c]) else 0
+            c2v.append(np.bitwise_xor(par, v2c[c]))
+        # Decision: majority of incoming messages vs the channel bit.
+        dis = np.zeros(code.n, np.int32)
+        for c, vs in enumerate(code.cn_adj):
+            np.add.at(dis, vs, (c2v[c] != y[vs]).astype(np.int32))
+        hard = np.where(2 * dis > dv, 1 - y, y).astype(np.uint8)
+        it_done += 1
+        if early_term and _syndrome_ok(code, hard):
+            converged = True
+            break
+        # VN pass: exclude-self disagreement count vs threshold.
+        v2c = []
+        for c, vs in enumerate(code.cn_adj):
+            d_e = dis[vs] - (c2v[c] != y[vs]).astype(np.int32)
+            v2c.append(np.where(d_e >= t[vs], 1 - y[vs], y[vs]))
+    if not early_term:
+        converged = _syndrome_ok(code, hard)
+    return DecodeResult(hard=hard, iters=it_done, converged=converged)
+
+
+def _decode_bitflip(y, code, max_iter, threshold, early_term):
+    dv = np.zeros(code.n, np.int32)
+    for vs in code.cn_adj:
+        dv[vs] += 1
+    x = y.copy()
+    hard = x.astype(np.uint8)
+    it_done = 0
+    converged = _syndrome_ok(code, hard) if early_term else False
+    for _ in range(max_iter):
+        if converged:
+            break
+        unsat = np.zeros(code.n, np.int32)
+        for c, vs in enumerate(code.cn_adj):
+            if np.bitwise_xor.reduce(x[vs]) != 0:
+                unsat[vs] += 1
+        flip = (unsat >= int(threshold)) if threshold is not None \
+            else (2 * unsat > dv)
+        x = np.where(flip, 1 - x, x)
+        hard = x.astype(np.uint8)
+        it_done += 1
+        if early_term and _syndrome_ok(code, hard):
+            converged = True
+    if not early_term:
+        converged = _syndrome_ok(code, hard)
+    return DecodeResult(hard=hard, iters=it_done, converged=converged)
+
+
+# ---------------------------------------------------------------------------
 # Float golden decoders — used to measure the fixed-point "quantization bound"
 # (BASELINE.json:5 'within its fixed-point quantization bound'), the same
 # float-vs-fixed methodology the reference's MATLAB layer provided.
