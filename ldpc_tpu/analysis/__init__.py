@@ -3,5 +3,8 @@ layer of the framework (SURVEY.md §1.2 'MATLAB analysis' row: the reference
 kept its analysis in MATLAB next to the C simulator; here it is NumPy next
 to the JAX simulator)."""
 from .de import (  # noqa: F401
-    chan_pmf_awgn, chan_pmf_bsc, de_pe_trajectory, de_threshold_awgn,
-    de_threshold_bsc, gallager_threshold, gallager_trajectory)
+    DegreeSpectra, chan_pmf_awgn, chan_pmf_bsc, de_pe_trajectory,
+    de_pe_trajectory_spectra, de_threshold_awgn, de_threshold_awgn_spectra,
+    de_threshold_bsc, de_threshold_bsc_spectra, gallager_threshold,
+    gallager_threshold_spectra, gallager_trajectory,
+    gallager_trajectory_spectra, regular_spectra, spectra_from_code)

@@ -23,20 +23,99 @@ message distributions on the cycle-free ensemble (standard DE assumptions):
    LLRs (llr = 2y/sigma^2, y ~ N(+1, sigma^2)) or BSC LLRs
    (ops/channel.bsc_llr).
 
+Both analyses run over IRREGULAR ensembles described by edge-perspective
+degree spectra (lambda, rho) — `spectra_from_code` extracts them from an
+`LDPCCode`'s actual degree profile, so thresholds apply to the production
+802.11n/NR/DVB-S2 codes, not just (dv, dc)-regular toys (round-3 VERDICT
+item 7). The (dv, dc)-regular entry points remain as one-hot special cases
+(tested equal to the spectrum path).
+
 Thresholds are found by bisection on the channel parameter: the largest
 sigma (AWGN) / p (BSC) whose decision-error probability falls below a
 target within the iteration budget. These are ensemble asymptotics —
-finite-length codes operate with a gap to them (tests cross-check the
-direction against the Monte-Carlo simulator on a regular array code).
+finite-length codes operate with a gap to them (tests/test_de.py pins the
+known Gallager-A (3,6) threshold and cross-checks the 802.11n OMS AWGN
+threshold's direction against the measured waterfall artifacts).
 """
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import numpy as np
 
 from ..config import QuantConfig
+
+
+# ---------------------------------------------------------------------------
+# 0. Degree spectra — irregular-ensemble description
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class DegreeSpectra:
+    """Edge- and node-perspective degree distributions of an LDPC ensemble.
+
+    lam[d] / rho[d]: fraction of EDGES incident to degree-d variables /
+    checks (lambda/rho in the DE literature, index = degree).
+    vnode[d] / cnode[d]: fraction of NODES of degree d (used for the
+    decision-error average, which is over variable NODES).
+    Arrays are indexed by degree (index 0..1 unused for checks; variable
+    degree 1 is legal, e.g. NR's degree-1 extension parities).
+    """
+    lam: np.ndarray
+    rho: np.ndarray
+    vnode: np.ndarray
+    cnode: np.ndarray
+
+    @property
+    def max_dv(self) -> int:
+        return len(self.lam) - 1
+
+    @property
+    def max_dc(self) -> int:
+        return len(self.rho) - 1
+
+
+def regular_spectra(dv: int, dc: int) -> DegreeSpectra:
+    """One-hot spectra of the (dv, dc)-regular ensemble."""
+    lam = np.zeros(dv + 1)
+    rho = np.zeros(dc + 1)
+    lam[dv] = 1.0
+    rho[dc] = 1.0
+    return DegreeSpectra(lam=lam, rho=rho, vnode=lam.copy(),
+                         cnode=rho.copy())
+
+
+def spectra_from_code(code) -> DegreeSpectra:
+    """Edge-degree spectra from an `LDPCCode`'s actual parity-check graph.
+
+    Punctured/shortened variables are counted with their graph degree (the
+    decoder sees them as ordinary variables with special channel LLRs); the
+    ensemble threshold then describes the mother code.
+    """
+    dv = np.zeros(code.n, np.int64)
+    dcs = []
+    for vs in code.cn_adj:
+        dv[vs] += 1
+        dcs.append(len(vs))
+    dcs = np.asarray(dcs, np.int64)
+    max_dv, max_dc = int(dv.max()), int(dcs.max())
+    lam = np.zeros(max_dv + 1)
+    vnode = np.zeros(max_dv + 1)
+    for d in range(1, max_dv + 1):
+        cnt = int((dv == d).sum())
+        vnode[d] = cnt / code.n
+        lam[d] = cnt * d
+    lam /= lam.sum()
+    rho = np.zeros(max_dc + 1)
+    cnode = np.zeros(max_dc + 1)
+    for d in range(1, max_dc + 1):
+        cnt = int((dcs == d).sum())
+        cnode[d] = cnt / len(dcs)
+        rho[d] = cnt * d
+    rho /= rho.sum()
+    return DegreeSpectra(lam=lam, rho=rho, vnode=vnode, cnode=cnode)
 
 
 # ---------------------------------------------------------------------------
@@ -52,41 +131,83 @@ def _binom_tail(n: int, k: int, p: np.ndarray) -> np.ndarray:
     return out
 
 
-def gallager_trajectory(p0: float, dv: int, dc: int,
-                        algorithm: str = "gallager-b",
-                        threshold: Optional[int] = None,
-                        iters: int = 500) -> np.ndarray:
-    """Message-error-probability trajectory p_0..p_iters for BSC(p0)."""
-    if threshold is not None:
-        t = int(threshold)
-    elif algorithm == "gallager-a":
-        t = max(dv - 1, 1)
-    elif algorithm == "gallager-b":
-        t = (dv - 1) // 2 + 1
-    else:
-        raise ValueError(algorithm)
+def _gallager_thresholds_by_degree(max_dv: int, algorithm: str,
+                                   threshold: Optional[int]) -> np.ndarray:
+    """Per-variable-degree VN flip thresholds t(d) — the same pinned rule
+    as golden/decoder._default_thresholds."""
+    t = np.zeros(max_dv + 1, np.int64)
+    for d in range(1, max_dv + 1):
+        if threshold is not None:
+            t[d] = int(threshold)
+        elif algorithm == "gallager-a":
+            t[d] = max(d - 1, 1)
+        elif algorithm == "gallager-b":
+            t[d] = (d - 1) // 2 + 1
+        else:
+            raise ValueError(algorithm)
+    return t
+
+
+def gallager_trajectory_spectra(p0: float, spectra: DegreeSpectra,
+                                algorithm: str = "gallager-b",
+                                threshold: Optional[int] = None,
+                                iters: int = 500) -> np.ndarray:
+    """Irregular Gallager-A/B message-error trajectory for BSC(p0):
+      q_l     = sum_d rho_d (1 - (1-2 p_l)^(d-1)) / 2
+      p_{l+1} = sum_d lam_d [(1-p0) P[Bin(d-1,q) >= t(d)]
+                             + p0 (1 - P[Bin(d-1,1-q) >= t(d)])]
+    with the per-degree thresholds of golden/decoder.decode_hard."""
+    lam, rho = spectra.lam, spectra.rho
+    t = _gallager_thresholds_by_degree(spectra.max_dv, algorithm, threshold)
     traj = [p0]
     p = float(p0)
     for _ in range(iters):
-        q = (1.0 - (1.0 - 2.0 * p) ** (dc - 1)) / 2.0
-        p = float((1 - p0) * _binom_tail(dv - 1, t, q)
-                  + p0 * (1.0 - _binom_tail(dv - 1, t, 1.0 - q)))
+        q = 0.0
+        for d in range(2, len(rho)):
+            if rho[d]:
+                q += rho[d] * (1.0 - (1.0 - 2.0 * p) ** (d - 1)) / 2.0
+        p = 0.0
+        for d in range(1, len(lam)):
+            if lam[d]:
+                p += lam[d] * float(
+                    (1 - p0) * _binom_tail(d - 1, int(t[d]), q)
+                    + p0 * (1.0 - _binom_tail(d - 1, int(t[d]), 1.0 - q)))
         traj.append(p)
         if p < 1e-12 or p > 0.5:
             break
     return np.asarray(traj)
 
 
+def gallager_trajectory(p0: float, dv: int, dc: int,
+                        algorithm: str = "gallager-b",
+                        threshold: Optional[int] = None,
+                        iters: int = 500) -> np.ndarray:
+    """Message-error-probability trajectory p_0..p_iters for BSC(p0)
+    ((dv, dc)-regular special case of gallager_trajectory_spectra)."""
+    return gallager_trajectory_spectra(p0, regular_spectra(dv, dc),
+                                       algorithm, threshold, iters)
+
+
+def gallager_threshold_spectra(spectra: DegreeSpectra,
+                               algorithm: str = "gallager-b",
+                               threshold: Optional[int] = None,
+                               tol: float = 1e-5) -> float:
+    """Largest p0 for which the irregular recursion converges (bisection)."""
+    lo, hi = 0.0, 0.5
+    while hi - lo > tol:
+        mid = (lo + hi) / 2
+        ok = gallager_trajectory_spectra(
+            mid, spectra, algorithm, threshold)[-1] < 1e-10
+        lo, hi = (mid, hi) if ok else (lo, mid)
+    return lo
+
+
 def gallager_threshold(dv: int, dc: int, algorithm: str = "gallager-b",
                        threshold: Optional[int] = None,
                        tol: float = 1e-5) -> float:
     """Largest p0 for which the recursion converges to 0 (bisection)."""
-    lo, hi = 0.0, 0.5
-    while hi - lo > tol:
-        mid = (lo + hi) / 2
-        ok = gallager_trajectory(mid, dv, dc, algorithm, threshold)[-1] < 1e-10
-        lo, hi = (mid, hi) if ok else (lo, mid)
-    return lo
+    return gallager_threshold_spectra(regular_spectra(dv, dc), algorithm,
+                                      threshold, tol)
 
 
 # ---------------------------------------------------------------------------
@@ -119,6 +240,15 @@ def chan_pmf_bsc(p: float, quant: QuantConfig) -> np.ndarray:
     Q = quant.qmax
     mag = math.log((1.0 - p) / p)
     qv = int(gq(np.array([mag]), quant.scale, quant.bits)[0])
+    if qv == 0:
+        # The LLR magnitude quantizes to 0 (scale too small for this p):
+        # the pmf would collapse to a spike at 0, Pe = P(total < 0) = 0,
+        # and de_threshold_bsc would spuriously report convergence
+        # (round-2 advisor finding). Refuse instead of silently lying.
+        raise ValueError(
+            f"BSC p={p}: LLR magnitude {mag:.4f} quantizes to 0 at "
+            f"scale={quant.scale} — raise the quantizer scale (or lower "
+            f"the bisection bracket) so the channel is representable")
     pmf = np.zeros(2 * Q + 1)
     pmf[Q + qv] += 1.0 - p
     pmf[Q - qv] += p
@@ -180,41 +310,118 @@ def _vn_conv(chan: np.ndarray, c2v: np.ndarray, n_msgs: int,
     return out
 
 
-def de_pe_trajectory(chan_pmf: np.ndarray, dv: int, dc: int,
-                     beta: int = 0, alpha: Optional[Tuple[int, int]] = None,
-                     qmax: int = 127, iters: int = 100) -> np.ndarray:
-    """Decision-error-probability trajectory of quantized min-sum DE.
+def de_pe_trajectory_spectra(chan_pmf: np.ndarray, spectra: DegreeSpectra,
+                             beta: int = 0,
+                             alpha: Optional[Tuple[int, int]] = None,
+                             qmax: int = 127,
+                             iters: int = 100) -> np.ndarray:
+    """Decision-error-probability trajectory of quantized min-sum DE over
+    an IRREGULAR ensemble (edge spectra lambda/rho; node spectrum for the
+    decision average).
 
     chan_pmf: pmf over [-qmax, qmax] (chan_pmf_awgn / chan_pmf_bsc).
-    Returns Pe after 0..iters iterations, Pe = P(decision total < 0).
+    Returns Pe after 0..iters iterations, Pe = P(decision total < 0)
+    averaged over variable NODES (ties at 0 decide bit 0 = correct under
+    the all-zeros convention, matching golden 'bit = 1 iff total < 0').
     """
     Q = qmax
     assert len(chan_pmf) == 2 * Q + 1
+    lam, rho, vnode = spectra.lam, spectra.rho, spectra.vnode
+    max_dv, max_dc = spectra.max_dv, spectra.max_dc
 
-    def pe_decision(c2v):
+    def pe_and_v2c(c2v):
+        """One wide accumulation chain serves every degree: acc_k = pmf of
+        chan + k iid c2v (exact, no intermediate saturation — the pinned VN
+        rule). v2c mix saturates acc_{d-1}; Pe averages P(acc_d < 0)."""
         acc = chan_pmf.copy()
-        for _ in range(dv):
+        v2c_mix = np.zeros(2 * Q + 1)
+        if max_dv >= 1 and lam[1]:
+            v2c_mix += lam[1] * acc  # degree-1 VN: v2c = chan (0 others)
+        pe = 0.0
+        for k in range(1, max_dv + 1):
             acc = np.convolve(acc, c2v)
-        C = (len(acc) - 1) // 2
-        return float(acc[:C].sum())
+            C = (len(acc) - 1) // 2
+            if vnode[k]:
+                pe += vnode[k] * float(acc[:C].sum())
+            if k + 1 <= max_dv and lam[k + 1]:
+                v2c_mix += lam[k + 1] * _sat_center(acc, Q)
+        return pe, v2c_mix
 
+    def cn_mix(v2c):
+        """Mixture over check degrees of the exclude-self fold + the pinned
+        magnitude transform. fold_k = pmf of signed min over k messages."""
+        out = np.zeros(2 * Q + 1)
+        if max_dc >= 1 and rho[1]:
+            # degree-1 check: empty exclusion set = +qmax (golden rule)
+            spike = np.zeros(2 * Q + 1)
+            spike[Q + Q] = 1.0
+            out += rho[1] * _cn_mag_transform(spike, Q, beta, alpha)
+        fold = v2c.copy()  # fold of 1 message
+        for d in range(2, max_dc + 1):
+            if rho[d]:
+                out += rho[d] * _cn_mag_transform(fold, Q, beta, alpha)
+            if d < max_dc:
+                fold = _cn_pair(fold, v2c, Q)
+        return out
+
+    # initial v2c mix: every edge carries the channel pmf
     v2c = chan_pmf.copy()
     traj = [float(chan_pmf[:Q].sum())]
     for _ in range(iters):
-        folded = v2c
-        for _ in range(dc - 2):
-            folded = _cn_pair(folded, v2c, Q)
-        c2v = _cn_mag_transform(folded, Q, beta, alpha)
-        v2c = _vn_conv(chan_pmf, c2v, dv - 1, Q)
+        c2v = cn_mix(v2c)
+        pe, v2c = pe_and_v2c(c2v)
         # Renormalize: the per-iteration roundoff in the fold/conv chain is
         # ~1e-16 but amplifies ~(dc-1+2(dv-1))x per iteration — without this
         # the drift overflows float64 within ~60 iterations.
         np.maximum(v2c, 0.0, out=v2c)
         v2c /= v2c.sum()
-        traj.append(pe_decision(c2v))
+        traj.append(pe)
         if traj[-1] < 1e-12:
             break
     return np.asarray(traj)
+
+
+def _sat_center(acc: np.ndarray, Q: int) -> np.ndarray:
+    """Clip a centered wide pmf to [-Q, Q] (tail mass onto the edges)."""
+    C = (len(acc) - 1) // 2
+    if C <= Q:
+        out = np.zeros(2 * Q + 1)
+        out[Q - C: Q + C + 1] = acc
+        return out
+    out = acc[C - Q: C + Q + 1].copy()
+    out[0] += acc[: C - Q].sum()
+    out[-1] += acc[C + Q + 1:].sum()
+    return out
+
+
+def de_pe_trajectory(chan_pmf: np.ndarray, dv: int, dc: int,
+                     beta: int = 0, alpha: Optional[Tuple[int, int]] = None,
+                     qmax: int = 127, iters: int = 100) -> np.ndarray:
+    """Decision-error-probability trajectory of quantized min-sum DE
+    ((dv, dc)-regular special case of de_pe_trajectory_spectra)."""
+    return de_pe_trajectory_spectra(chan_pmf, regular_spectra(dv, dc),
+                                    beta, alpha, qmax, iters)
+
+
+def de_threshold_awgn_spectra(
+        spectra: DegreeSpectra, quant: QuantConfig, beta: int = 0,
+        alpha: Optional[Tuple[int, int]] = None,
+        iters: int = 100, target: float = 1e-7, tol: float = 2e-3,
+        bracket: Tuple[float, float] = (0.3, 1.5)) -> float:
+    """Largest AWGN sigma at which irregular DE drives Pe below target
+    (bisection). Eb/N0 at rate R: -20*log10(sigma*sqrt(2R))."""
+    lo, hi = bracket
+
+    def ok(sigma):
+        pe = de_pe_trajectory_spectra(chan_pmf_awgn(sigma, quant), spectra,
+                                      beta, alpha, quant.qmax, iters)
+        return pe[-1] < target
+
+    assert ok(lo), "bracket low end must converge"
+    while hi - lo > tol:
+        mid = (lo + hi) / 2
+        lo, hi = (mid, hi) if ok(mid) else (lo, mid)
+    return lo
 
 
 def de_threshold_awgn(dv: int, dc: int, quant: QuantConfig,
@@ -225,11 +432,22 @@ def de_threshold_awgn(dv: int, dc: int, quant: QuantConfig,
                       bracket: Tuple[float, float] = (0.3, 1.5)) -> float:
     """Largest AWGN sigma at which DE drives Pe below target (bisection).
     Eb/N0 at rate R: -20*log10(sigma*sqrt(2R))."""
+    return de_threshold_awgn_spectra(regular_spectra(dv, dc), quant, beta,
+                                     alpha, iters, target, tol, bracket)
+
+
+def de_threshold_bsc_spectra(
+        spectra: DegreeSpectra, quant: QuantConfig, beta: int = 0,
+        alpha: Optional[Tuple[int, int]] = None,
+        iters: int = 100, target: float = 1e-7, tol: float = 1e-4,
+        bracket: Tuple[float, float] = (1e-3, 0.4)) -> float:
+    """Largest BSC flip probability at which irregular quantized min-sum DE
+    converges."""
     lo, hi = bracket
 
-    def ok(sigma):
-        pe = de_pe_trajectory(chan_pmf_awgn(sigma, quant), dv, dc, beta,
-                              alpha, quant.qmax, iters)
+    def ok(p):
+        pe = de_pe_trajectory_spectra(chan_pmf_bsc(p, quant), spectra,
+                                      beta, alpha, quant.qmax, iters)
         return pe[-1] < target
 
     assert ok(lo), "bracket low end must converge"
@@ -246,15 +464,5 @@ def de_threshold_bsc(dv: int, dc: int, quant: QuantConfig,
                      tol: float = 1e-4,
                      bracket: Tuple[float, float] = (1e-3, 0.4)) -> float:
     """Largest BSC flip probability at which quantized min-sum DE converges."""
-    lo, hi = bracket
-
-    def ok(p):
-        pe = de_pe_trajectory(chan_pmf_bsc(p, quant), dv, dc, beta,
-                              alpha, quant.qmax, iters)
-        return pe[-1] < target
-
-    assert ok(lo), "bracket low end must converge"
-    while hi - lo > tol:
-        mid = (lo + hi) / 2
-        lo, hi = (mid, hi) if ok(mid) else (lo, mid)
-    return lo
+    return de_threshold_bsc_spectra(regular_spectra(dv, dc), quant, beta,
+                                    alpha, iters, target, tol, bracket)

@@ -127,6 +127,10 @@ def main():
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
+        # NOT sharey-labeled as one metric: the wifi panel counts info-bit
+        # errors, the regular array code has no systematic encoder so its
+        # panel counts codeword-bit errors over all n bits (advisor
+        # finding, round 2) — label each panel with its own metric.
         fig, axes = plt.subplots(1, 2, figsize=(11, 4.5), sharey=True)
         panels = [("802.11n n=648 r=1/2 (irregular)",
                    ["uncoded", "bit-flip", "gallager-b", "min-sum-8bit"]),
@@ -142,6 +146,8 @@ def main():
             ax.grid(True, which="both", alpha=0.3)
             ax.legend()
         axes[0].set_ylabel("info BER")
+        axes[1].set_ylabel("codeword BER (all n bits)")
+        axes[1].yaxis.set_label_position("right")
         fig.tight_layout()
         fig.savefig(args.out + ".png", dpi=120)
     except Exception as e:  # matplotlib optional
