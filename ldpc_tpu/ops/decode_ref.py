@@ -276,15 +276,111 @@ def _cn_update_float(v2c, mask, algorithm: str, beta: float):
     return jnp.where(mask, val, 0.0)
 
 
-def make_float_decoder(
+def make_layered_float_decoder(
     code: LDPCCode,
     max_iter: int = 20,
     algorithm: str = "sum-product",
     beta: float = 0.5,
     early_term: bool = True,
 ):
-    """Batched float BP decoder (flooding): decode(llr_f32[B, n]) ->
-    (hard u8, iters i32, converged bool)."""
+    """Batched LAYERED float BP decoder — the same-schedule float bound for
+    layered fixed-point runs (golden decode_float schedule='layered'
+    semantics: all checks of a layer read the pre-layer posterior, syndrome
+    once per sweep). decode(llr_f32[B, n]) -> (hard u8, iters, conv)."""
+    lay = compile_edge_layout(code)
+    M, D, N = lay.m, lay.max_dc, lay.n
+    DUMP = M * D
+
+    if code.base is not None and code.Z is not None:
+        Z = int(code.Z)
+        layers = [np.arange(i * Z, (i + 1) * Z, dtype=np.int32)
+                  for i in range(code.m // Z)]
+    else:
+        layers = compile_layers_general(code)
+    L = len(layers)
+    Cmax = max(len(l) for l in layers)
+
+    lpos = np.full((L, Cmax, D), DUMP, np.int32)
+    lev = np.full((L, Cmax, D), N, np.int32)
+    lmask = np.zeros((L, Cmax, D), bool)
+    for li, checks in enumerate(layers):
+        for t, c in enumerate(checks):
+            m_ = lay.cn_mask[c]
+            lpos[li, t][m_] = c * D + np.nonzero(m_)[0]
+            lev[li, t] = lay.ev_dense[c]
+            lmask[li, t] = m_
+    lpos_j, lev_j, lmask_j = map(jnp.asarray, (lpos, lev, lmask))
+    ev = jnp.asarray(lay.ev_dense)
+
+    def decode(chan: jnp.ndarray):
+        B = chan.shape[0]
+        chan = chan.astype(jnp.float32)
+        c2v0 = jnp.zeros((B, M * D + 1), jnp.float32)
+        post0 = jnp.pad(chan, ((0, 0), (0, 1)))
+        hard0 = chan < 0
+        done0 = (_syndrome_ok(
+            jnp.pad(hard0.astype(jnp.int32), ((0, 0), (0, 1))), ev)
+            if early_term else jnp.zeros(B, bool))
+        iters0 = jnp.zeros(B, jnp.int32)
+
+        def layer_body(l, state):
+            c2v_flat, post_pad = state
+            pos, evl, mk = lpos_j[l], lev_j[l], lmask_j[l]
+            c2v_l = c2v_flat[:, pos]
+            v2c = post_pad[:, evl] - c2v_l
+            new = _cn_update_float(v2c, mk, algorithm, beta)
+            delta = jnp.where(mk, new - c2v_l, 0.0)
+            post_pad = post_pad.at[:, evl.reshape(-1)].add(
+                delta.reshape(B, -1))
+            c2v_flat = c2v_flat.at[:, pos.reshape(-1)].set(
+                new.reshape(B, -1))
+            return c2v_flat, post_pad
+
+        def body(carry):
+            it, c2v_flat, post_pad, hard, done, iters = carry
+            c2v_new, post_new = jax.lax.fori_loop(
+                0, L, layer_body, (c2v_flat, post_pad))
+            hard_new = post_new[:, :N] < 0
+            ok_new = _syndrome_ok(
+                jnp.pad(hard_new.astype(jnp.int32), ((0, 0), (0, 1))), ev)
+            c2v_flat = jnp.where(done[:, None], c2v_flat, c2v_new)
+            post_pad = jnp.where(done[:, None], post_pad, post_new)
+            hard = jnp.where(done[:, None], hard, hard_new)
+            iters = iters + (~done).astype(jnp.int32)
+            done = done | ok_new if early_term else done
+            return it + 1, c2v_flat, post_pad, hard, done, iters
+
+        carry = (jnp.int32(0), c2v0, post0, hard0, done0, iters0)
+        if early_term:
+            carry = jax.lax.while_loop(
+                lambda c: (c[0] < max_iter) & ~jnp.all(c[4]), body, carry)
+        else:
+            carry = jax.lax.fori_loop(0, max_iter,
+                                      lambda _, c: body(c), carry)
+        _, _, post_pad, hard, done, iters = carry
+        conv = done if early_term else _syndrome_ok(
+            jnp.pad(hard.astype(jnp.int32), ((0, 0), (0, 1))), ev)
+        return hard.astype(jnp.uint8), iters, conv
+
+    return decode
+
+
+def make_float_decoder(
+    code: LDPCCode,
+    max_iter: int = 20,
+    algorithm: str = "sum-product",
+    beta: float = 0.5,
+    early_term: bool = True,
+    schedule: str = "flooding",
+):
+    """Batched float BP decoder: decode(llr_f32[B, n]) ->
+    (hard u8, iters i32, converged bool). schedule='layered' dispatches to
+    make_layered_float_decoder."""
+    if schedule == "layered":
+        return make_layered_float_decoder(code, max_iter, algorithm, beta,
+                                          early_term)
+    if schedule != "flooding":
+        raise ValueError(schedule)
     lay = compile_edge_layout(code)
     M, D, N = lay.m, lay.max_dc, lay.n
     ev = jnp.asarray(lay.ev_dense)

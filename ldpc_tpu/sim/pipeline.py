@@ -71,8 +71,6 @@ def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
     if is_float_mode(cfg):
         from ..ops.decode_ref import make_float_decoder
         alg = cfg.decoder.algorithm.replace("-float", "")
-        if cfg.decoder.schedule != "flooding":
-            raise ValueError("float decoders support the flooding schedule")
         if alg == "normalized-min-sum":
             # the float NMS factor rides the beta slot (see _cn_update_float)
             beta_f = cfg.quant.alpha_num / (1 << cfg.quant.alpha_shift)
@@ -80,7 +78,8 @@ def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
             beta_f = cfg.quant.beta_lsb / cfg.quant.scale  # LLR-domain offset
         return make_float_decoder(
             code, max_iter=cfg.decoder.max_iter, algorithm=alg, beta=beta_f,
-            early_term=cfg.decoder.early_term), "jnp-float"
+            early_term=cfg.decoder.early_term,
+            schedule=cfg.decoder.schedule), "jnp-float"
 
     chosen_bt = [1]  # batch-tile granularity of the built decoder
 
