@@ -238,14 +238,27 @@ def make_stream_decoder(
         # No int16-to-fit fallback for D > 12: the widen/narrow penalty
         # scales with layer degree and loses to non-resident streaming
         # there (NR BG1 measured above).
+    stream_et = False
     if early_term:
-        # ET needs every posterior in VMEM for the syndrome pass plus the
-        # hard-bit latch buffer — resident-only.
-        if resident is False:
-            raise ValueError(f"{code.name}: early_term requires the "
-                             f"resident streaming kernel")
-        resident = True
-    if resident is None:
+        # Two ET variants: the resident kernel (posteriors + latch in VMEM
+        # — fastest, n=16200-class) where its footprint fits; otherwise the
+        # SLOT-STREAMING ET kernel (round-3: only the int8 hard-bit state
+        # `hl` is resident, so the n=64800 regime is in-domain).
+        if not use_static:
+            raise ValueError(
+                f"{code.name}: early_term requires the static-unrolled "
+                f"stream path (even mb, or even max_iter)")
+        if resident is None:
+            resident = res_pb is not None
+            stream_et = not resident
+        elif resident:
+            if res_pb is None:
+                raise ValueError(
+                    f"{code.name}: resident-ET tile footprint exceeds the "
+                    f"{res_cap_bytes >> 20} MB scoped-VMEM cap")
+        else:
+            stream_et = True
+    elif resident is None:
         resident = res_pb is not None
     elif resident:
         if not use_static:
@@ -262,6 +275,17 @@ def make_stream_decoder(
     post_dtype = jnp.int16 if (posterior_i16 and i16_ok) else _C
     post_bytes = 2 if post_dtype == jnp.int16 else 4
     res_limit = _res_limit(post_bytes)
+    # Slot-streaming ET footprint: slot buffers + the int8 hard-bit state.
+    # The Mosaic stack demand of the syndrome/blend passes is granted at 3x
+    # state (hardware-calibrated headroom class; resident-ET's demand
+    # saturated near 2x its state) and must stay inside the verified-safe
+    # <=~42 MB window — n=64800 at Bt=128 is ~10 MB of state, well inside.
+    et_state = (2 * D * Z * batch_tile * (post_bytes + msg_bytes)
+                + nb * Z * batch_tile * hl_bytes)
+    if stream_et and et_state * 2 > 42 * 2 ** 20:
+        raise ValueError(
+            f"{code.name}: stream-ET state {et_state >> 20} MB exceeds the "
+            f"verified-safe scoped-VMEM window at batch_tile={batch_tile}")
 
     total = max_iter * mb
 
@@ -830,6 +854,224 @@ def make_stream_decoder(
         st.wait()
         st2.wait()
 
+    def kernel_stream_et(c2v_in_ref, post_in_ref, post_ref, c2v_ref,
+                         hard_ref, stats_ref,
+                         pbuf, cbuf, hl, mbuf, pf, pw, cf, cw, hsem, ssem):
+        """SLOT-STREAMING kernel with golden-exact per-lane early
+        termination — the n=64800 regime where the resident-ET footprint
+        faults the chip (round-2 VERDICT item 1).
+
+        No posterior residency: one (nb, Z, Bt) int8 buffer `hl` is both
+        the hard-bit LATCH and the syndrome STATE. Each layer's emit blends
+        the just-updated posterior signs into hl under the per-lane done
+        mask (done lanes keep their first-converged bits; unconverged lanes
+        track end-of-iteration signs exactly, because every column's last
+        writer in the sweep is the last layer touching it). The syndrome
+        is then a pure-VMEM pass over hl (mb*D static rotations + XORs) —
+        zero extra HBM traffic, riding under the DMA shadow of the
+        HBM-bound sweep. Once every lane is done, whole loop bodies skip
+        under pl.when (granularity: k_unroll decoding iterations).
+
+        DMA accounting at dynamic exit (skipped bodies form a suffix):
+        every active body waits the previous body's layer-(mb-1)
+        writebacks and starts an UNCONDITIONAL layer-0 prefetch at its last
+        global layer, so at the epilogue exactly one layer-0 fetch into
+        slot 0 dangles (from the last active body, or from the prologue if
+        no body ran — the prologue additionally fetched the forwarded
+        posterior entries, waited under n_act0 == 0), and one layer-(mb-1)
+        writeback set dangles iff any body ran.
+        """
+        t = pl.program_id(0)
+
+        def pF(slot, col, s):
+            return pltpu.make_async_copy(post_ref.at[t, col],
+                                         pbuf.at[slot, s], pf.at[slot, s])
+
+        def pW(slot, col, s):
+            return pltpu.make_async_copy(pbuf.at[slot, s],
+                                         post_ref.at[t, col],
+                                         pw.at[slot, s])
+
+        def cF(slot, l):
+            d = len(LAYERS[l])
+            return pltpu.make_async_copy(
+                c2v_ref.at[t, pl.ds(layer_off[l], d)],
+                cbuf.at[slot, pl.ds(0, d)], cf.at[slot])
+
+        def cW(slot, l):
+            d = len(LAYERS[l])
+            return pltpu.make_async_copy(
+                cbuf.at[slot, pl.ds(0, d)],
+                c2v_ref.at[t, pl.ds(layer_off[l], d)], cw.at[slot])
+
+        one32 = jnp.array(1, _C)
+
+        # ---- init: hl <- channel signs (pipelined streaming pass over all
+        # posterior columns, 2*D fetches in flight through the slot
+        # positions; every fetch is waited, so the pf semaphores are clean
+        # for the prologue). One-time ~nb*Z*Bt*post_bytes HBM read.
+        def iF(i):
+            return pltpu.make_async_copy(post_ref.at[t, i],
+                                         pbuf.at[(i // D) % 2, i % D],
+                                         pf.at[(i // D) % 2, i % D])
+
+        depth = min(2 * D, nb)
+        for i in range(depth):
+            iF(i).start()
+        for col in range(nb):
+            iF(col).wait()
+            blk = pbuf[(col // D) % 2, col % D].astype(_C)
+            hl[col] = (blk < 0).astype(_C).astype(hl_dtype)
+            if col + depth < nb:
+                iF(col + depth).start()
+
+        def syndrome_done():
+            """(1, Bt) int32 0/1 — 1 where every parity check passes,
+            computed from the hl hard-bit state (0/1 ints: the check
+            parity is the XOR chain itself)."""
+            unsat = None
+            for l in range(mb):
+                acc = None
+                for (col, sh, e, fw) in LAYERS[l]:
+                    h = _rot_f(hl[col].astype(_C), sh)
+                    acc = h if acc is None else acc ^ h
+                u = jnp.sum(acc, axis=0, keepdims=True)
+                unsat = u if unsat is None else unsat + u
+            return (unsat == 0).astype(_C)
+
+        done0 = syndrome_done()
+        n_act0 = jnp.sum(one32 - done0)
+
+        # ---- prologue: layer 0 fully fetched into slot 0
+        for s, (col, sh, e, fw) in enumerate(LAYERS[0]):
+            pF(0, col, s).start()
+        cF(0, 0).start()
+
+        def sweep_mb(first_half, done, not_first):
+            """mb global layers of one decoding iteration (one half of the
+            body for k_unroll == 2); `done` freezes converged lanes in the
+            hl blend; `not_first` gates the cross-body DMA waits/forwards
+            (traced: bodies are themselves under pl.when)."""
+            g0 = 0 if first_half else mb
+            inv = one32 - done
+            for gi in range(mb):
+                g = g0 + gi
+                l = g % mb
+                A = g % 2
+                Bs_ = 1 - A
+                ents = LAYERS[l]
+                ln = (l + 1) % mb
+                lp = (l - 1) % mb
+
+                # 1. wait this layer's fetches (forwarded posterior blocks
+                # were only ever fetched by the prologue: g == 0 on the
+                # first body).
+                for s, (col, sh, e, fw) in enumerate(ents):
+                    if fw is None:
+                        pF(A, col, s).wait()
+                    elif g == 0:
+                        @pl.when(jnp.logical_not(not_first))
+                        def _(col=col, s=s):
+                            pF(0, col, s).wait()
+                cF(A, l).wait()
+
+                # 2. forward shared posterior blocks from the previous
+                # global layer's slot
+                for s, (col, sh, e, fw) in enumerate(ents):
+                    if fw is not None:
+                        if g == 0:
+                            @pl.when(not_first)
+                            def _(s=s, fw=fw):
+                                pbuf[A, s] = pbuf[Bs_, fw]
+                        else:
+                            pbuf[A, s] = pbuf[Bs_, fw]
+
+                # 3. drain the previous global layer's writebacks from the
+                # other slot, then prefetch the next global layer into it
+                # (overlaps this layer's compute).
+                def wb_waits(lp=lp, Bs_=Bs_):
+                    for s2, (c2, _s, e2, _f) in enumerate(LAYERS[lp]):
+                        pW(Bs_, c2, s2).wait()
+                    cW(Bs_, lp).wait()
+
+                def next_fetches(ln=ln, Bs_=Bs_):
+                    for s2, (c2, _s, e2, f2) in enumerate(LAYERS[ln]):
+                        if f2 is None:
+                            pF(Bs_, c2, s2).start()
+                    cF(Bs_, ln).start()
+
+                if g == 0:
+                    @pl.when(not_first)
+                    def _():
+                        wb_waits()
+                    next_fetches()
+                elif g == L_body - 1:
+                    wb_waits()
+                    next_fetches()  # unconditional: dynamic exit
+                else:
+                    wb_waits()
+                    next_fetches()
+
+                # 4. CN update + hl blend (done lanes stay latched)
+                def emit_slot(s, col, sh, new_post, new_msg):
+                    pbuf[A, s] = new_post.astype(post_dtype)
+                    cbuf[A, s] = new_msg.astype(msg_dtype)
+                    cur = (new_post < 0).astype(_C)
+                    prev = hl[col].astype(_C)
+                    hl[col] = (prev * done + cur * inv).astype(hl_dtype)
+
+                _layer_cn(ents,
+                          lambda s, col: pbuf[A, s].astype(_C),
+                          lambda s: cbuf[A, s].astype(_C),
+                          emit_slot)
+
+                # 5. start this layer's writebacks
+                for s, (col, sh, e, fw) in enumerate(ents):
+                    pW(A, col, s).start()
+                cW(A, l).start()
+
+        def iter_body(it, carry):
+            done, iters = carry
+            n_act = jnp.sum(one32 - done)
+            not_first = it > 0
+            for half in range(k_unroll):
+                @pl.when(n_act > 0)
+                def _(half=half, done=done, not_first=not_first):
+                    sweep_mb(half == 0, done, not_first)
+                iters = iters + (one32 - done)
+                done = jnp.maximum(done, syndrome_done())
+            return done, iters
+
+        done, iters = jax.lax.fori_loop(
+            0, n_loop, iter_body,
+            (done0, jnp.zeros((1, batch_tile), _C)))
+
+        # ---- epilogue: drain dangling DMAs (see accounting note above)
+        for s, (col, sh, e, fw) in enumerate(LAYERS[0]):
+            if fw is None:
+                pF(0, col, s).wait()
+            else:
+                @pl.when(n_act0 == 0)
+                def _(col=col, s=s):
+                    pF(0, col, s).wait()
+        cF(0, 0).wait()
+        AE = (L_body - 1) % 2
+
+        @pl.when(n_act0 > 0)
+        def _():
+            for s, (col, sh, e, fw) in enumerate(LAYERS[mb - 1]):
+                pW(AE, col, s).wait()
+            cW(AE, mb - 1).wait()
+
+        mbuf[0] = iters
+        mbuf[1] = done
+        st = pltpu.make_async_copy(hl, hard_ref.at[t], hsem)
+        st.start()
+        st2 = pltpu.make_async_copy(mbuf, stats_ref.at[t], ssem)
+        st2.start()
+        st.wait()
+        st2.wait()
+
     lcols_j, lshifts_j = jnp.asarray(lcols), jnp.asarray(lshifts)
     lmask_j, lent_j = jnp.asarray(lmask), jnp.asarray(lent)
     fwd_j, pfetch_j = jnp.asarray(fwd), jnp.asarray(pfetch)
@@ -932,6 +1174,45 @@ def make_stream_decoder(
             iters = stats[:, 0, 0].reshape(B)
             conv = stats[:, 1, 0].reshape(B).astype(bool)
             return hard, iters, conv
+        if stream_et:
+            gs = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0,
+                grid=(n_tiles,),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+                out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+                scratch_shapes=[
+                    pltpu.VMEM((2, D, Z, batch_tile), post_dtype),  # pbuf
+                    pltpu.VMEM((2, D, Z, batch_tile), msg_dtype),   # cbuf
+                    pltpu.VMEM((nb, Z, batch_tile), hl_dtype),      # hl
+                    pltpu.VMEM((2, 1, batch_tile), _C),             # mbuf
+                    pltpu.SemaphoreType.DMA((2, D)),                # pf
+                    pltpu.SemaphoreType.DMA((2, D)),                # pw
+                    pltpu.SemaphoreType.DMA((2,)),                  # cf
+                    pltpu.SemaphoreType.DMA((2,)),                  # cw
+                    pltpu.SemaphoreType.DMA,                        # hsem
+                    pltpu.SemaphoreType.DMA,                        # ssem
+                ],
+            )
+            _, _, hl_out, stats = pl.pallas_call(
+                kernel_stream_et,
+                out_shape=out_shape + [
+                    jax.ShapeDtypeStruct((n_tiles, nb, Z, batch_tile),
+                                         hl_dtype),
+                    jax.ShapeDtypeStruct((n_tiles, 2, 1, batch_tile), _C),
+                ],
+                grid_spec=gs,
+                input_output_aliases={1: 0, 0: 1},
+                compiler_params=pltpu.CompilerParams(
+                    has_side_effects=True,
+                    vmem_limit_bytes=min(40 * 2 ** 20,
+                                         max(16 * 2 ** 20, et_state * 3))),
+                interpret=interpret,
+            )(c2v_init, post_init)
+            hard = (hl_out.transpose(0, 3, 1, 2)
+                    .reshape(B, n).astype(jnp.uint8))
+            iters = stats[:, 0, 0].reshape(B)
+            conv = stats[:, 1, 0].reshape(B).astype(bool)
+            return hard, iters, conv
         if resident:
             gs = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=0,
@@ -996,6 +1277,7 @@ def make_stream_decoder(
         return hard, iters, conv
 
     decode.variant = ("resident-et" if (resident and early_term)
+                      else "stream-et" if stream_et
                       else "resident" if resident
                       else "static" if use_static else "dynamic")
     decode.post_dtype = post_dtype

@@ -112,9 +112,10 @@ class TestStreamKernel:
 
     def test_et_admission_gate(self, monkeypatch):
         """ET + layered dispatch: n=16200 fits the hardware-verified VMEM
-        window and gets the resident-ET stream kernel; n=64800's ET
-        footprint exceeds it (69 MiB Mosaic demand faulted the chip —
-        docs/PERFORMANCE.md) and must fall back to the QC-XLA ET path."""
+        window and gets the resident-ET stream kernel; n=64800's
+        resident-ET footprint exceeds it (69 MiB Mosaic demand faulted the
+        chip — docs/PERFORMANCE.md) and takes the round-3 SLOT-STREAMING ET
+        kernel instead (only the int8 hard-bit state is VMEM-resident)."""
         import dataclasses
         import jax
         import ldpc_tpu.sim.pipeline as pl_mod
@@ -124,8 +125,8 @@ class TestStreamKernel:
         cfg = PRESETS["dvbs2-64800-r12"]
         cfg = dataclasses.replace(
             cfg, decoder=dataclasses.replace(cfg.decoder, early_term=True))
-        _, backend = pl_mod.select_decoder(build_code(cfg), cfg)
-        assert backend == "qc-jnp"
+        dec, backend = pl_mod.select_decoder(build_code(cfg), cfg)
+        assert backend == "pallas-stream" and dec.variant == "stream-et"
         cfg16 = dataclasses.replace(
             cfg, code=dataclasses.replace(cfg.code, n=16200))
         dec, backend = pl_mod.select_decoder(build_code(cfg16), cfg16)
@@ -315,6 +316,95 @@ class TestStreamKernelET:
         np.testing.assert_array_equal(h, ho)
         np.testing.assert_array_equal(it, ito)
         np.testing.assert_array_equal(cv, cvo)
+
+
+class TestStreamKernelSlotET:
+    """Round-3 SLOT-STREAMING early-termination kernel (kernel_stream_et):
+    no posterior residency — a single VMEM int8 hard-bit buffer doubles as
+    per-lane latch and syndrome state (blended under the done mask at each
+    layer's emit), the per-iteration syndrome is a pure-VMEM pass, and
+    whole bodies skip once every lane converges. This is the n=64800
+    DVB-S2 regime where resident-ET's footprint faults the chip. Must
+    match the QC layered early_term reference EXACTLY."""
+
+    @staticmethod
+    def _noisy_llrs(rng, B, n, mu, sd):
+        x = rng.normal(mu, sd, size=(B, n))
+        return np.clip(np.round(x), -127, 127).astype(np.int8)
+
+    def test_slot_et_bitexact_even_mb(self, rng):
+        from ldpc_tpu.codes.ieee80211n import make_code
+        from ldpc_tpu.kernels.minsum_stream import make_stream_decoder
+        code = make_code(648, "1/2")  # mb=12 even; Z=27 -> int32 storage
+        chan = self._noisy_llrs(rng, 256, code.n, 18, 16)  # 2 tiles
+        dec = make_stream_decoder(code, max_iter=8, beta=2, qmax=127,
+                                  batch_tile=128, interpret=True,
+                                  early_term=True, resident=False)
+        assert dec.variant == "stream-et"
+        ref = make_qc_decoder(code, max_iter=8, beta=2, qmax=127,
+                              schedule="layered", early_term=True)
+        h, it, cv = map(np.asarray, dec(jnp.asarray(chan)))
+        ho, ito, cvo = map(np.asarray, ref(jnp.asarray(chan)))
+        assert 0.05 < cvo.mean() < 1.0 and len(np.unique(ito)) >= 3, \
+            "test must exercise varied per-lane convergence"
+        np.testing.assert_array_equal(h, ho)
+        np.testing.assert_array_equal(it, ito)
+        np.testing.assert_array_equal(cv, cvo)
+
+    def test_slot_et_bitexact_odd_mb(self, rng):
+        """Odd mb (two decoding iterations per body, like DVB-S2 n=16200):
+        syndrome/blend must run after EACH half and the DMA accounting stays
+        body-granular."""
+        from ldpc_tpu.codes.toy import toy_qc_odd
+        from ldpc_tpu.kernels.minsum_stream import make_stream_decoder
+        code = toy_qc_odd(16)
+        chan = self._noisy_llrs(rng, 128, code.n, 20, 14)
+        dec = make_stream_decoder(code, max_iter=4, beta=2, qmax=127,
+                                  batch_tile=128, interpret=True,
+                                  early_term=True, resident=False)
+        assert dec.variant == "stream-et"
+        ref = make_qc_decoder(code, max_iter=4, beta=2, qmax=127,
+                              schedule="layered", early_term=True)
+        h, it, cv = map(np.asarray, dec(jnp.asarray(chan)))
+        ho, ito, cvo = map(np.asarray, ref(jnp.asarray(chan)))
+        assert len(np.unique(ito)) >= 2
+        np.testing.assert_array_equal(h, ho)
+        np.testing.assert_array_equal(it, ito)
+        np.testing.assert_array_equal(cv, cvo)
+
+    def test_slot_et_conflict_forwarding(self, rng):
+        """NR BG2 (dense cross-layer posterior conflicts): the forward
+        table interacts with the hl blend — every forwarded block's update
+        must still land in hl exactly once per layer."""
+        from ldpc_tpu.codes.nr_bg import make_code as make_nr
+        from ldpc_tpu.kernels.minsum_stream import make_stream_decoder
+        code = make_nr(base_graph=2, Z=16)
+        chan = self._noisy_llrs(rng, 128, code.n, 14, 18)
+        dec = make_stream_decoder(code, max_iter=6, beta=2, qmax=127,
+                                  batch_tile=128, interpret=True,
+                                  early_term=True, resident=False)
+        assert dec.variant == "stream-et"
+        ref = make_qc_decoder(code, max_iter=6, beta=2, qmax=127,
+                              schedule="layered", early_term=True)
+        h, it, cv = map(np.asarray, dec(jnp.asarray(chan)))
+        ho, ito, cvo = map(np.asarray, ref(jnp.asarray(chan)))
+        np.testing.assert_array_equal(h, ho)
+        np.testing.assert_array_equal(it, ito)
+        np.testing.assert_array_equal(cv, cvo)
+
+    def test_slot_et_zero_iteration_tile(self):
+        """A tile whose every lane is already a codeword must exit with 0
+        iterations, channel-sign hard bits, and clean DMA accounting (the
+        n_act0 == 0 epilogue branch)."""
+        from ldpc_tpu.codes.toy import toy_qc_odd
+        from ldpc_tpu.kernels.minsum_stream import make_stream_decoder
+        code = toy_qc_odd(16)
+        chan = np.full((128, code.n), 60, np.int8)
+        dec = make_stream_decoder(code, max_iter=4, beta=2, qmax=127,
+                                  batch_tile=128, interpret=True,
+                                  early_term=True, resident=False)
+        h, it, cv = map(np.asarray, dec(jnp.asarray(chan)))
+        assert not h.any() and (it == 0).all() and cv.all()
 
 
 class TestStreamKernelOddMb:
