@@ -24,8 +24,10 @@ def _llrs(rng, B, n):
     dict(schedule="layered", beta=0, early_term=True, max_iter=6),
     dict(schedule="layered", beta=2, early_term=False, max_iter=5),
 ])
-@pytest.mark.parametrize("code_fn", [lambda: toy_qc(4),
-                                     lambda: make_code(648, "1/2")])
+@pytest.mark.parametrize("code_fn", [
+    lambda: toy_qc(4),
+    pytest.param(lambda: make_code(648, "1/2"), marks=pytest.mark.slow),
+])
 def test_qc_decoder_bitexact(code_fn, kw, rng):
     code = code_fn()
     B = 32
@@ -79,6 +81,7 @@ class TestStreamKernel:
         np.testing.assert_array_equal(h, ho)
         np.testing.assert_array_equal(cv, cvo)
 
+    @pytest.mark.slow
     def test_unaligned_z_dynamic_rejected_static_works(self, rng):
         """Round 2: the static-unrolled kernel (compile-time shifts/indices)
         lifts the Z % 8 == 0 restriction; only the dynamic fallback keeps
@@ -133,6 +136,7 @@ class TestStreamKernel:
         assert backend == "pallas-stream" and dec.variant == "resident-et"
 
 
+@pytest.mark.slow
 class TestStreamKernelPipelined:
     """Round-2 pipelined stream kernel: the conflict-aware forward table
     must preserve bit-exactness on codes where consecutive layers genuinely
@@ -168,6 +172,7 @@ class TestStreamKernelPipelined:
         np.testing.assert_array_equal(cv, cvo)
 
 
+@pytest.mark.slow
 def test_stream_static_equals_dynamic(rng):
     """Static-unrolled and dynamic stream kernels must agree bit-for-bit
     where both apply (even mb, Z % 8 == 0)."""
@@ -187,6 +192,7 @@ def test_stream_static_equals_dynamic(rng):
     np.testing.assert_array_equal(c1, c2)
 
 
+@pytest.mark.slow
 def test_stream_posterior_width_equivalence(rng):
     """int16 posterior storage (round 2: halves the dominant HBM stream)
     must be bit-identical to int32 — the bound |post| <= (dv+1)*qmax makes
@@ -205,6 +211,7 @@ def test_stream_posterior_width_equivalence(rng):
     np.testing.assert_array_equal(outs[0][2], outs[1][2])
 
 
+@pytest.mark.slow
 class TestStreamKernelResident:
     """Round-2 posterior-resident stream kernel (kernel_resident): whole-
     tile posteriors live in VMEM, only c2v streams (one contiguous DMA per
@@ -262,6 +269,7 @@ class TestStreamKernelResident:
                                    static_unroll=False, resident=True)
 
 
+@pytest.mark.slow
 class TestStreamKernelET:
     """Round-2 early-terminating resident stream kernel (kernel_resident_et):
     per-iteration syndrome over the VMEM-resident posteriors, per-lane hard-
@@ -318,6 +326,7 @@ class TestStreamKernelET:
         np.testing.assert_array_equal(cv, cvo)
 
 
+@pytest.mark.slow
 class TestStreamKernelSlotET:
     """Round-3 SLOT-STREAMING early-termination kernel (kernel_stream_et):
     no posterior residency — a single VMEM int8 hard-bit buffer doubles as
@@ -407,6 +416,7 @@ class TestStreamKernelSlotET:
         assert not h.any() and (it == 0).all() and cv.all()
 
 
+@pytest.mark.slow
 class TestStreamKernelOddMb:
     """Odd-mb codes (DVB-S2 n=16200 r=1/2: Z=360, mb=25) take the static/
     resident kernels by unrolling two decoding iterations per fori_loop

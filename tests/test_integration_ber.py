@@ -31,6 +31,7 @@ def _point(alg, ebn0=2.0, frames=1536):
     return res.points[0]
 
 
+@pytest.mark.slow
 def test_quantization_bound_oms():
     """8-bit fixed OMS vs float OMS at 2.0 dB: overlapping 99% intervals for
     both BER and FER (the float-vs-fixed gap is within Monte-Carlo error at
@@ -47,6 +48,7 @@ def test_quantization_bound_oms():
     assert 0 < fx.frame_errs < fx.frames
 
 
+@pytest.mark.slow
 def test_waterfall_slope():
     """BER falls by >= 10x from 1.0 dB to 2.5 dB (waterfall region)."""
     lo = _point("offset-min-sum", ebn0=1.0, frames=512)

@@ -55,6 +55,7 @@ def test_toy_qc_bitexact(rng, kw):
     np.testing.assert_array_equal(conv, g_conv)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [11, 12, 13])
 def test_random_topology_bitexact(seed, rng):
     """Topology fuzz: randomly GENERATED small QC codes (random row
@@ -98,6 +99,7 @@ def test_random_topology_bitexact(seed, rng):
     dict(schedule="flooding", beta=0, early_term=False, max_iter=5),
     dict(schedule="layered", beta=2, early_term=True, max_iter=5),
 ])
+@pytest.mark.slow
 def test_wifi648_bitexact(rng, kw):
     code = make_code(648, "1/2")
     B = 4
@@ -111,6 +113,7 @@ def test_wifi648_bitexact(rng, kw):
     np.testing.assert_array_equal(conv, g_conv)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("bits", [4, 6])
 def test_low_bitwidth_bitexact(rng, bits):
     """Bit widths below the canonical 8 (the reference class exists to study
@@ -156,6 +159,7 @@ def test_all_zero_noiseless(rng):
     dict(schedule="flooding", beta=0, early_term=True, max_iter=4),
     dict(schedule="layered", beta=2, early_term=True, max_iter=3),
 ])
+@pytest.mark.slow
 def test_vreg_layout_matches_flat(rng, kw):
     """The vreg-exact (Z, Bs, 128) layout (batch_tile % 1024 == 0 — the TPU
     fast path) must be bit-identical to the flat layout on the same inputs;
@@ -175,6 +179,7 @@ def test_vreg_layout_matches_flat(rng, kw):
     np.testing.assert_array_equal(c1, c2)
 
 
+@pytest.mark.slow
 def test_vreg_layout_c2v_dtypes(rng):
     """int16/int8 c2v STORAGE must not change results (values are clipped to
     +-qmax before storing, so narrower storage is lossless)."""
@@ -259,6 +264,7 @@ class TestTwoPhaseET:
         np.testing.assert_array_equal(cv2, cv1)
 
 
+@pytest.mark.slow
 def test_pre_transposed_decode_matches(rng):
     """pre_transposed=True consumes (nb, Z, B) and must produce identical
     results to the (B, n) entry on the same logical inputs — both layouts,
@@ -286,6 +292,7 @@ def test_pre_transposed_decode_matches(rng):
         np.testing.assert_array_equal(c1, c2)
 
 
+@pytest.mark.slow
 def test_fused_io_counts_match(rng):
     """input_scale (in-kernel quantizer) + count_info_cols (in-kernel error
     counting) must reproduce exactly the external quantize + XLA counting on
@@ -325,6 +332,7 @@ def test_fused_io_counts_match(rng):
         np.testing.assert_array_equal(cv_f, cv_p)
 
 
+@pytest.mark.slow
 def test_mc_megakernel_inject_matches(rng):
     """Monte-Carlo megakernel (in-kernel info bits, QC encode, Box-Muller
     AWGN, demap, quantize, decode, count) with injected random words must
@@ -395,6 +403,7 @@ def test_mc_megakernel_inject_matches(rng):
         np.testing.assert_array_equal(cv_m, cv_p)
 
 
+@pytest.mark.slow
 def test_mc_inner_loop_matches_grid(rng):
     """mc_inner_loop=True runs every batch tile inside ONE grid step (kills
     the measured ~12.6 us/step Mosaic re-entry); with injected random words
@@ -436,6 +445,7 @@ def test_mc_inner_loop_matches_grid(rng):
     (True, 128, 256),    # flat layout, internal tile loop
     (True, 1024, 2048),  # vreg-exact layout (production run_fused default)
 ])
+@pytest.mark.slow
 def test_mc_lane_sigma_matches_scalar(inner, bt, B, rng):
     """Per-lane-sigma megakernel (the fused multi-SNR sweep mode): with
     injected random words, every lane must equal the SCALAR-sigma megakernel
@@ -484,6 +494,7 @@ def test_mc_lane_sigma_matches_scalar(inner, bt, B, rng):
     (lambda: toy_qc(4), 5),            # mb=3: odd -> unpaired tail layer
     (lambda: make_code(648, "1/2"), 4),  # mb=12: fully paired
 ])
+@pytest.mark.slow
 def test_pair_layers_bitexact(code_fn, max_iter, rng):
     """Opt-in paired flooding sweep (two base rows stacked on sublanes,
     +qmax pad slots) must equal the unpaired kernel EXACTLY — the pad can

@@ -12,6 +12,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # spawns real processes, binds ports
+
 
 def _free_port():
     s = socket.socket()

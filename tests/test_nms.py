@@ -54,6 +54,7 @@ def test_jnp_matches_golden(rng, schedule):
         assert (g.iters, g.converged) == (int(it[b]), bool(cv[b])), b
 
 
+@pytest.mark.slow
 def test_qc_and_oracle_match_golden(rng):
     from ldpc_tpu.ops.decode_qc import make_qc_decoder
     code = make_code(648, "1/2")
@@ -89,6 +90,7 @@ def test_pallas_vmem_matches_golden(rng, schedule):
         assert (g.iters, g.converged) == (int(it[b]), bool(cv[b])), b
 
 
+@pytest.mark.slow
 def test_stream_kernel_matches_oracle(rng):
     from ldpc_tpu.kernels.minsum_stream import make_stream_decoder
     code = make_code(648, "1/2")

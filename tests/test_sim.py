@@ -216,6 +216,7 @@ def test_checkpoint_config_mismatch_rejected(tmp_path):
             [2.0], max_frames=64)
 
 
+@pytest.mark.slow
 def test_fused_mc_admission():
     """Fused multi-SNR sweeps (n_points > 1) are admitted into the MC
     megakernel's per-lane-sigma mode only with rng='device' on Pallas;
