@@ -276,13 +276,28 @@ def make_stream_decoder(
     post_bytes = 2 if post_dtype == jnp.int16 else 4
     res_limit = _res_limit(post_bytes)
     # Slot-streaming ET footprint: slot buffers + the int8 hard-bit state.
-    # The Mosaic stack demand of the syndrome/blend passes is granted at 3x
-    # state (hardware-calibrated headroom class; resident-ET's demand
-    # saturated near 2x its state) and must stay inside the verified-safe
-    # <=~42 MB window — n=64800 at Bt=128 is ~10 MB of state, well inside.
+    # The syndrome pass over hl comes in two forms: fully UNROLLED (small
+    # codes) and a fori_loop over layers with traced-index hl reads and
+    # dynamic pltpu.rolls (big codes — the n=64800 fully-unrolled pass blew
+    # the Mosaic stack: 31.3 MiB demanded at a 30 MiB limit, and the demand
+    # CHASES the limit, 52.7 MiB at 40, so unrolling cannot be granted
+    # around; the looped pass keeps one layer of temporaries live). The
+    # traced-shift rolls need sublane-aligned Z, which every code in this
+    # regime has (DVB-S2 Z=360, NR Z%8==0); small unaligned-Z codes keep
+    # the unrolled pass.
+    synd_dyn = sub32_ok and n_entries > 256
     et_state = (2 * D * Z * batch_tile * (post_bytes + msg_bytes)
                 + nb * Z * batch_tile * hl_bytes)
-    if stream_et and et_state * 2 > 42 * 2 ** 20:
+    # grant: state + the static kernel's measured sweep-stack need
+    # (2.4x int32-equivalent slot buffers) + headroom, capped at the
+    # hardware-verified-safe 40 MB window
+    _et_bufs = 2 * D * Z * batch_tile * (4 + msg_bytes)
+    et_grant = min(40 * 2 ** 20,
+                   max(16 * 2 ** 20,
+                       nb * Z * batch_tile * hl_bytes
+                       + int(_et_bufs * 2.4) + 4 * 2 ** 20))
+    if stream_et and (et_state * (1.6 if synd_dyn else 3.2)
+                      > 40 * 2 ** 20):
         raise ValueError(
             f"{code.name}: stream-ET state {et_state >> 20} MB exceeds the "
             f"verified-safe scoped-VMEM window at batch_tile={batch_tile}")
@@ -854,7 +869,8 @@ def make_stream_decoder(
         st.wait()
         st2.wait()
 
-    def kernel_stream_et(c2v_in_ref, post_in_ref, post_ref, c2v_ref,
+    def kernel_stream_et(lc_ref, ls_ref, lm_ref,
+                         c2v_in_ref, post_in_ref, post_ref, c2v_ref,
                          hard_ref, stats_ref,
                          pbuf, cbuf, hl, mbuf, pf, pw, cf, cw, hsem, ssem):
         """SLOT-STREAMING kernel with golden-exact per-lane early
@@ -928,7 +944,21 @@ def make_stream_decoder(
         def syndrome_done():
             """(1, Bt) int32 0/1 — 1 where every parity check passes,
             computed from the hl hard-bit state (0/1 ints: the check
-            parity is the XOR chain itself)."""
+            parity is the XOR chain itself). Big codes run the layer loop
+            as a fori_loop (traced-index hl reads + dynamic rolls) so the
+            Mosaic stack holds ONE layer's temporaries, not mb*D — the
+            fully-unrolled n=64800 pass measured 31–53 MiB of stack."""
+            if synd_dyn:
+                def body(l, unsat):
+                    acc = jnp.zeros((Z, batch_tile), _C)
+                    for s in range(D):
+                        blk = hl[lc_ref[l, s]].astype(_C)
+                        h = pltpu.roll(blk, Z - ls_ref[l, s], 0)
+                        acc = acc ^ (h * lm_ref[l, s])
+                    return unsat + jnp.sum(acc, axis=0, keepdims=True)
+                unsat = jax.lax.fori_loop(
+                    0, mb, body, jnp.zeros((1, batch_tile), _C))
+                return (unsat == 0).astype(_C)
             unsat = None
             for l in range(mb):
                 acc = None
@@ -1176,7 +1206,7 @@ def make_stream_decoder(
             return hard, iters, conv
         if stream_et:
             gs = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=0,
+                num_scalar_prefetch=3,  # lcols/lshifts/lmask (dyn syndrome)
                 grid=(n_tiles,),
                 in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
                 out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
@@ -1201,13 +1231,11 @@ def make_stream_decoder(
                     jax.ShapeDtypeStruct((n_tiles, 2, 1, batch_tile), _C),
                 ],
                 grid_spec=gs,
-                input_output_aliases={1: 0, 0: 1},
+                input_output_aliases={4: 0, 3: 1},
                 compiler_params=pltpu.CompilerParams(
-                    has_side_effects=True,
-                    vmem_limit_bytes=min(40 * 2 ** 20,
-                                         max(16 * 2 ** 20, et_state * 3))),
+                    has_side_effects=True, vmem_limit_bytes=et_grant),
                 interpret=interpret,
-            )(c2v_init, post_init)
+            )(lcols_j, lshifts_j, lmask_j, c2v_init, post_init)
             hard = (hl_out.transpose(0, 3, 1, 2)
                     .reshape(B, n).astype(jnp.uint8))
             iters = stats[:, 0, 0].reshape(B)

@@ -1,9 +1,11 @@
-"""HW check: early-terminating resident stream kernel (kernel_resident_et)
-on DVB-S2 — does ET pay in the HBM regime?
+"""HW check: early-terminating stream kernels (resident-ET where the tile
+footprint fits, SLOT-STREAMING ET for n=64800 — round-3) on DVB-S2 — does
+ET pay in the HBM regime?
 
-Compares fixed-20 resident vs resident-et at operating SNRs (noisy all-zero
-codeword through the real quantized-LLR chain), and asserts hardware
-bit-exactness (hard bits / per-lane iters / convergence) vs the C oracle.
+Compares fixed-20 vs the dispatched ET variant at operating SNRs (noisy
+all-zero codeword through the real quantized-LLR chain), and asserts
+hardware bit-exactness (hard bits / per-lane iters / convergence) vs the
+C oracle.
 """
 import json
 import sys
@@ -49,10 +51,11 @@ def main():
         return best, out
 
     dec_fix = make_stream_decoder(code, max_iter=20, beta=2, qmax=127,
-                                  batch_tile=128, resident=True)
+                                  batch_tile=128)
     dec_et = make_stream_decoder(code, max_iter=20, beta=2, qmax=127,
                                  batch_tile=128, early_term=True)
-    assert dec_et.variant == "resident-et", dec_et.variant
+    print(json.dumps({"n": n, "fixed_variant": dec_fix.variant,
+                      "et_variant": dec_et.variant}), flush=True)
     jfix = jax.jit(lambda x: dec_fix(x))
     jet = jax.jit(lambda x: dec_et(x))
 
