@@ -355,11 +355,16 @@ def make_pallas_decoder(
             # plain VPU op. done=1 freezes a lane (golden early-term semantics).
             if mc_mode:
                 if not inject_random:
-                    # Mosaic's prng_seed takes at most TWO 32-bit words: fold the
-                    # stream slot and the grid tile index in with odd-constant
-                    # multiplies (distinct (seed, stream, tile) -> distinct pair).
-                    mix = (seed_ref[2] * jnp.int32(-1640531527)      # 0x9E3779B9
-                           + tile_idx * jnp.int32(-2048144789))  # 0x85EBCA6B
+                    # Mosaic's prng_seed takes at most TWO 32-bit words: fold
+                    # the GLOBAL tile index in with an odd-constant multiply
+                    # (distinct (seed, tile) -> distinct pair). seed word 2
+                    # is the tile BASE (round-3: a mesh shard passes
+                    # shard_index * tiles_per_shard so device streams are
+                    # disjoint AND continue the single-chip tile numbering —
+                    # same bt + same global batch = bit-identical lanes on
+                    # any mesh size; single chip passes 0, unchanged).
+                    mix = ((seed_ref[2] + tile_idx)
+                           * jnp.int32(-2048144789))  # 0x85EBCA6B
                     pltpu.prng_seed(seed_ref[0] ^ mix,
                                     seed_ref[1] + mix)
                 if mc_lane_sigma:

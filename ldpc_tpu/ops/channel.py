@@ -245,6 +245,112 @@ def llrs_bpsk_exact(y: jnp.ndarray, sigma: float) -> jnp.ndarray:
     return demap(y, sigma, "bpsk")
 
 
+# ---------------------------------------------------------------------------
+# Batch-LAST (transposed) channel ops — the fast-path layout.
+#
+# The jitted pipeline's transposed mode runs the whole chain with the batch
+# as the TRAILING axis so the Pallas kernel's (nb, Z, B) operand is a pure
+# reshape (sim/pipeline.py; the (B, n) <-> kernel transposes cost ~1.3 ms
+# per 16k batch on v5e — docs/PERFORMANCE.md). These are native batch-last
+# implementations (round-3 VERDICT item 2: QAM was excluded from every fast
+# path), NOT transpose wrappers: B stays the minor (lane) axis through
+# every intermediate, and per-lane sigma (B,) broadcasts naturally against
+# trailing-B shapes (which is what makes fused multi-SNR sweeps compose
+# with this layout). Bit-exact vs transposing the batch-first ops — tested.
+# ---------------------------------------------------------------------------
+
+def modulate_t(bits_t: jnp.ndarray, modulation: str) -> jnp.ndarray:
+    """bits_t (n, B) in {0,1}, bit axis FIRST -> symbols batch-last.
+
+    BPSK: (n, B) real. QAM/PSK/APSK: (nsym, 2, B) with I/Q as the middle
+    axis (the batch stays minor for TPU lane efficiency)."""
+    if modulation == "bpsk":
+        return (1 - 2 * bits_t.astype(jnp.int32)).astype(jnp.float32)
+    m = BITS_PER_SYM[modulation]
+    B = bits_t.shape[-1]
+    if modulation in ("8psk", "16apsk", "32apsk"):
+        pts, labels = _constellation(modulation)
+        lut = np.zeros((1 << m, 2), np.float32)
+        for i in range(len(pts)):
+            key = 0
+            for b in range(m):
+                key = (key << 1) | int(labels[i, b])
+            lut[key] = pts[i]
+        g = bits_t.reshape(-1, m, B)  # (nsym, m, B)
+        weights = jnp.asarray([1 << (m - 1 - b) for b in range(m)],
+                              jnp.int32)
+        keys = jnp.sum(g.astype(jnp.int32) * weights[:, None], axis=1)
+        lutI, lutQ = jnp.asarray(lut[:, 0]), jnp.asarray(lut[:, 1])
+        return jnp.stack([lutI[keys], lutQ[keys]], axis=1)  # (nsym, 2, B)
+    ba = m // 2
+    levels, labels = _gray_levels(ba)
+    norm = _axis_norm(ba)
+    lut = np.zeros(1 << ba, np.float32)
+    for i in range(len(levels)):
+        key = 0
+        for b in range(ba):
+            key = (key << 1) | int(labels[i, b])
+        lut[key] = levels[i] * norm
+    g = bits_t.reshape(-1, 2, ba, B)  # (nsym, axis, ba, B)
+    weights = jnp.asarray([1 << (ba - 1 - b) for b in range(ba)], jnp.int32)
+    keys = jnp.sum(g.astype(jnp.int32) * weights[:, None], axis=2)
+    return jnp.asarray(lut)[keys]  # (nsym, 2, B)
+
+
+def awgn_t(key: jax.Array, x: jnp.ndarray, sigma) -> jnp.ndarray:
+    """AWGN for batch-LAST symbols x (..., B): sigma scalar or per-lane
+    (B,) — trailing-axis broadcasting is the natural one here."""
+    sigma = jnp.asarray(sigma, x.dtype)
+    return x + sigma * jax.random.normal(key, x.shape, x.dtype)
+
+
+def demap_t(y: jnp.ndarray, sigma, modulation: str) -> jnp.ndarray:
+    """Batch-last received symbols -> per-bit float LLRs (n, B).
+
+    y: (n, B) for BPSK, (nsym, 2, B) otherwise (modulate_t's layout).
+    sigma: scalar or per-lane (B,). Max-log, identical arithmetic to
+    `demap` (same distances, same masked min-reduces) so results are
+    bit-exact against the batch-first op."""
+    sigma = jnp.asarray(sigma, jnp.float32)
+    if modulation == "bpsk":
+        return 2.0 * y / (sigma * sigma)
+    m = BITS_PER_SYM[modulation]
+    B = y.shape[-1]
+    n0 = 2.0 * sigma * sigma  # scalar or (B,): broadcasts against (..., B)
+    big = jnp.float32(1e30)
+    if modulation in ("8psk", "16apsk", "32apsk"):
+        pts, labels = _constellation(modulation)
+        pI = jnp.asarray(pts[:, 0], jnp.float32)  # (M,)
+        pQ = jnp.asarray(pts[:, 1], jnp.float32)
+        d2 = ((y[:, 0, None, :] - pI[:, None]) ** 2
+              + (y[:, 1, None, :] - pQ[:, None]) ** 2)  # (nsym, M, B)
+        lab = np.asarray(labels, bool)  # (M, m)
+        llrs = []
+        for b in range(m):
+            m0 = jnp.min(jnp.where(jnp.asarray(~lab[:, b])[:, None], d2,
+                                   big), axis=1)
+            m1 = jnp.min(jnp.where(jnp.asarray(lab[:, b])[:, None], d2,
+                                   big), axis=1)
+            llrs.append((m1 - m0) / n0)  # (nsym, B)
+        return jnp.stack(llrs, axis=1).reshape(-1, B)  # (n, B)
+    ba = m // 2
+    levels, labels = _gray_levels(ba)
+    norm = _axis_norm(ba)
+    lev = jnp.asarray(levels * norm, jnp.float32)  # (L,)
+    lab = np.asarray(labels, bool)  # (L, ba)
+    d2 = (y[:, :, None, :] - lev[None, None, :, None]) ** 2  # (nsym,2,L,B)
+    llrs = []
+    for b in range(ba):
+        m0 = jnp.min(jnp.where(jnp.asarray(~lab[:, b])[:, None], d2, big),
+                     axis=2)
+        m1 = jnp.min(jnp.where(jnp.asarray(lab[:, b])[:, None], d2, big),
+                     axis=2)
+        llrs.append((m1 - m0) / n0)  # (nsym, 2, B)
+    # bit order per symbol: I-bits then Q-bits (modulate_t consumed
+    # (nsym, axis, ba, B))
+    return jnp.stack(llrs, axis=2).reshape(-1, B)  # (n, B)
+
+
 def bsc(key: jax.Array, bits: jnp.ndarray, p) -> jnp.ndarray:
     """Binary symmetric channel: flip each bit independently with probability
     p. The SURVEY.md §5.3 stress-test fault injector (`bitflip_channel`) —

