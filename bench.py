@@ -1,32 +1,31 @@
 """Benchmark driver — run on the real TPU chip.
 
-Measures the north-star metric (BASELINE.json:2): decoded information bits per
-second per chip on the canonical config (802.11n n=648 rate-1/2, BPSK/AWGN,
-8-bit fixed-point min-sum, flooding, 20 fixed iterations — BASELINE.json:7),
-using the full jitted pipeline (encode -> modulate -> AWGN -> demap ->
-quantize -> Pallas decode -> counters).
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "vs_prev"}.
+Default mode measures the north-star metric (BASELINE.json:2): decoded
+information bits per second per chip on the canonical config (802.11n n=648
+rate-1/2, BPSK/AWGN, 8-bit fixed-point min-sum, flooding, 20 fixed
+iterations — BASELINE.json:7), using the full jitted pipeline (encode ->
+modulate -> AWGN -> demap -> quantize -> Pallas decode -> counters), and
+prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "vs_prev"}.
 vs_baseline is value / 1e9 — the >= 1 Gbit/s/chip target (BASELINE.md row 4;
 the reference publishes no numbers, BASELINE.json:13). vs_prev is value /
-recorded-previous value (bench_baselines.json) — the SURVEY.md §4.2
-throughput-regression row: the process exits 1 when the measurement falls
-more than 15% below the recorded baseline.
+recorded-previous value (bench_baselines.json); the process exits 1 when the
+measurement falls more than 15% below the recorded baseline.
 
-Also prints (stderr) the roofline ratio: measured vs the VPU-bound model of
-docs/PERFORMANCE.md — ~14 essential int32 vector ops per base-matrix entry
-per flooding sweep at the per-op throughput measured on this chip at the
-kernel's real operand shape (scripts/microbench_rot.py opshape: 0.448 ns
-per kilo-element per op on (Z=27, 512); recalibrated round 2).
+`python bench.py --all` additionally measures and GATES the extended
+workloads (round-3 VERDICT item 4 — the hard-won DVB-S2/NR/QAM numbers must
+not silently regress): DVB-S2 n=64800 fixed + slot-streaming-ET, DVB-S2
+n=16200 resident-ET, NR BG1 Z=384 streaming, and the 16-QAM n=1944 full
+chain. One JSON line per row; exit 1 if ANY gated row regresses >15%.
+
+`python bench.py --record [--all]` re-records baselines after an
+intentional improvement.
 
 Timing methodology: the tunneled single-chip platform has bursty dispatch
-latency (observed 10 ms..200 ms for the identical program), so the metric is
-the best of several trials, each trial timing a pipelined burst of calls
+latency (observed 10 ms..200 ms for the identical program), so every metric
+is the best of several trials, each trial timing a pipelined burst of calls
 synced once by a host fetch of the scalar counters at the end.
-
-`python bench.py --record` re-records the baseline after an intentional
-improvement.
 """
+import dataclasses
 import json
 import os
 import sys
@@ -59,6 +58,80 @@ def roofline_info_bps(k: int, n: int, iters: int, entries: int,
     return k / (ns_per_cw * PIPELINE_OVERHEAD) * 1e9
 
 
+def _cfg(name):
+    """Extended-workload configs: preset + the measured operating point."""
+    from ldpc_tpu.config import PRESETS
+    if name == CONFIG:
+        return PRESETS[CONFIG]
+    if name == "dvbs2-64800-r12-stream":
+        return PRESETS["dvbs2-64800-r12"]
+    if name == "dvbs2-64800-r12-stream-et":
+        cfg = PRESETS["dvbs2-64800-r12"]
+        return dataclasses.replace(
+            cfg,
+            channel=dataclasses.replace(cfg.channel, ebn0_db=2.6),
+            decoder=dataclasses.replace(cfg.decoder, early_term=True))
+    if name == "dvbs2-16200-r12-resident-et":
+        cfg = PRESETS["dvbs2-64800-r12"]
+        return dataclasses.replace(
+            cfg,
+            code=dataclasses.replace(cfg.code, n=16200),
+            channel=dataclasses.replace(cfg.channel, ebn0_db=2.2),
+            decoder=dataclasses.replace(cfg.decoder, early_term=True))
+    if name == "nr-bg1-z384-stream":
+        return PRESETS["nr-bg1-layered"]
+    if name == "qam16-1944-chain":
+        cfg = PRESETS["multihost-qam-chain"]
+        return dataclasses.replace(
+            cfg, run=dataclasses.replace(cfg.run, mesh_shape=None))
+    raise KeyError(name)
+
+
+# name -> (batch, batch_tile, superbatches, rng, trials, reps)
+EXTENDED = {
+    "dvbs2-64800-r12-stream": (1024, 128, 1, None, 4, 2),
+    "dvbs2-64800-r12-stream-et": (1024, 128, 1, None, 4, 2),
+    "dvbs2-16200-r12-resident-et": (1024, 128, 2, None, 4, 2),
+    "nr-bg1-z384-stream": (256, 128, 4, None, 4, 2),
+    "qam16-1944-chain": (16384, 1024, 2, None, 4, 2),
+}
+
+
+def measure(name):
+    """-> (info_bps, ms_per_batch, backend_label)."""
+    import jax
+    from ldpc_tpu.ops.channel import sigma_for
+    from ldpc_tpu.sim import build_code, make_run_batch
+
+    cfg = _cfg(name)
+    if name == CONFIG:
+        batch, bt, sb, rng, trials, reps = 16384, 512, 32, "device", 10, 2
+        # rng="device": the Monte-Carlo megakernel — info bits, QC encode,
+        # Box-Muller AWGN, demap, quantize, decode and error counting all
+        # run inside the Pallas kernel off the TPU hardware PRNG
+        # (statistically validated vs the host threefry chain in
+        # scripts/diag_mc_tpu.py).
+    else:
+        batch, bt, sb, rng, trials, reps = EXTENDED[name]
+    code = build_code(cfg)
+    rb = make_run_batch(code, cfg, batch=batch,
+                        decoder_backend="auto", batch_tile=bt,
+                        superbatches=sb, rng=rng)
+    sigma = np.float32(sigma_for(cfg.channel.ebn0_db, code.rate,
+                                 cfg.channel.modulation))
+    key = jax.random.PRNGKey(0)
+    out = rb(key, sigma)                 # compile + warm up
+    acc = int(out[1])
+    best = float("inf")
+    for t in range(trials):
+        t0 = time.time()
+        for r in range(reps):
+            out = rb(jax.random.fold_in(key, t * reps + r), sigma)
+        acc += int(out[1])               # host fetch forces completion
+        best = min(best, (time.time() - t0) / (reps * sb))
+    return batch * code.k_eff / best, best * 1e3, rb.backend_label
+
+
 def main() -> None:
     import jax
 
@@ -68,76 +141,53 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from ldpc_tpu.config import PRESETS
-    from ldpc_tpu.sim import build_code, make_run_batch
-    from ldpc_tpu.ops.channel import sigma_for
+    from ldpc_tpu.sim import build_code
 
-    cfg = PRESETS[CONFIG]
-    code = build_code(cfg)
-    batch = 16384
-    # superbatches: one device call runs 32 sub-batches via fori_loop —
-    # the production sweep driver's amortization of the tunneled
-    # platform's per-call dispatch overhead (~2-3 ms, which does not exist
-    # on directly-attached hardware). Counters sum exactly.
-    superbatches = 32
-    # rng="device": the Monte-Carlo megakernel — info bits, QC encode,
-    # Box-Muller AWGN, demap, quantize, decode and error counting all run
-    # inside the Pallas kernel off the TPU hardware PRNG (the production
-    # single-chip fast path; statistically validated against the host
-    # threefry chain in scripts/diag_mc_tpu.py).
-    run_batch = make_run_batch(code, cfg, batch=batch,
-                               decoder_backend="auto", batch_tile=512,
-                               superbatches=superbatches, rng="device")
-    sigma = np.float32(sigma_for(cfg.channel.ebn0_db, code.rate,
-                                 cfg.channel.modulation))
-    key = jax.random.PRNGKey(0)
+    record = "--record" in sys.argv
+    run_all = "--all" in sys.argv
+    baselines = (json.load(open(BASELINES_PATH))
+                 if os.path.exists(BASELINES_PATH) else {})
 
-    out = run_batch(key, sigma)          # compile + warm up
-    bit_errs = int(out[1])
-    # Tunnel dispatch latency is bursty (same-day best-of-6 measurements
-    # ranged 1.00-1.06 Gb/s); more trials tighten the best-of estimator at
-    # ~1 s/trial.
-    trials, reps = 10, 2
-    best = float("inf")
-    for t in range(trials):
-        t0 = time.time()
-        for r in range(reps):
-            out = run_batch(jax.random.fold_in(key, t * reps + r), sigma)
-        bit_errs += int(out[1])          # host fetch forces completion
-        best = min(best, (time.time() - t0) / (reps * superbatches))
-    info_bps = batch * code.k / best
+    names = [CONFIG] + (list(EXTENDED) if run_all else [])
+    failed = []
+    for name in names:
+        info_bps, ms, backend = measure(name)
+        prev = baselines.get(name, {}).get("info_bps")
+        vs_prev = round(info_bps / prev, 4) if prev else None
+        print(json.dumps({
+            "metric": ("decoded_info_bits_per_s_per_chip" if name == CONFIG
+                       else f"info_bps[{name}]"),
+            "value": round(info_bps, 1),
+            "unit": "bit/s",
+            "vs_baseline": round(info_bps / 1e9, 4),
+            "vs_prev": vs_prev,
+        }))
+        extra = ""
+        if name == CONFIG:
+            cfg = PRESETS[CONFIG]
+            code = build_code(cfg)
+            roof = roofline_info_bps(code.k, code.n, cfg.decoder.max_iter,
+                                     entries=int((code.base >= 0).sum()),
+                                     Z=code.Z)
+            extra = (f"roofline_ratio={info_bps/roof:.2f} "
+                     f"(model {roof/1e9:.2f} Gb/s) ")
+        print(f"# config={name} backend={backend} "
+              f"platform={jax.default_backend()} ms/batch={ms:.2f} {extra}"
+              f"full pipeline", file=sys.stderr)
+        if record:
+            baselines[name] = {"info_bps": round(info_bps, 1),
+                               "recorded": time.strftime("%Y-%m-%d")}
+        elif prev and info_bps < 0.85 * prev:
+            failed.append((name, info_bps, prev))
 
-    prev = None
-    if os.path.exists(BASELINES_PATH):
-        prev = json.load(open(BASELINES_PATH)).get(CONFIG, {}).get("info_bps")
-    vs_prev = round(info_bps / prev, 4) if prev else None
-
-    print(json.dumps({
-        "metric": "decoded_info_bits_per_s_per_chip",
-        "value": round(info_bps, 1),
-        "unit": "bit/s",
-        "vs_baseline": round(info_bps / 1e9, 4),
-        "vs_prev": vs_prev,
-    }))
-    roof = roofline_info_bps(code.k, code.n, cfg.decoder.max_iter,
-                             entries=int((code.base >= 0).sum()),
-                             Z=code.Z)
-    print(f"# config={CONFIG} batch={batch} "
-          f"platform={jax.default_backend()} ms/batch={best*1e3:.2f} "
-          f"roofline_ratio={info_bps/roof:.2f} (model {roof/1e9:.2f} Gb/s) "
-          f"full pipeline encode..decode(20 it)..count", file=sys.stderr)
-
-    if "--record" in sys.argv:
-        data = (json.load(open(BASELINES_PATH))
-                if os.path.exists(BASELINES_PATH) else {})
-        data[CONFIG] = {"info_bps": round(info_bps, 1),
-                        "recorded": time.strftime("%Y-%m-%d")}
-        json.dump(data, open(BASELINES_PATH, "w"), indent=1)
-        print(f"# recorded baseline {info_bps:.3e} -> {BASELINES_PATH}",
-              file=sys.stderr)
-    elif prev and info_bps < 0.85 * prev:
-        print(f"# PERF REGRESSION: {info_bps:.3e} bit/s is "
-              f"{info_bps/prev:.1%} of the recorded baseline {prev:.3e} "
+    if record:
+        json.dump(baselines, open(BASELINES_PATH, "w"), indent=1)
+        print(f"# recorded baselines -> {BASELINES_PATH}", file=sys.stderr)
+    for name, got, prev in failed:
+        print(f"# PERF REGRESSION [{name}]: {got:.3e} bit/s is "
+              f"{got/prev:.1%} of the recorded baseline {prev:.3e} "
               f"(limit 85%)", file=sys.stderr)
+    if failed:
         sys.exit(1)
 
 

@@ -65,11 +65,20 @@ def _build_config(args) -> SimConfig:
     if args.modulation:
         chan = dataclasses.replace(chan, modulation=args.modulation)
     dec = cfg.decoder
+    if getattr(args, "auto_two_phase", False):
+        args.phase1_iters = -1
     for f, v in (("algorithm", args.algorithm), ("schedule", args.schedule),
                  ("max_iter", args.max_iter),
                  ("phase1_iters", args.phase1_iters)):
         if v:
             dec = dataclasses.replace(dec, **{f: v})
+    if args.phase1_iters:
+        if args.no_early_term:
+            raise SystemExit("--phase1-iters/--auto-two-phase require early "
+                             "termination; drop --no-early-term")
+        # two-phase/auto tuning are ET mechanisms: asking for them on an
+        # early_term=False preset means "turn ET on", not a silent no-op
+        dec = dataclasses.replace(dec, early_term=True)
     if args.no_early_term:
         dec = dataclasses.replace(dec, early_term=False)
     quant = cfg.quant
@@ -227,7 +236,10 @@ def build_parser() -> argparse.ArgumentParser:
                        default=None,
                        help="two-phase early termination: iterations before "
                             "repacking unconverged lanes (TPU operating-"
-                            "point optimization; bit-exact)")
+                            "point optimization; bit-exact); -1 = AUTO "
+                            "(probe the convergence CDF per SNR point)")
+        q.add_argument("--auto-two-phase", action="store_true",
+                       help="shorthand for --phase1-iters -1")
         q.add_argument("--no-early-term", action="store_true")
         q.add_argument("--bits", type=int, default=None)
         q.add_argument("--beta-lsb", dest="beta_lsb", type=int, default=None)

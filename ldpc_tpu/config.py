@@ -115,7 +115,10 @@ class DecoderConfig:
     # phase2_frac sizes the compacted batch (fraction of the full batch,
     # rounded up to the kernel tile); pick it a safe margin above the
     # unconverged fraction at phase1_iters (overflow falls back to a
-    # full-batch decode — exact but not faster).
+    # full-batch decode — exact but not faster). -1 = AUTO: the sweep
+    # driver probes the convergence CDF per SNR point and picks
+    # (phase1_iters, phase2_frac) itself (sim/tune.py) — never slower
+    # than single-phase by construction (falls back when it won't pay).
     phase1_iters: Optional[int] = None
     phase2_frac: float = 0.25
 

@@ -147,7 +147,10 @@ def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
     dec, label = build(cfg.decoder)
     dec.batch_tile = chosen_bt[0]  # tile granularity (mc tile-base seeding)
     p1 = cfg.decoder.phase1_iters
-    if (p1 and cfg.decoder.early_term and batch
+    # phase1_iters == -1 is the AUTO sentinel (sim/tune.py): the Sweep
+    # driver probes the convergence CDF per SNR point and rebuilds with an
+    # explicit (p1, cap); a direct build treats it as single-phase.
+    if (p1 and p1 > 0 and cfg.decoder.early_term and batch
             and p1 < cfg.decoder.max_iter):
         import dataclasses
         dec_p1, _ = build(dataclasses.replace(cfg.decoder, max_iter=p1))
@@ -156,8 +159,64 @@ def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
         g = chosen_bt[0]
         want = max(int(batch * cfg.decoder.phase2_frac), g)
         cap = min(batch, -(-want // g) * g)
-        return make_two_phase_decoder(dec_p1, dec, cap), label + "-2phase"
+        if pre_transposed:
+            # round-3: two-phase composes with the transposed fast path —
+            # lane gather/scatter on the TRAILING axis, fused counting kept
+            tp = make_two_phase_decoder_t(
+                dec_p1, dec, cap,
+                counting=fused_io is not None and fused_io[1] is not None)
+        else:
+            tp = make_two_phase_decoder(dec_p1, dec, cap)
+        tp.batch_tile = g
+        return tp, label + "-2phase"
     return dec, label
+
+
+def make_two_phase_decoder_t(dec_p1, dec_full, capacity: int,
+                             counting: bool):
+    """Two-phase ET for the TRANSPOSED (batch-last) decoders (round 3):
+    same exactness argument as make_two_phase_decoder below, with the lane
+    gather/scatter on the TRAILING axis. Composes with fused in-kernel
+    counting (counting=True): the per-lane count rows repack exactly like
+    hard bits would, so the hard bits never need to leave VMEM.
+
+    decode(llr_t[nb, Z, B], info_t[kb, Z, B]) when counting, else
+    decode(llr_t) — matching the wrapped decoders' signatures."""
+    def pad_last(x):
+        return jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (1,), x.dtype)], axis=-1)
+
+    def decode(llr_t, info_t=None):
+        B = llr_t.shape[-1]
+        args1 = (llr_t, info_t) if counting else (llr_t,)
+        out1 = dec_p1(*args1)
+        cv1 = out1[-1]
+        uncv = jnp.logical_not(cv1.astype(bool))
+        n_uncv = jnp.sum(uncv, dtype=jnp.int32)
+
+        def two_phase(_):
+            idx = jnp.nonzero(uncv, size=capacity, fill_value=B)[0]
+            llr2 = pad_last(llr_t)[..., idx]
+            args2 = (llr2, pad_last(info_t)[..., idx]) if counting \
+                else (llr2,)
+            out2 = dec_full(*args2)
+
+            def merge(a, b):
+                ap = jnp.concatenate(
+                    [a, jnp.zeros(a.shape[:-1] + (1,), a.dtype)], axis=-1)
+                return jnp.moveaxis(
+                    jnp.moveaxis(ap, -1, 0).at[idx].set(
+                        jnp.moveaxis(b, -1, 0)), 0, -1)[..., :B]
+
+            return tuple(merge(a, b) for a, b in zip(out1, out2))
+
+        def full(_):
+            return tuple(dec_full(*args1))
+
+        return jax.lax.cond(n_uncv <= capacity, two_phase, full, None)
+
+    decode.capacity = capacity
+    return decode
 
 
 def make_two_phase_decoder(dec_p1, dec_full, capacity: int):
@@ -283,11 +342,13 @@ def make_run_batch(
     # path — channel.modulate_t/awgn_t/demap_t are native batch-LAST ops,
     # and per-lane sigma (B,) broadcasts naturally against trailing-B
     # shapes, so fused multi-SNR sweeps (n_points > 1) compose too.
+    two_phase = bool(cfg.decoder.phase1_iters
+                     and cfg.decoder.phase1_iters > 0
+                     and cfg.decoder.early_term
+                     and cfg.decoder.phase1_iters < cfg.decoder.max_iter)
     transposed = (not float_mode
                   and code.n % ch.BITS_PER_SYM[mod] == 0
                   and not cfg.run.all_zeros
-                  and not (cfg.decoder.phase1_iters
-                           and cfg.decoder.early_term)
                   and not (len(code.punct_vns) or len(code.shortened_vns))
                   and code.base is not None and code.Z is not None
                   and code.n <= 4096)
@@ -314,7 +375,7 @@ def make_run_batch(
         # and CONTINUE the single-chip tile numbering (same batch_tile +
         # same global batch => bit-identical lanes on any mesh size).
         B_mc = B // mesh.size if mesh is not None else B
-        if (mod == "bpsk" and rng_mode == "device"
+        if (mod == "bpsk" and rng_mode == "device" and not two_phase
                 and fused_io[1] is not None
                 and B_mc % 128 == 0):
             from ..codes.qcstruct import detect_enc_struct
@@ -325,7 +386,7 @@ def make_run_batch(
             batch=B, pre_transposed=True, fused_io=fused_io,
             mc_batch=B_mc if mc else None,
             mc_lane_sigma=mc and n_points > 1)
-        if dec_label != "pallas":
+        if dec_label not in ("pallas", "pallas-2phase"):
             transposed = False
             mc = False
     if not transposed:

@@ -151,6 +151,14 @@ class Sweep:
         self.code = build_code(cfg)
         self.batch = batch or cfg.run.batch
         self.checkpoint_path = checkpoint_path
+        self.interpret = interpret
+        # phase1_iters == -1: AUTO two-phase ET (sim/tune.py) — the base
+        # run_batch is single-phase; run() probes the convergence CDF per
+        # SNR point and swaps in a tuned (p1, cap) build when it pays.
+        self._auto_phase = (cfg.decoder.phase1_iters == -1
+                            and cfg.decoder.early_term)
+        self._tuned_rb: Dict = {}
+        self._probe = None
         self.run_batch = make_run_batch(
             self.code, cfg, batch=self.batch, mesh=mesh,
             decoder_backend=decoder_backend, batch_tile=batch_tile,
@@ -163,6 +171,42 @@ class Sweep:
         k = jax.random.PRNGKey(self.cfg.run.seed)
         k = jax.random.fold_in(k, snr_idx)
         return jax.random.fold_in(k, batch_idx)
+
+    def _tuned_run_batch(self, snr_idx: int, sigma: float):
+        """AUTO two-phase ET (phase1_iters == -1): probe this point's
+        convergence CDF once, pick (p1, cap) with sim/tune.pick_two_phase,
+        and return a cached run_batch built with it — or the single-phase
+        base when two-phase is not predicted to pay. Counters are
+        UNCHANGED either way (two-phase restarts are bit-exact replays);
+        only wall time moves, so checkpoints/results need no tuning meta."""
+        import dataclasses
+
+        from .tune import make_iter_probe, pick_two_phase
+        if self._probe is None:
+            self._probe_batch = min(self.batch, 2048)
+            self._probe = make_iter_probe(
+                self.code, self.cfg, decoder_backend=self.backend,
+                batch=self._probe_batch, interpret=self.interpret)
+        it = np.asarray(self._probe(
+            jax.random.fold_in(self._key(snr_idx, 0), 2 ** 31 - 2),
+            np.float32(sigma)))
+        p1, frac = pick_two_phase(it, self.cfg.decoder.max_iter,
+                                  tile_frac=min(1.0, 128 / self.batch))
+        log.info("auto two-phase @snr[%d]: unconv@%s -> p1=%s cap=%s",
+                 snr_idx, {t: round(float(np.mean(it > t)), 3)
+                           for t in (2, 4, 6, 8)}, p1, frac)
+        if p1 is None:
+            return self.run_batch
+        key = (p1, round(frac, 4))
+        if key not in self._tuned_rb:
+            cfgv = dataclasses.replace(
+                self.cfg, decoder=dataclasses.replace(
+                    self.cfg.decoder, phase1_iters=p1, phase2_frac=frac))
+            self._tuned_rb[key] = make_run_batch(
+                self.code, cfgv, batch=self.batch, mesh=self.mesh,
+                decoder_backend=self.backend, batch_tile=self.batch_tile,
+                interpret=self.interpret, superbatches=self.superbatches)
+        return self._tuned_rb[key]
 
     def _resume(self, meta, points):
         """Shared checkpoint load + validation for run()/run_fused().
@@ -320,6 +364,8 @@ class Sweep:
         for si, pt in enumerate(points):
             sigma = sigma_for(pt.ebn0_db, self.code.rate,
                               self.cfg.channel.modulation)
+            run_batch = (self._tuned_run_batch(si, sigma)
+                         if self._auto_phase else self.run_batch)
 
             # Pipelined dispatch: keep up to `lookahead` device calls in
             # flight (JAX dispatch is async; only the np.asarray consume
@@ -340,8 +386,8 @@ class Sweep:
             while need_more() or inflight:
                 while (need_more() and len(inflight) < self.lookahead
                        and frames_issued < max_fr):
-                    inflight.append(self.run_batch(self._key(si, issued),
-                                                   np.float32(sigma)))
+                    inflight.append(run_batch(self._key(si, issued),
+                                              np.float32(sigma)))
                     issued += 1
                     frames_issued += frames_per_call
                 out = np.asarray(inflight.popleft())  # blocks on device
