@@ -97,7 +97,17 @@ def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
             # c2v storage, so narrow the dtype BEFORE shrinking the tile.
             # Beyond 128 lanes + int8, the HBM-resident regime (SURVEY.md
             # §5.7) takes over (DVB-S2 n=64800, NR Z=384).
-            VMEM_BUDGET = 14 * 2 ** 20
+            #
+            # Admission budget, round-3 recalibration at the verified 40 MB
+            # grant window (scripts/diag_vmem_ladder.py): estimates <= 28.9
+            # MB compile AND run under the kernel's own grant
+            # (min(40 MB, scratch*1.6 + 6 MB)) and WIN — 802.11n ET+fused
+            # bt=1024 is 3.4% over the old 14 MB ladder's bt=256, NR BG1
+            # Z=128 on the VMEM kernel at bt=128 (15.3 MB est) is 1.05x
+            # over its round-2 stream routing — while the 30.6 MB NR
+            # bt=256 estimate FAILS Mosaic compile. 29 MB splits the
+            # calibration points.
+            VMEM_BUDGET = 29 * 2 ** 20
             et = dec_cfg.early_term
             bt, dt, fits = batch_tile, jnp.int32, False
             while True:

@@ -85,16 +85,19 @@ def main():
                                       else round(s_st / s_v, 3)),
                 "error": err}), flush=True)
 
-    # --- 802.11n n=648 ET + fused-IO at big tiles: the ET+fused combo's
-    # 1.4x margin can push the estimate past 14 MB at bt=1024.
+    # --- 802.11n n=648 ET + fused-IO: the ET+fused combo's 1.4x margin
+    # pushes the estimate past 14 MB at bt>=512, so the round-2 ladder
+    # routed production ET runs to bt=256. Compare at the production
+    # batch (16384).
     if which in ("all", "wifi"):
+        Bw = 16384
         code = wifi(648, "1/2")
         nb, Z, kb = code.base.shape[1], code.Z, code.k // code.Z
-        llr_f = (rng.standard_normal((code.n, B)) * 8).astype(np.float32)
-        info = rng.integers(0, 2, (code.k, B)).astype(np.uint8)
-        llr_t = jnp.asarray(llr_f).reshape(nb, Z, B)
-        info_t = jnp.asarray(info).reshape(kb, Z, B)
-        for bt in (512, 1024):
+        llr_f = (rng.standard_normal((code.n, Bw)) * 8).astype(np.float32)
+        info = rng.integers(0, 2, (code.k, Bw)).astype(np.uint8)
+        llr_t = jnp.asarray(llr_f).reshape(nb, Z, Bw)
+        info_t = jnp.asarray(info).reshape(kb, Z, Bw)
+        for bt in (256, 512, 1024):
             est = mp.vmem_bytes(code, bt, "flooding", jnp.int32, True,
                                 fused_in=True, counting=True)
             d = jax.jit(mp.make_pallas_decoder(
