@@ -182,6 +182,13 @@ class Sweep:
         import dataclasses
 
         from .tune import make_iter_probe, pick_two_phase
+        if self.backend.startswith("pallas-stream"):
+            # HBM regime: the repack gather moves ~2 x batch x n bytes —
+            # measured to rival a whole decode sweep on n=64800 (auto 69.4
+            # vs single-phase stream-ET 67.7 ms at 1.8 dB,
+            # scripts/diag_autophase_dvb.py) — and the stream-ET kernel is
+            # already per-lane adaptive. Keep single-phase.
+            return self.run_batch
         if self._probe is None:
             self._probe_batch = min(self.batch, 2048)
             self._probe = make_iter_probe(

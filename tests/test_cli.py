@@ -120,3 +120,34 @@ def test_write_outputs_creates_directory(tmp_path):
     paths = write_outputs(res, prefix)
     import os
     assert all(os.path.exists(p) for p in paths)
+
+
+def test_bench_workload_configs_build():
+    """bench.py --all gates the extended workloads; their configs must
+    stay constructible (code family, modulation divisibility, batch/tile
+    compatibility are all checked at build time)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+    from ldpc_tpu.sim import build_code
+    for name in [bench.CONFIG] + list(bench.EXTENDED):
+        cfg = bench._cfg(name)
+        code = build_code(cfg)
+        batch = (16384 if name == bench.CONFIG else bench.EXTENDED[name][0])
+        assert batch % 128 == 0 and code.n > 0
+        if cfg.channel.modulation != "bpsk":
+            from ldpc_tpu.ops.channel import BITS_PER_SYM
+            assert code.n % BITS_PER_SYM[cfg.channel.modulation] == 0
+
+
+def test_cli_auto_two_phase_implies_early_term():
+    p = build_parser()
+    args = p.parse_args(["sweep", "--preset", "wifi-648-r12-minsum",
+                         "--auto-two-phase"])
+    cfg = _build_config(args)
+    assert cfg.decoder.phase1_iters == -1 and cfg.decoder.early_term
+    args2 = p.parse_args(["sweep", "--preset", "wifi-648-r12-minsum",
+                          "--auto-two-phase", "--no-early-term"])
+    with pytest.raises(SystemExit):
+        _build_config(args2)

@@ -125,3 +125,21 @@ def test_auto_sentinel_is_single_phase_outside_sweep():
     rb = make_run_batch(code, cfg, batch=256, decoder_backend="pallas",
                         batch_tile=128, interpret=True)
     assert rb.backend_label == "pallas"  # no "-2phase" suffix
+
+
+def test_auto_declines_for_stream_backend():
+    """HBM-regime codes keep single-phase (the repack gather rivals a
+    decode sweep — measured on n=64800, docs/PERFORMANCE.md); the tuner
+    must not even build a probe for a pallas-stream backend."""
+    from ldpc_tpu.config import PRESETS
+    from ldpc_tpu.sim import Sweep
+    cfg = PRESETS["wifi-648-r12-minsum"]
+    cfg = dataclasses.replace(
+        cfg,
+        run=dataclasses.replace(cfg.run, batch=256),
+        decoder=dataclasses.replace(cfg.decoder, early_term=True,
+                                    phase1_iters=-1, max_iter=4))
+    s = Sweep(cfg, batch=256)
+    s.backend = "pallas-stream"
+    rb = s._tuned_run_batch(0, 0.7)
+    assert rb is s.run_batch and s._probe is None
