@@ -839,15 +839,17 @@ def make_pallas_decoder(
     import math as _math
     scratch_bytes = sum(
         _math.prod(s.shape) * jnp.dtype(s.dtype).itemsize for s in scratch)
-    # Scoped-VMEM grant: scratch x1.6 Mosaic stack margin PLUS a flat 6 MB
+    # Scoped-VMEM grant: scratch x1.7 Mosaic stack margin PLUS a flat 7 MB
     # for the pallas_call IO blocks, which share the same scoped budget but
     # are not in `scratch` (a fused-IO float32 input block at tile 512 is
     # ~1.3 MB, double-buffered, plus info/output/mask blocks — the layered+
     # ET+fused-IO combination measured 17 MB demand against the bare 16 MB
-    # floor). Capped at 40 MB: grants in the verified-safe window
-    # (CLAUDE.md: the chip faults somewhere between 42 and 69 MB).
+    # floor, and n=1944 layered+ET+fused at bt=1024 demanded 26.43 MB
+    # against a 25.87 MB x1.6+6 grant, round 3). Capped at 40 MB: grants
+    # in the verified-safe window (CLAUDE.md: the chip faults somewhere
+    # between 42 and 69 MB).
     vmem_grant = min(40 * 2 ** 20,
-                     max(16 * 2 ** 20, int(scratch_bytes * 1.6)) + 6 * 2 ** 20)
+                     max(16 * 2 ** 20, int(scratch_bytes * 1.7)) + 7 * 2 ** 20)
 
     in_dtype = jnp.float32 if fused_in else jnp.int8
 

@@ -99,15 +99,17 @@ def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
             # §5.7) takes over (DVB-S2 n=64800, NR Z=384).
             #
             # Admission budget, round-3 recalibration at the verified 40 MB
-            # grant window (scripts/diag_vmem_ladder.py): estimates <= 28.9
-            # MB compile AND run under the kernel's own grant
-            # (min(40 MB, scratch*1.6 + 6 MB)) and WIN — 802.11n ET+fused
-            # bt=1024 is 3.4% over the old 14 MB ladder's bt=256, NR BG1
-            # Z=128 on the VMEM kernel at bt=128 (15.3 MB est) is 1.05x
-            # over its round-2 stream routing — while the 30.6 MB NR
-            # bt=256 estimate FAILS Mosaic compile. 29 MB splits the
-            # calibration points.
-            VMEM_BUDGET = 29 * 2 ** 20
+            # grant window (scripts/diag_vmem_ladder.py). Raised from the
+            # round-2 14 MB: NR BG1 Z=128 moves onto the VMEM kernel at
+            # bt=128 (15.3 MB est, 1.05x over its stream routing) and
+            # 802.11n ET+fused onto bt=512 (14.5 MB est, matches bt=1024's
+            # 11.5-11.9 ms within noise). NOT raised further: two
+            # admitted-at-29-MB shapes (NR bt=256 est 30.6; 802.11n n=1944
+            # layered+ET+fused bt=512 est 27.2) hit Mosaic stack OOMs whose
+            # demand CHASES the grant (26.4M@25.9 -> 33.6M@28.1), so they
+            # cannot be granted around — 22 MB keeps every measured win
+            # while excluding both.
+            VMEM_BUDGET = 22 * 2 ** 20
             et = dec_cfg.early_term
             bt, dt, fits = batch_tile, jnp.int32, False
             while True:
