@@ -128,6 +128,25 @@ def test_fused_host_rng_rides_transposed_path():
         rb(jax.random.PRNGKey(5), jnp.asarray([s0], jnp.float32))
 
 
+@pytest.mark.slow
+def test_fused_qam_sweep_transposed(rng):
+    """Fused multi-SNR + 16-QAM + host RNG through the transposed path:
+    per-lane sigma broadcasts on the trailing batch axis (the round-2
+    batch-first-only limitation). Counters per point, monotone in SNR."""
+    from ldpc_tpu.sim import build_code, make_run_batch
+    cfg = _qam_cfg(batch=256, max_iter=4)
+    code = build_code(cfg)
+    rb = make_run_batch(code, cfg, batch=256, decoder_backend="pallas",
+                        batch_tile=128, interpret=True, n_points=2)
+    assert rb.backend_label == "pallas" and not rb.mc
+    s_lo = ch.sigma_for(4.0, code.rate, "16qam")
+    s_hi = ch.sigma_for(8.0, code.rate, "16qam")
+    out = np.asarray(rb(jax.random.PRNGKey(2),
+                        jnp.asarray([s_lo, s_hi], jnp.float32)))
+    assert out.shape == (5, 2) and (out[0] == 128).all()
+    assert out[4, 1] >= out[4, 0]  # 8 dB stripe converges at least as often
+
+
 def test_odd_symbol_size_keeps_batch_first():
     """8PSK (3 bits/symbol) does not divide n=648? It does (216) — use a
     code length that is NOT a multiple of the symbol size to pin the
