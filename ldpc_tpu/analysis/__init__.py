@@ -5,6 +5,7 @@ to the JAX simulator)."""
 from .de import (  # noqa: F401
     DegreeSpectra, chan_pmf_awgn, chan_pmf_bsc, de_pe_trajectory,
     de_pe_trajectory_spectra, de_threshold_awgn, de_threshold_awgn_spectra,
-    de_threshold_bsc, de_threshold_bsc_spectra, gallager_threshold,
+    de_threshold_bsc, de_threshold_bsc_spectra,
+    decision_weights_min_degree, gallager_threshold,
     gallager_threshold_spectra, gallager_trajectory,
     gallager_trajectory_spectra, regular_spectra, spectra_from_code)

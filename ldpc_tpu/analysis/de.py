@@ -314,7 +314,9 @@ def de_pe_trajectory_spectra(chan_pmf: np.ndarray, spectra: DegreeSpectra,
                              beta: int = 0,
                              alpha: Optional[Tuple[int, int]] = None,
                              qmax: int = 127,
-                             iters: int = 100) -> np.ndarray:
+                             iters: int = 100,
+                             decision_vnode: Optional[np.ndarray] = None,
+                             ) -> np.ndarray:
     """Decision-error-probability trajectory of quantized min-sum DE over
     an IRREGULAR ensemble (edge spectra lambda/rho; node spectrum for the
     decision average).
@@ -323,10 +325,19 @@ def de_pe_trajectory_spectra(chan_pmf: np.ndarray, spectra: DegreeSpectra,
     Returns Pe after 0..iters iterations, Pe = P(decision total < 0)
     averaged over variable NODES (ties at 0 decide bit 0 = correct under
     the all-zeros convention, matching golden 'bit = 1 iff total < 0').
+
+    decision_vnode: optional replacement node-degree weights for the
+    DECISION average only (message densities still use the full spectra).
+    Use case: 5G NR base graphs carry ~60% degree-1 extension parities
+    whose decision Pe has an irreducible floor (their total is chan + one
+    saturating message) while the info-carrying degrees converge — weight
+    by degrees >= 2 to get the info-bit threshold instead of the floor.
     """
     Q = qmax
     assert len(chan_pmf) == 2 * Q + 1
-    lam, rho, vnode = spectra.lam, spectra.rho, spectra.vnode
+    lam, rho = spectra.lam, spectra.rho
+    vnode = spectra.vnode if decision_vnode is None else decision_vnode
+    assert len(vnode) == len(spectra.vnode) and abs(vnode.sum() - 1) < 1e-9
     max_dv, max_dc = spectra.max_dv, spectra.max_dc
 
     def pe_and_v2c(c2v):
@@ -403,18 +414,31 @@ def de_pe_trajectory(chan_pmf: np.ndarray, dv: int, dc: int,
                                     beta, alpha, qmax, iters)
 
 
+def decision_weights_min_degree(spectra: DegreeSpectra,
+                                dmin: int = 2) -> np.ndarray:
+    """Node-degree decision weights restricted to degrees >= dmin,
+    renormalized (see de_pe_trajectory_spectra.decision_vnode)."""
+    w = spectra.vnode.copy()
+    w[:dmin] = 0.0
+    s = w.sum()
+    assert s > 0, f"no variable nodes of degree >= {dmin}"
+    return w / s
+
+
 def de_threshold_awgn_spectra(
         spectra: DegreeSpectra, quant: QuantConfig, beta: int = 0,
         alpha: Optional[Tuple[int, int]] = None,
         iters: int = 100, target: float = 1e-7, tol: float = 2e-3,
-        bracket: Tuple[float, float] = (0.3, 1.5)) -> float:
+        bracket: Tuple[float, float] = (0.3, 1.5),
+        decision_vnode: Optional[np.ndarray] = None) -> float:
     """Largest AWGN sigma at which irregular DE drives Pe below target
     (bisection). Eb/N0 at rate R: -20*log10(sigma*sqrt(2R))."""
     lo, hi = bracket
 
     def ok(sigma):
         pe = de_pe_trajectory_spectra(chan_pmf_awgn(sigma, quant), spectra,
-                                      beta, alpha, quant.qmax, iters)
+                                      beta, alpha, quant.qmax, iters,
+                                      decision_vnode=decision_vnode)
         return pe[-1] < target
 
     assert ok(lo), "bracket low end must converge"
@@ -440,14 +464,16 @@ def de_threshold_bsc_spectra(
         spectra: DegreeSpectra, quant: QuantConfig, beta: int = 0,
         alpha: Optional[Tuple[int, int]] = None,
         iters: int = 100, target: float = 1e-7, tol: float = 1e-4,
-        bracket: Tuple[float, float] = (1e-3, 0.4)) -> float:
+        bracket: Tuple[float, float] = (1e-3, 0.4),
+        decision_vnode: Optional[np.ndarray] = None) -> float:
     """Largest BSC flip probability at which irregular quantized min-sum DE
     converges."""
     lo, hi = bracket
 
     def ok(p):
         pe = de_pe_trajectory_spectra(chan_pmf_bsc(p, quant), spectra,
-                                      beta, alpha, quant.qmax, iters)
+                                      beta, alpha, quant.qmax, iters,
+                                      decision_vnode=decision_vnode)
         return pe[-1] < target
 
     assert ok(lo), "bracket low end must converge"

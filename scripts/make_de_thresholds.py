@@ -75,6 +75,57 @@ def main() -> None:
     add("wifi648_r34", w34, "oms beta=1 8-bit", 1, None, quant_oms,
         (0.5, 1.0))
 
+    # NR / DVB-S2 profiles (round-3 extension). NR rows are MOTHER-code
+    # thresholds: spectra_from_code uses the graph degree profile, the
+    # iid-channel DE does not model the 2Z punctured columns' zero LLRs
+    # (that needs multi-edge-type DE), and the decision average is
+    # restricted to degrees >= 2 — NR's ~60% degree-1 extension parities
+    # have an irreducible decision floor (chan + one saturating message)
+    # while the info-carrying degrees converge. Labeled accordingly.
+    quant_b2 = QuantConfig(bits=8, scale=4.0, beta_lsb=2)
+    from ldpc_tpu.codes.dvbs2 import make_code as dvbs2
+    from ldpc_tpu.codes.nr_bg import make_code as nrbg
+    add("dvbs2_64800_r12", dvbs2(64800, "1/2"), "oms beta=2 8-bit", 2,
+        None, quant_b2, (0.6, 1.3),
+        extra={"note": "single-edge-type ensemble threshold of the lambda/"
+                       "rho profile; PESSIMISTIC for the structured IRA "
+                       "instance — the measured n=64800 waterfall "
+                       "(results/dvbs2_64800_et: FER 0 at 1.25 dB) sits "
+                       "~0.2 dB below it (structure gain needs multi-edge-"
+                       "type DE to capture)"})
+
+    def add_nr(name, code, bracket):
+        t0 = time.time()
+        sp = de.spectra_from_code(code)
+        w = de.decision_weights_min_degree(sp, 2)
+        # Even the degree->=2 decision average floors (~6e-6 at
+        # sigma=0.6 for BG1): the degree-1 nodes keep feeding chan-only
+        # v2c into the density, so Pe never reaches 1e-7 — a genuine
+        # iid-ensemble property; the exact tool is multi-edge-type DE.
+        # Quote the threshold at Pe<=1e-4 (NMS-row precedent).
+        sigma = de.de_threshold_awgn_spectra(
+            sp, quant_b2, beta=2, iters=160, tol=2e-3, bracket=bracket,
+            target=1e-4, decision_vnode=w)
+        rate = code.k / code.n
+        row = {"code": name,
+               "decoder": "oms beta=2 8-bit",
+               "rate": rate, "bits": 8, "scale": 4.0,
+               "sigma_star": round(sigma, 4),
+               "ebn0_star_db": round(ebn0_db(sigma, rate), 3),
+               "pe_target": 1e-4,
+               "max_dv": sp.max_dv, "max_dc": sp.max_dc,
+               "decision": "degrees >= 2 (info-carrying)",
+               "note": "mother code; puncturing not modeled; degree-1 "
+                       "extension parities excluded from the decision "
+                       "average; residual density floor -> threshold "
+                       "quoted at Pe<=1e-4",
+               "wall_s": round(time.time() - t0, 1)}
+        cases.append(row)
+        print(row)
+
+    add_nr("nr_bg1_z384_mother", nrbg(base_graph=1, Z=384), (0.6, 1.6))
+    add_nr("nr_bg2_z128_mother", nrbg(base_graph=2, Z=128), (0.6, 1.8))
+
     # regular (3,6) reference row — shows the irregular gain explicitly
     t0 = time.time()
     sigma_reg = de.de_threshold_awgn_spectra(

@@ -128,3 +128,31 @@ class TestIrregularThresholds:
                                              quant, **kw)
         # larger tolerable sigma = better threshold
         assert s_irr > s_reg
+
+
+class TestDecisionWeights:
+    def test_min_degree_weights(self):
+        from ldpc_tpu.codes.nr_bg import make_code as nrbg
+        sp = de.spectra_from_code(nrbg(base_graph=2, Z=16))
+        w = de.decision_weights_min_degree(sp, 2)
+        assert w[1] == 0 and abs(w.sum() - 1) < 1e-12
+        with pytest.raises(AssertionError):
+            de.decision_weights_min_degree(sp, sp.max_dv + 1)
+
+    def test_nr_deg1_floor_vs_info_degrees(self):
+        """NR BG2's degree-1 extension parities give the NODE-average Pe an
+        irreducible floor; the degree>=2 decision average converges orders
+        of magnitude lower at the same channel (the info-bit view)."""
+        from ldpc_tpu.codes.nr_bg import make_code as nrbg
+        from ldpc_tpu.config import QuantConfig
+        q = QuantConfig(bits=8, scale=4.0, beta_lsb=2)
+        sp = de.spectra_from_code(nrbg(base_graph=2, Z=16))
+        pmf = de.chan_pmf_awgn(0.7, q)
+        pe_all = de.de_pe_trajectory_spectra(pmf, sp, beta=2, qmax=q.qmax,
+                                             iters=80)[-1]
+        w = de.decision_weights_min_degree(sp, 2)
+        pe_info = de.de_pe_trajectory_spectra(pmf, sp, beta=2, qmax=q.qmax,
+                                              iters=80,
+                                              decision_vnode=w)[-1]
+        assert pe_all > 1e-3
+        assert pe_info < pe_all / 10
