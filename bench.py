@@ -159,7 +159,10 @@ def main() -> None:
                        else f"info_bps[{name}]"),
             "value": round(info_bps, 1),
             "unit": "bit/s",
-            "vs_baseline": round(info_bps / 1e9, 4),
+            # the 1 Gb/s north-star target applies to the canonical config
+            # only; extended rows carry no per-workload target
+            "vs_baseline": (round(info_bps / 1e9, 4) if name == CONFIG
+                            else None),
             "vs_prev": vs_prev,
         }))
         extra = ""

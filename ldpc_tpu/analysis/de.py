@@ -295,21 +295,6 @@ def _cn_mag_transform(pmf: np.ndarray, Q: int, beta: int,
     return out
 
 
-def _vn_conv(chan: np.ndarray, c2v: np.ndarray, n_msgs: int,
-             Q: int) -> np.ndarray:
-    """pmf of clip(chan + sum of n_msgs iid c2v, [-Q, Q]) (exact wide
-    accumulation then saturation, per the pinned VN rule)."""
-    acc = chan.copy()
-    for _ in range(n_msgs):
-        acc = np.convolve(acc, c2v)
-    # acc is centered: length L, value range [-(L-1)/2, (L-1)/2].
-    C = (len(acc) - 1) // 2
-    out = acc[C - Q: C + Q + 1].copy()
-    out[0] += acc[: C - Q].sum()
-    out[-1] += acc[C + Q + 1:].sum()
-    return out
-
-
 def de_pe_trajectory_spectra(chan_pmf: np.ndarray, spectra: DegreeSpectra,
                              beta: int = 0,
                              alpha: Optional[Tuple[int, int]] = None,

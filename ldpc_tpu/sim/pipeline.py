@@ -387,14 +387,24 @@ def make_run_batch(
         # and CONTINUE the single-chip tile numbering (same batch_tile +
         # same global batch => bit-identical lanes on any mesh size).
         B_mc = B // mesh.size if mesh is not None else B
+        # The megakernel tile must divide the PER-SHARD batch (its grid/
+        # inner loop is per shard); halve until it does. NOTE the device-
+        # PRNG stream identity is (seed, global tile of batch_tile lanes):
+        # counters are mesh-size invariant IFF the resolved tile matches —
+        # pass an explicit batch_tile that divides every mesh size's
+        # B/size for cross-mesh-reproducible device-RNG runs (the host
+        # threefry path is unconditionally mesh-invariant).
+        bt_mc = min(batch_tile, B_mc)
+        while bt_mc > 128 and B_mc % bt_mc:
+            bt_mc //= 2
         if (mod == "bpsk" and rng_mode == "device" and not two_phase
                 and fused_io[1] is not None
-                and B_mc % 128 == 0):
+                and B_mc % bt_mc == 0 and B_mc % 128 == 0):
             from ..codes.qcstruct import detect_enc_struct
             mc = detect_enc_struct(code.base) is not None
         dec, dec_label = select_decoder(
             code, cfg, decoder_backend,
-            min(batch_tile, B_mc if mc else B), interpret,
+            bt_mc if mc else min(batch_tile, B), interpret,
             batch=B, pre_transposed=True, fused_io=fused_io,
             mc_batch=B_mc if mc else None,
             mc_lane_sigma=mc and n_points > 1)
@@ -669,4 +679,7 @@ def make_run_batch(
     # (Sweep) don't need a second select_decoder build just to learn it.
     rb.backend_label = dec_label
     rb.mc = mc  # Monte-Carlo megakernel mode (diagnostics/tests)
+    # resolved decoder tile granularity (the auto two-phase tuner's
+    # capacity floor; 1 for jnp-family backends)
+    rb.batch_tile = getattr(dec, "batch_tile", 1)
     return rb

@@ -189,6 +189,16 @@ class Sweep:
             # scripts/diag_autophase_dvb.py) — and the stream-ET kernel is
             # already per-lane adaptive. Keep single-phase.
             return self.run_batch
+        if self.backend == "jnp-float":
+            # float decoders return before the two-phase wrapper in
+            # select_decoder — a probe could never change the build
+            return self.run_batch
+        if self.run_batch.mc:
+            # the base build is the device-RNG MC megakernel; a two-phase
+            # rebuild (phase1_iters > 0) would fall off it onto the host
+            # chain, CHANGING the RNG scheme (and therefore the counters)
+            # mid-sweep — and the megakernel is already the fastest path
+            return self.run_batch
         if self._probe is None:
             self._probe_batch = min(self.batch, 2048)
             self._probe = make_iter_probe(
@@ -197,8 +207,12 @@ class Sweep:
         it = np.asarray(self._probe(
             jax.random.fold_in(self._key(snr_idx, 0), 2 ** 31 - 2),
             np.float32(sigma)))
+        # capacity floor = the RESOLVED decoder tile (phase-2 shapes round
+        # up to it in select_decoder) — a 512/1024-lane VMEM tile makes
+        # small caps impossible and must enter the cost model
+        g = max(128, self.run_batch.batch_tile)
         p1, frac = pick_two_phase(it, self.cfg.decoder.max_iter,
-                                  tile_frac=min(1.0, 128 / self.batch))
+                                  tile_frac=min(1.0, g / self.batch))
         log.info("auto two-phase @snr[%d]: unconv@%s -> p1=%s cap=%s",
                  snr_idx, {t: round(float(np.mean(it > t)), 3)
                            for t in (2, 4, 6, 8)}, p1, frac)

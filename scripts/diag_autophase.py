@@ -7,7 +7,6 @@ the auto tuner must never be slower than fixed-20 across 2.0-3.0 dB.
 import dataclasses
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -44,16 +43,12 @@ def main():
     sweep = Sweep(cfg_auto, decoder_backend="pallas", batch=B,
                   batch_tile=1024)
 
+    from ldpc_tpu.utils.profiling import timed as _timed
+
     def timed(fn, key, sigma, reps=4, trials=4):
         out = np.asarray(fn(key, jnp.float32(sigma)))
-        best = float("inf")
-        for _ in range(trials):
-            t0 = time.time()
-            for _ in range(reps):
-                o = fn(key, jnp.float32(sigma))
-            np.asarray(o)
-            best = min(best, (time.time() - t0) / reps)
-        return best, out
+        return _timed(fn, key, jnp.float32(sigma), reps=reps,
+                      trials=trials), out
 
     key = jax.random.PRNGKey(3)
     for si, e in enumerate(ebn0s):

@@ -9,7 +9,6 @@ the syndrome — ET pays only once the punctured bits are resolved.
 """
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -57,17 +56,12 @@ def main():
     jfix = jax.jit(lambda x: dec_fix(x))
     jet = jax.jit(lambda x: dec_et(x))
 
+    from ldpc_tpu.utils.profiling import timed as _timed
+
     def timed(fn, chan, reps=3, trials=4):
         out = fn(chan)
         np.asarray(out[2])
-        best = float("inf")
-        for _ in range(trials):
-            t0 = time.time()
-            for _ in range(reps):
-                out = fn(chan)
-            np.asarray(out[2])
-            best = min(best, (time.time() - t0) / reps)
-        return best, out
+        return _timed(fn, chan, reps=reps, trials=trials), out
 
     for ebn0 in (float(a) for a in (sys.argv[2:] or ["2.0", "2.5", "3.0"])):
         chan_np = llrs_at(code, ebn0, batch, seed=int(ebn0 * 10))

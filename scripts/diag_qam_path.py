@@ -6,7 +6,6 @@ what make_run_batch built before the gate was lifted).
 """
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -62,16 +61,12 @@ def main():
     jbf = jax.jit(run_bf)
     key = jax.random.PRNGKey(11)
 
+    from ldpc_tpu.utils.profiling import timed as _timed
+
     def timed(fn, reps=4, trials=4):
         out = np.asarray(fn(key, jnp.float32(sigma)))
-        best = float("inf")
-        for _ in range(trials):
-            t0 = time.time()
-            for _ in range(reps):
-                o = fn(key, jnp.float32(sigma))
-            np.asarray(o)
-            best = min(best, (time.time() - t0) / reps)
-        return best, out
+        return _timed(fn, key, jnp.float32(sigma), reps=reps,
+                      trials=trials), out
 
     s_t, out_t = timed(rb_t)
     s_bf, out_bf = timed(jbf)

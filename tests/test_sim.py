@@ -249,6 +249,15 @@ def test_mc_mesh_admission():
                          decoder_backend="pallas", batch_tile=128,
                          interpret=True)
     assert not rb3.mc
+    # review regression: a batch_tile larger than the per-shard batch must
+    # resolve to a divisor of B/mesh.size, not crash the megakernel's
+    # mc_batch % batch_tile assertion
+    cfg4 = dataclasses.replace(
+        cfg, run=dataclasses.replace(cfg.run, batch=3072, rng="device"))
+    rb4 = make_run_batch(build_code(cfg4), cfg4, batch=3072, mesh=mesh,
+                         decoder_backend="pallas", batch_tile=1024,
+                         interpret=True)
+    assert rb4.mc and (3072 // mesh.size) % rb4.batch_tile == 0
 
 
 @pytest.mark.slow
