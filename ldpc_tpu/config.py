@@ -190,8 +190,12 @@ PRESETS = {
         code=CodeConfig(family="ieee80211n", n=1944, rate="5/6"),
         channel=ChannelConfig(modulation="bpsk", ebn0_db=3.0),
         quant=QuantConfig(bits=8, scale=4.0, beta_lsb=2),
+        # phase1_iters=-1: AUTO two-phase ET (sim/tune.py) — the ET preset
+        # never pays the round-2 "ET slower than fixed at waterfall SNRs"
+        # regression; the tuner declines where two-phase can't win.
         decoder=DecoderConfig(algorithm="offset-min-sum", schedule="layered",
-                              max_iter=20, early_term=True),
+                              max_iter=20, early_term=True,
+                              phase1_iters=-1),
         run=RunConfig(batch=1024),
     ),
     # BASELINE.json:9 — 5G NR layered. Fixed-iteration like the DVB preset:
