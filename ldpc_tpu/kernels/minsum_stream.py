@@ -285,7 +285,10 @@ def make_stream_decoder(
     # traced-shift rolls need sublane-aligned Z, which every code in this
     # regime has (DVB-S2 Z=360, NR Z%8==0); small unaligned-Z codes keep
     # the unrolled pass.
-    synd_dyn = sub32_ok and n_entries > 256
+    # odd-mb bodies unroll TWO sweeps AND TWO syndrome passes (k_unroll),
+    # doubling the per-body stack — count it (n=16200 mb=25: 151 entries
+    # x2 demanded 18.4 MiB at a 16 MiB grant with the unrolled pass).
+    synd_dyn = sub32_ok and n_entries * max(k_unroll, 1) > 256
     et_state = (2 * D * Z * batch_tile * (post_bytes + msg_bytes)
                 + nb * Z * batch_tile * hl_bytes)
     # grant: state + the static kernel's measured sweep-stack need
