@@ -55,19 +55,24 @@ def main():
                       "et_variant": dec_et.variant}), flush=True)
     jfix = jax.jit(lambda x: dec_fix(x))
     jet = jax.jit(lambda x: dec_et(x))
+    # TIMING fns return a device-side SCALAR reduction: profiling.timed
+    # syncs by fetching its output, and a (B, n) hard-bit tensor would
+    # drag multi-MB through the ~4 MB/s tunnel per trial (CLAUDE.md)
+    tfix = jax.jit(lambda x: dec_fix(x)[1].sum())
+    tet = jax.jit(lambda x: dec_et(x)[1].sum())
 
     from ldpc_tpu.utils.profiling import timed as _timed
 
-    def timed(fn, chan, reps=3, trials=4):
+    def timed(tfn, fn, chan, reps=3, trials=4):
         out = fn(chan)
         np.asarray(out[2])
-        return _timed(fn, chan, reps=reps, trials=trials), out
+        return _timed(tfn, chan, reps=reps, trials=trials), out
 
     for ebn0 in (float(a) for a in (sys.argv[2:] or ["2.0", "2.5", "3.0"])):
         chan_np = llrs_at(code, ebn0, batch, seed=int(ebn0 * 10))
         chan = jnp.asarray(chan_np)
-        s_fix, _ = timed(jfix, chan)
-        s_et, out = timed(jet, chan)
+        s_fix, _ = timed(tfix, jfix, chan)
+        s_et, out = timed(tet, jet, chan)
         h, it, cv = map(np.asarray, out)
         ho, ito, cvo = oracle.decode_batch(
             chan_np[:128], code, max_iter=20, beta=2, qmax=127,
