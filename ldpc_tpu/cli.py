@@ -201,6 +201,52 @@ def cmd_config(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    """Density-evolution threshold for the configured code (the offline
+    analysis role the reference kept in MATLAB — analysis/de.py). Pure
+    NumPy: never touches the TPU."""
+    import math
+
+    from .analysis import de
+    from .config import cn_params
+    from .sim.sweep import build_code
+
+    cfg = _build_config(args)
+    code = build_code(cfg)
+    sp = de.spectra_from_code(code)
+    beta, alpha = cn_params(cfg.decoder, cfg.quant)
+    kw = dict(beta=beta, alpha=alpha, iters=args.iters, tol=args.tol,
+              target=args.target)
+    if sp.vnode[1] > 0 and args.min_decision_degree < 2:
+        print("# note: code has degree-1 variables (irreducible decision "
+              "floor); consider --min-decision-degree 2", file=sys.stderr)
+    if args.min_decision_degree > 1:
+        kw["decision_vnode"] = de.decision_weights_min_degree(
+            sp, args.min_decision_degree)
+    if args.channel == "awgn":
+        sigma = de.de_threshold_awgn_spectra(
+            sp, cfg.quant, bracket=tuple(args.bracket), **kw)
+        rate = code.k_eff / code.n
+        out = {"channel": "awgn-bpsk", "code": code.name,
+               "rate": rate, "bits": cfg.quant.bits,
+               "algorithm": cfg.decoder.algorithm,
+               "sigma_star": round(sigma, 4),
+               "ebn0_star_db": round(
+                   -20.0 * math.log10(sigma * math.sqrt(2 * rate)), 3)}
+    else:
+        p = de.de_threshold_bsc_spectra(
+            sp, cfg.quant, bracket=(1e-3, 0.4), **kw)
+        out = {"channel": "bsc", "code": code.name,
+               "algorithm": cfg.decoder.algorithm,
+               "p_star": round(p, 5)}
+    out.update({"pe_target": args.target,
+                "max_dv": sp.max_dv, "max_dc": sp.max_dc,
+                "note": "ensemble asymptote over the code's lambda/rho "
+                        "spectra (single edge type)"})
+    print(json.dumps(out))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ldpc_tpu", description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
@@ -208,7 +254,23 @@ def build_parser() -> argparse.ArgumentParser:
 
     sw = sub.add_parser("sweep", help="run a BER/FER sweep")
     cfgp = sub.add_parser("config", help="print the resolved config JSON")
-    for q in (sw, cfgp):
+    an = sub.add_parser(
+        "analyze", help="density-evolution threshold for the configured "
+                        "code (offline, pure NumPy — analysis/de.py)")
+    an.add_argument("--channel", default="awgn", choices=["awgn", "bsc"])
+    an.add_argument("--iters", type=int, default=120)
+    an.add_argument("--tol", type=float, default=2e-3)
+    an.add_argument("--target", type=float, default=1e-7,
+                    help="Pe convergence target (use 1e-4 for profiles "
+                         "with DE floors, e.g. NR mother codes)")
+    an.add_argument("--bracket", type=float, nargs=2, default=[0.3, 1.5],
+                    help="AWGN sigma bisection bracket")
+    an.add_argument("--min-decision-degree", dest="min_decision_degree",
+                    type=int, default=1,
+                    help="restrict the decision average to variable "
+                         "degrees >= D (2 excludes NR's degree-1 "
+                         "extension parities)")
+    for q in (sw, cfgp, an):
         q.add_argument("--preset", choices=sorted(PRESETS), default=None)
         q.add_argument("--family", default=None,
                        choices=["ieee80211n", "5gnr", "dvbs2", "toy"])
@@ -301,7 +363,7 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     return {"sweep": cmd_sweep, "presets": cmd_presets,
             "codes": cmd_codes, "config": cmd_config,
-            "report": cmd_report}[args.cmd](args)
+            "report": cmd_report, "analyze": cmd_analyze}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -151,3 +151,18 @@ def test_cli_auto_two_phase_implies_early_term():
                           "--auto-two-phase", "--no-early-term"])
     with pytest.raises(SystemExit):
         _build_config(args2)
+
+
+def test_cli_analyze_de_threshold(capsys):
+    """`analyze` exposes the DE layer on the CLI (the reference's MATLAB
+    analysis role): AWGN threshold for the canonical code, JSON on stdout."""
+    from ldpc_tpu.cli import cmd_analyze
+    p = build_parser()
+    args = p.parse_args(["analyze", "--family", "ieee80211n", "--n", "648",
+                         "--rate", "1/2", "--algorithm", "offset-min-sum",
+                         "--beta-lsb", "1", "--bracket", "0.6", "1.3",
+                         "--iters", "60", "--tol", "1e-2"])
+    assert cmd_analyze(args) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["channel"] == "awgn-bpsk"
+    assert 0.188 < out["ebn0_star_db"] < 2.0  # Shannon < DE* < waterfall
