@@ -212,6 +212,23 @@ def cmd_analyze(args) -> int:
     from .sim.sweep import build_code
 
     cfg = _build_config(args)
+    if cfg.decoder.algorithm not in ("min-sum", "offset-min-sum",
+                                     "normalized-min-sum"):
+        raise SystemExit(f"analyze: quantized DE covers the fixed-point "
+                         f"min-sum family, not {cfg.decoder.algorithm}")
+    # DE uses only the code profile + quantizer + CN parameters; flag the
+    # decode/sweep flags that parse but cannot affect the computation
+    # (--iters, not --max-iter, bounds the DE recursion).
+    ignored = [f for f, v in (
+        ("--max-iter", args.max_iter), ("--schedule", args.schedule),
+        ("--modulation", args.modulation), ("--batch", args.batch),
+        ("--seed", args.seed), ("--rng", args.rng),
+        ("--phase1-iters", args.phase1_iters),
+        ("--no-early-term", args.no_early_term),
+        ("--all-zeros", args.all_zeros)) if v]
+    if ignored:
+        print(f"# note: ignored by analyze (DE is decoder-parameter-only): "
+              f"{' '.join(ignored)}", file=sys.stderr)
     code = build_code(cfg)
     sp = de.spectra_from_code(code)
     beta, alpha = cn_params(cfg.decoder, cfg.quant)
@@ -223,22 +240,37 @@ def cmd_analyze(args) -> int:
     if args.min_decision_degree > 1:
         kw["decision_vnode"] = de.decision_weights_min_degree(
             sp, args.min_decision_degree)
-    if args.channel == "awgn":
-        sigma = de.de_threshold_awgn_spectra(
-            sp, cfg.quant, bracket=tuple(args.bracket), **kw)
-        rate = code.k_eff / code.n
-        out = {"channel": "awgn-bpsk", "code": code.name,
-               "rate": rate, "bits": cfg.quant.bits,
-               "algorithm": cfg.decoder.algorithm,
-               "sigma_star": round(sigma, 4),
-               "ebn0_star_db": round(
-                   -20.0 * math.log10(sigma * math.sqrt(2 * rate)), 3)}
-    else:
-        p = de.de_threshold_bsc_spectra(
-            sp, cfg.quant, bracket=(1e-3, 0.4), **kw)
-        out = {"channel": "bsc", "code": code.name,
-               "algorithm": cfg.decoder.algorithm,
-               "p_star": round(p, 5)}
+    try:
+        if args.channel == "awgn":
+            lo, hi = args.bracket
+            sigma = de.de_threshold_awgn_spectra(
+                sp, cfg.quant, bracket=(lo, hi), **kw)
+            rate = code.k_eff / code.n
+            out = {"channel": "awgn-bpsk", "code": code.name,
+                   "rate": rate, "bits": cfg.quant.bits,
+                   "algorithm": cfg.decoder.algorithm,
+                   "sigma_star": round(sigma, 4),
+                   "ebn0_star_db": round(
+                       -20.0 * math.log10(sigma * math.sqrt(2 * rate)), 3)}
+            if sigma >= hi - 2 * args.tol:
+                out["bracket_saturated"] = True
+                print(f"# WARNING: threshold sits at the bracket's upper "
+                      f"edge ({hi}) — the true sigma* may be larger; "
+                      f"raise --bracket", file=sys.stderr)
+        else:
+            p = de.de_threshold_bsc_spectra(
+                sp, cfg.quant, bracket=(1e-3, 0.4), **kw)
+            out = {"channel": "bsc", "code": code.name,
+                   "algorithm": cfg.decoder.algorithm,
+                   "p_star": round(p, 5)}
+            if p >= 0.4 - 2 * args.tol:
+                out["bracket_saturated"] = True
+    except AssertionError as e:
+        raise SystemExit(
+            f"analyze: {e} — DE does not reach Pe <= {args.target} at the "
+            f"bracket's easy end; widen --bracket downward, raise --iters, "
+            f"or relax --target (profiles with DE floors, e.g. NR mother "
+            f"codes, need --target 1e-4 --min-decision-degree 2)")
     out.update({"pe_target": args.target,
                 "max_dv": sp.max_dv, "max_dc": sp.max_dc,
                 "note": "ensemble asymptote over the code's lambda/rho "

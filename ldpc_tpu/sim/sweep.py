@@ -66,12 +66,17 @@ def _config_compatible(stored: dict, cfg: SimConfig) -> bool:
     canonical resume use case. Mesh shape/axes are exempt too: same-seed
     counters are mesh-size invariant by tested contract
     (test_mesh_size_invariance), so resuming on different hardware is
-    sound."""
+    sound. Two-phase ET tuning (decoder.phase1_iters/phase2_frac) is
+    exempt for the same reason: repacking restarts are bit-exact replays
+    (counters identical by tested contract — test_tune.py), so a
+    checkpoint written single-phase resumes under -1/auto or an explicit
+    split and vice versa."""
     import dataclasses as dc
     import json as _json
 
     IGNORE = {("run", "max_frames"), ("run", "target_frame_errors"),
-              ("run", "mesh_shape"), ("run", "mesh_axes")}
+              ("run", "mesh_shape"), ("run", "mesh_axes"),
+              ("decoder", "phase1_iters"), ("decoder", "phase2_frac")}
 
     def jsonify(v):
         return _json.loads(_json.dumps(v, default=list))

@@ -143,3 +143,26 @@ def test_auto_declines_for_stream_backend():
     s.backend = "pallas-stream"
     rb = s._tuned_run_batch(0, 0.7)
     assert rb is s.run_batch and s._probe is None
+
+
+def test_checkpoint_resumes_across_tuning_change(tmp_path):
+    """Two-phase tuning is counter-invariant, so a checkpoint written
+    single-phase must resume under phase1_iters=-1 (review finding: the
+    wifi-full-oms preset change would otherwise strand old .state files)."""
+    from ldpc_tpu.config import PRESETS
+    from ldpc_tpu.sim import Sweep
+    cfg = PRESETS["wifi-648-r12-minsum"]
+    cfg = dataclasses.replace(
+        cfg,
+        run=dataclasses.replace(cfg.run, batch=128),
+        decoder=dataclasses.replace(cfg.decoder, max_iter=4,
+                                    early_term=True))
+    path = str(tmp_path / "run.state")
+    r1 = Sweep(cfg, batch=128, checkpoint_path=path).run(
+        [4.0], target_frame_errors=10 ** 9, max_frames=128)
+    cfg_auto = dataclasses.replace(
+        cfg, decoder=dataclasses.replace(cfg.decoder, phase1_iters=-1))
+    r2 = Sweep(cfg_auto, batch=128, checkpoint_path=path).run(
+        [4.0], target_frame_errors=10 ** 9, max_frames=256)
+    assert r2.points[0].frames == 256  # resumed AND extended
+    assert r2.points[0].bit_errs >= r1.points[0].bit_errs
