@@ -310,9 +310,12 @@ def test_checkpoint_schema_growth_resumes(tmp_path):
     path = str(tmp_path / "s.json")
     Sweep(cfg, decoder_backend="jnp", checkpoint_path=path).run(
         [2.0], max_frames=32)
-    # simulate an old-schema checkpoint: drop a defaulted decoder field
+    # simulate an old-schema checkpoint: drop a defaulted quant field
+    # (phase1_iters/phase2_frac are TUNING-exempt since round 3 — counter-
+    # invariant — so the off-default refusal is pinned on alpha_shift,
+    # which genuinely changes the simulated decoder)
     state = json.load(open(path))
-    assert state["config"]["decoder"].pop("phase2_frac") == 0.25  # default
+    assert state["config"]["quant"].pop("alpha_shift") == 2  # default
     json.dump(state, open(path, "w"))
     res = Sweep(cfg, decoder_backend="jnp", checkpoint_path=path).run(
         [2.0], max_frames=64)
@@ -320,7 +323,7 @@ def test_checkpoint_schema_growth_resumes(tmp_path):
     # same dropped field, but the CURRENT config sets it off-default
     json.dump(state, open(path, "w"))
     cfg2 = dataclasses.replace(
-        cfg, decoder=dataclasses.replace(cfg.decoder, phase2_frac=0.5))
+        cfg, quant=dataclasses.replace(cfg.quant, alpha_shift=3))
     with pytest.raises(ValueError, match="different SimConfig"):
         Sweep(cfg2, decoder_backend="jnp", checkpoint_path=path).run(
             [2.0], max_frames=96)
