@@ -2,6 +2,8 @@
 layer of the framework (SURVEY.md §1.2 'MATLAB analysis' row: the reference
 kept its analysis in MATLAB next to the C simulator; here it is NumPy next
 to the JAX simulator)."""
+from .proto_de import (  # noqa: F401
+    column_channel_pmfs, proto_de_threshold_awgn, proto_de_trajectory)
 from .de import (  # noqa: F401
     DegreeSpectra, chan_pmf_awgn, chan_pmf_bsc, de_pe_trajectory,
     de_pe_trajectory_spectra, de_threshold_awgn, de_threshold_awgn_spectra,
