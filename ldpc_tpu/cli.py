@@ -241,7 +241,28 @@ def cmd_analyze(args) -> int:
         kw["decision_vnode"] = de.decision_weights_min_degree(
             sp, args.min_decision_degree)
     try:
-        if args.channel == "awgn":
+        if args.proto:
+            if args.channel != "awgn":
+                raise SystemExit("analyze: --proto supports AWGN only")
+            from .analysis.proto_de import proto_de_threshold_awgn
+            lo, hi = args.bracket
+            sigma = proto_de_threshold_awgn(
+                code, cfg.quant, beta=beta, alpha=alpha, iters=args.iters,
+                tol=args.tol, target=args.target, bracket=(lo, hi))
+            excl = set(map(int, code.punct_vns)) | set(
+                map(int, code.shortened_vns))
+            rate = code.k_eff / (code.n - len(excl))
+            out = {"channel": "awgn-bpsk", "code": code.name,
+                   "method": "protograph (multi-edge-type, rate matching "
+                             "modeled; decision = info columns)",
+                   "rate_for_ebn0": rate, "bits": cfg.quant.bits,
+                   "algorithm": cfg.decoder.algorithm,
+                   "sigma_star": round(sigma, 4),
+                   "ebn0_star_db": round(
+                       -20.0 * math.log10(sigma * math.sqrt(2 * rate)), 3)}
+            if sigma >= hi - 2 * args.tol:
+                out["bracket_saturated"] = True
+        elif args.channel == "awgn":
             lo, hi = args.bracket
             sigma = de.de_threshold_awgn_spectra(
                 sp, cfg.quant, bracket=(lo, hi), **kw)
@@ -273,8 +294,10 @@ def cmd_analyze(args) -> int:
             f"codes, need --target 1e-4 --min-decision-degree 2)")
     out.update({"pe_target": args.target,
                 "max_dv": sp.max_dv, "max_dc": sp.max_dc,
-                "note": "ensemble asymptote over the code's lambda/rho "
-                        "spectra (single edge type)"})
+                "note": ("protograph ensemble asymptote (exact edge types "
+                         "of the structured base)" if args.proto else
+                         "ensemble asymptote over the code's lambda/rho "
+                         "spectra (single edge type)")})
     print(json.dumps(out))
     return 0
 
@@ -297,6 +320,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "with DE floors, e.g. NR mother codes)")
     an.add_argument("--bracket", type=float, nargs=2, default=[0.3, 1.5],
                     help="AWGN sigma bisection bracket")
+    an.add_argument("--proto", action="store_true",
+                    help="protograph (multi-edge-type) DE: exact for the "
+                         "structured bases, rate matching modeled, "
+                         "decision over info columns (slower — NR BG1 "
+                         "Z=384 ~2 min)")
     an.add_argument("--min-decision-degree", dest="min_decision_degree",
                     type=int, default=1,
                     help="restrict the decision average to variable "
