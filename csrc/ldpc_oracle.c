@@ -231,3 +231,153 @@ void ldpc_decode_batch(
         free(out_buf);
     }
 }
+
+/* ------------------------------------------------------------------------
+ * Hard-decision decoder family (Gallager-A/B message passing, parallel
+ * bit-flipping) — the BSC stress/study companions. Semantics pinned by
+ * ldpc_tpu/golden/decoder.py decode_hard/_decode_bitflip (see the
+ * "Pinned semantics" block there); tests assert EXACT equality of hard
+ * bits, per-codeword iteration counts, and convergence flags.
+ * algorithm: 0 = gallager-b, 1 = gallager-a, 2 = bit-flip.
+ * threshold < 0 selects the per-variable defaults (B: strict majority of
+ * the other checks; A: all other checks; bit-flip: strict majority of a
+ * variable's checks unsatisfied).
+ * ---------------------------------------------------------------------- */
+
+static int synd_ok_bits(const uint8_t *hard, int m, const int32_t *cn_ptr,
+                        const int32_t *cn_vars) {
+    for (int c = 0; c < m; c++) {
+        int s = 0;
+        for (int e = cn_ptr[c]; e < cn_ptr[c + 1]; e++)
+            s ^= hard[cn_vars[e]];
+        if (s) return 0;
+    }
+    return 1;
+}
+
+static void decode_one_gallager(
+    const uint8_t *y, int n, int m, int E,
+    const int32_t *cn_ptr, const int32_t *cn_vars,
+    const int32_t *thr, const int32_t *dv,
+    int max_iter, int early_term,
+    uint8_t *hard, int32_t *iters_out, uint8_t *conv_out,
+    uint8_t *v2c, uint8_t *c2v, int32_t *dis) {
+    for (int e = 0; e < E; e++) v2c[e] = 0;
+    for (int c = 0; c < m; c++)
+        for (int e = cn_ptr[c]; e < cn_ptr[c + 1]; e++)
+            v2c[e] = y[cn_vars[e]];
+    memcpy(hard, y, (size_t)n);
+    int it_done = 0;
+    int converged = early_term ? synd_ok_bits(hard, m, cn_ptr, cn_vars) : 0;
+    for (int it = 0; it < max_iter && !converged; it++) {
+        /* CN pass: exclude-self XOR */
+        for (int c = 0; c < m; c++) {
+            int par = 0;
+            for (int e = cn_ptr[c]; e < cn_ptr[c + 1]; e++) par ^= v2c[e];
+            for (int e = cn_ptr[c]; e < cn_ptr[c + 1]; e++)
+                c2v[e] = (uint8_t)(par ^ v2c[e]);
+        }
+        /* decision: majority of incoming disagreements vs channel bit */
+        memset(dis, 0, (size_t)n * sizeof(int32_t));
+        for (int c = 0; c < m; c++)
+            for (int e = cn_ptr[c]; e < cn_ptr[c + 1]; e++)
+                dis[cn_vars[e]] += (c2v[e] != y[cn_vars[e]]);
+        for (int v = 0; v < n; v++)
+            hard[v] = (2 * dis[v] > dv[v]) ? (uint8_t)(1 - y[v]) : y[v];
+        it_done = it + 1;
+        if (early_term && synd_ok_bits(hard, m, cn_ptr, cn_vars)) {
+            converged = 1;
+            break;
+        }
+        /* VN pass: exclude-self disagreement count vs threshold */
+        for (int c = 0; c < m; c++)
+            for (int e = cn_ptr[c]; e < cn_ptr[c + 1]; e++) {
+                int v = cn_vars[e];
+                int d_e = dis[v] - (c2v[e] != y[v]);
+                v2c[e] = (d_e >= thr[v]) ? (uint8_t)(1 - y[v]) : y[v];
+            }
+    }
+    if (!early_term)
+        converged = synd_ok_bits(hard, m, cn_ptr, cn_vars);
+    *iters_out = it_done;
+    *conv_out = (uint8_t)converged;
+}
+
+static void decode_one_bitflip(
+    const uint8_t *y, int n, int m,
+    const int32_t *cn_ptr, const int32_t *cn_vars,
+    int threshold, const int32_t *dv,
+    int max_iter, int early_term,
+    uint8_t *hard, int32_t *iters_out, uint8_t *conv_out,
+    uint8_t *x, int32_t *unsat) {
+    memcpy(x, y, (size_t)n);
+    memcpy(hard, y, (size_t)n);
+    int it_done = 0;
+    int converged = early_term ? synd_ok_bits(hard, m, cn_ptr, cn_vars) : 0;
+    for (int it = 0; it < max_iter && !converged; it++) {
+        memset(unsat, 0, (size_t)n * sizeof(int32_t));
+        for (int c = 0; c < m; c++) {
+            int s = 0;
+            for (int e = cn_ptr[c]; e < cn_ptr[c + 1]; e++)
+                s ^= x[cn_vars[e]];
+            if (s)
+                for (int e = cn_ptr[c]; e < cn_ptr[c + 1]; e++)
+                    unsat[cn_vars[e]]++;
+        }
+        for (int v = 0; v < n; v++) {
+            int flip = (threshold >= 0) ? (unsat[v] >= threshold)
+                                        : (2 * unsat[v] > dv[v]);
+            if (flip) x[v] = (uint8_t)(1 - x[v]);
+        }
+        memcpy(hard, x, (size_t)n);
+        it_done = it + 1;
+        if (early_term && synd_ok_bits(hard, m, cn_ptr, cn_vars))
+            converged = 1;
+    }
+    if (!early_term)
+        converged = synd_ok_bits(hard, m, cn_ptr, cn_vars);
+    *iters_out = it_done;
+    *conv_out = (uint8_t)converged;
+}
+
+void ldpc_decode_hard_batch(
+    const uint8_t *bits, int B, int n, int m, int E,
+    const int32_t *cn_ptr, const int32_t *cn_vars,
+    int algorithm, int max_iter, int threshold, int early_term,
+    uint8_t *hard, int32_t *iters, uint8_t *conv) {
+    /* per-variable degrees + default thresholds (golden
+     * _default_thresholds: B = (dv-1)/2 + 1, A = max(dv-1, 1)) */
+    int32_t *dv = malloc((size_t)n * sizeof(int32_t));
+    int32_t *thr = malloc((size_t)n * sizeof(int32_t));
+    memset(dv, 0, (size_t)n * sizeof(int32_t));
+    for (int e = 0; e < E; e++) dv[cn_vars[e]]++;
+    for (int v = 0; v < n; v++) {
+        if (threshold >= 0) thr[v] = threshold;
+        else if (algorithm == 1) thr[v] = dv[v] - 1 > 1 ? dv[v] - 1 : 1;
+        else thr[v] = (dv[v] - 1) / 2 + 1;
+    }
+#pragma omp parallel
+    {
+        uint8_t *v2c = malloc((size_t)E);
+        uint8_t *c2v = malloc((size_t)E);
+        int32_t *work = malloc((size_t)n * sizeof(int32_t));
+#pragma omp for schedule(dynamic, 1)
+        for (int b = 0; b < B; b++) {
+            if (algorithm == 2)
+                decode_one_bitflip(bits + (size_t)b * n, n, m, cn_ptr,
+                                   cn_vars, threshold, dv, max_iter,
+                                   early_term, hard + (size_t)b * n,
+                                   iters + b, conv + b, v2c, work);
+            else
+                decode_one_gallager(bits + (size_t)b * n, n, m, E, cn_ptr,
+                                    cn_vars, thr, dv, max_iter, early_term,
+                                    hard + (size_t)b * n, iters + b,
+                                    conv + b, v2c, c2v, work);
+        }
+        free(v2c);
+        free(c2v);
+        free(work);
+    }
+    free(dv);
+    free(thr);
+}

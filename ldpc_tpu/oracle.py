@@ -51,6 +51,13 @@ def _lib() -> ctypes.CDLL:
         u8p, i32p, u8p,
     ]
     lib.ldpc_decode_batch.restype = None
+    lib.ldpc_decode_hard_batch.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        i32p, i32p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        u8p, i32p, u8p,
+    ]
+    lib.ldpc_decode_hard_batch.restype = None
     return lib
 
 
@@ -116,4 +123,32 @@ def decode_batch(
         alpha[0] if alpha else 1, alpha[1] if alpha else 0,
         int(early_term),
         hard, iters, conv)
+    return hard, iters, conv.astype(bool)
+
+
+def decode_hard_batch(
+    bits: np.ndarray,
+    code: LDPCCode,
+    max_iter: int = 30,
+    algorithm: str = "gallager-b",
+    threshold=None,
+    early_term: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Bit-exact batched HARD-DECISION decode (Gallager-A/B message
+    passing, parallel bit-flipping) — the native cross-check for
+    golden/decoder.decode_hard's pinned semantics. bits: (B, n) uint8 in
+    {0,1} -> (hard u8, iters i32, conv bool)."""
+    bits = np.ascontiguousarray(bits, np.uint8)
+    B, n = bits.shape
+    assert n == code.n
+    alg = {"gallager-b": 0, "gallager-a": 1, "bit-flip": 2}[algorithm]
+    cn_ptr, cn_vars, _, _ = _graph_arrays(code)
+    hard = np.empty((B, n), np.uint8)
+    iters = np.empty(B, np.int32)
+    conv = np.empty(B, np.uint8)
+    lib = _lib()
+    lib.ldpc_decode_hard_batch(
+        bits, B, n, code.m, int(cn_ptr[-1]), cn_ptr, cn_vars,
+        alg, max_iter, -1 if threshold is None else int(threshold),
+        int(early_term), hard, iters, conv)
     return hard, iters, conv.astype(bool)

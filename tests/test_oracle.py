@@ -51,3 +51,27 @@ def test_oracle_matches_jnp_at_scale(rng):
     np.testing.assert_array_equal(h_j, h_c)
     np.testing.assert_array_equal(it_j, it_c)
     np.testing.assert_array_equal(cv_j, cv_c)
+
+
+@pytest.mark.parametrize("algorithm", ["gallager-b", "gallager-a",
+                                       "bit-flip"])
+def test_hard_oracle_matches_golden(algorithm, rng):
+    """Round-3: the native C oracle covers the HARD-DECISION family too —
+    exact equality (hard bits, per-codeword iters, convergence) vs
+    golden.decode_hard on BSC-noised codewords, default and explicit
+    thresholds."""
+    from ldpc_tpu import oracle
+    from ldpc_tpu.codes.toy import array_qc
+    from ldpc_tpu.golden.decoder import decode_hard
+    code = array_qc(3, 6, 17)
+    bits = (rng.random((32, code.n)) < 0.035).astype(np.uint8)
+    for thr in (None, 2):
+        h, it, cv = oracle.decode_hard_batch(bits, code, max_iter=12,
+                                             algorithm=algorithm,
+                                             threshold=thr)
+        assert 0 < cv.mean() < 1 or thr == 2  # exercise mixed convergence
+        for b in range(bits.shape[0]):
+            r = decode_hard(bits[b], code, max_iter=12,
+                            algorithm=algorithm, threshold=thr)
+            np.testing.assert_array_equal(h[b], r.hard)
+            assert it[b] == r.iters and cv[b] == bool(r.converged)
