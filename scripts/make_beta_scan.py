@@ -24,6 +24,8 @@ def main() -> None:
 
     rows = []
     cases = [("dvbs2_64800_r12", dvbs2(64800, "1/2"), (0.6, 1.3), None),
+             ("nr_bg1_z384_r12", nrbg(base_graph=1, Z=384), (0.5, 1.4),
+              None),
              ("nr_bg2_z128_r12", nrbg(base_graph=2, Z=128), (0.5, 1.3),
               None)]
     for name, code, bracket, _ in cases:
