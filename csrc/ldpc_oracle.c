@@ -21,10 +21,22 @@
  *     posterior (guaranteed: a layer touches each variable at most once)
  */
 #include <stdint.h>
+#include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
 
 #define CLIP(x, lo, hi) ((x) < (lo) ? (lo) : ((x) > (hi) ? (hi) : (x)))
+
+/* Oracle scratch allocation: a failure here cannot be reported through the
+ * batched API without corrupting results, so abort loudly instead. */
+static void *xmalloc(size_t sz) {
+    void *p = malloc(sz);
+    if (!p) {
+        fprintf(stderr, "ldpc_oracle: out of memory (%zu bytes)\n", sz);
+        abort();
+    }
+    return p;
+}
 
 /* CN update for one check: incoming v2c[deg] -> outgoing c2v[deg].
  * Matches golden _cn_update including degree-1 (empty exclude-min = qmax).
@@ -207,10 +219,10 @@ void ldpc_decode_batch(
     }
 #pragma omp parallel
     {
-        int32_t *c2v = malloc((size_t)E * sizeof(int32_t));
-        int32_t *work = malloc((size_t)n * sizeof(int32_t));
-        int32_t *v2c_buf = malloc((size_t)max_deg * sizeof(int32_t));
-        int32_t *out_buf = malloc((size_t)max_deg * sizeof(int32_t));
+        int32_t *c2v = xmalloc((size_t)E * sizeof(int32_t));
+        int32_t *work = xmalloc((size_t)n * sizeof(int32_t));
+        int32_t *v2c_buf = xmalloc((size_t)max_deg * sizeof(int32_t));
+        int32_t *out_buf = xmalloc((size_t)max_deg * sizeof(int32_t));
 #pragma omp for schedule(dynamic, 1)
         for (int b = 0; b < B; b++) {
             if (schedule == 0)
@@ -347,8 +359,8 @@ void ldpc_decode_hard_batch(
     uint8_t *hard, int32_t *iters, uint8_t *conv) {
     /* per-variable degrees + default thresholds (golden
      * _default_thresholds: B = (dv-1)/2 + 1, A = max(dv-1, 1)) */
-    int32_t *dv = malloc((size_t)n * sizeof(int32_t));
-    int32_t *thr = malloc((size_t)n * sizeof(int32_t));
+    int32_t *dv = xmalloc((size_t)n * sizeof(int32_t));
+    int32_t *thr = xmalloc((size_t)n * sizeof(int32_t));
     memset(dv, 0, (size_t)n * sizeof(int32_t));
     for (int e = 0; e < E; e++) dv[cn_vars[e]]++;
     for (int v = 0; v < n; v++) {
@@ -358,9 +370,13 @@ void ldpc_decode_hard_batch(
     }
 #pragma omp parallel
     {
-        uint8_t *v2c = malloc((size_t)E);
-        uint8_t *c2v = malloc((size_t)E);
-        int32_t *work = malloc((size_t)n * sizeof(int32_t));
+        /* v2c doubles as decode_one_bitflip's n-byte bit state, so the
+         * shared scratch must cover max(E, n) (advisor round-3 finding:
+         * a pathological code with E < n would otherwise overflow). */
+        size_t scr = (size_t)E > (size_t)n ? (size_t)E : (size_t)n;
+        uint8_t *v2c = xmalloc(scr);
+        uint8_t *c2v = xmalloc(scr);
+        int32_t *work = xmalloc((size_t)n * sizeof(int32_t));
 #pragma omp for schedule(dynamic, 1)
         for (int b = 0; b < B; b++) {
             if (algorithm == 2)

@@ -456,7 +456,16 @@ def de_threshold_bsc_spectra(
     lo, hi = bracket
 
     def ok(p):
-        pe = de_pe_trajectory_spectra(chan_pmf_bsc(p, quant), spectra,
+        try:
+            chan = chan_pmf_bsc(p, quant)
+        except ValueError:
+            # LLR magnitude quantizes to 0 at this p (chan_pmf_bsc refuses
+            # to report the spurious-convergence pmf): the decoder cannot
+            # operate here, so treat the point as non-converged and let the
+            # bisection shrink hi. Direct chan_pmf_bsc callers still get
+            # the raise.
+            return False
+        pe = de_pe_trajectory_spectra(chan, spectra,
                                       beta, alpha, quant.qmax, iters,
                                       decision_vnode=decision_vnode)
         return pe[-1] < target

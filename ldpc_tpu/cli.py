@@ -244,6 +244,11 @@ def cmd_analyze(args) -> int:
         if args.proto:
             if args.channel != "awgn":
                 raise SystemExit("analyze: --proto supports AWGN only")
+            if args.min_decision_degree > 1:
+                print("# note: --min-decision-degree ignored with --proto "
+                      "(protograph decision Pe is already over info columns, "
+                      "which excludes the degree-1 parity variables)",
+                      file=sys.stderr)
             from .analysis.proto_de import proto_de_threshold_awgn
             lo, hi = args.bracket
             sigma = proto_de_threshold_awgn(

@@ -89,6 +89,17 @@ class TestQuantizedDE:
         with pytest.raises(ValueError, match="quantizes to 0"):
             de.chan_pmf_bsc(0.39, q1)
 
+    def test_bsc_threshold_bracket_past_zero_quant(self):
+        """Round-3 advisor finding: a bisection bracket whose upper portion
+        quantizes the BSC LLR magnitude to 0 must not abort the threshold
+        search — those points are treated as non-converged (hi shrinks)."""
+        q1 = QuantConfig(bits=8, scale=1.0, beta_lsb=0)
+        # At scale 1.0, p >= ~0.27 quantizes log((1-p)/p) to 0 (raises in
+        # chan_pmf_bsc); a representable threshold still exists below it.
+        p = de.de_threshold_bsc(3, 6, q1, iters=60, tol=1e-3,
+                                bracket=(1e-3, 0.39))
+        assert 1e-3 < p < 0.27
+
     def test_pmfs_normalized(self):
         pmf = de.chan_pmf_awgn(0.9, self.QUANT)
         assert abs(pmf.sum() - 1) < 1e-12
