@@ -1,0 +1,164 @@
+"""PEG / QC-PEG code construction tests (SURVEY.md §1.2 'H-matrix
+generation' role; §8.1 PEG fallback policy).
+
+Oracles: exact girth by BFS, GF(2) rank, H c^T = 0 via the golden encoder,
+and bit-exact decode equality golden vs the batched jnp decoder on a
+constructed code (constructed codes must be first-class citizens of every
+decode path)."""
+import numpy as np
+import pytest
+
+from ldpc_tpu.codes.code import gf2_rank, has_4cycle
+from ldpc_tpu.codes.peg import (
+    degrees_from_profile,
+    girth,
+    peg_construct,
+    qc_peg_construct,
+)
+from ldpc_tpu.codes.qcstruct import base_collisions, detect_enc_struct
+from ldpc_tpu.golden import encoder as golden_enc
+from ldpc_tpu.golden.decoder import decode_fixed, quantize
+
+
+class TestDegreesFromProfile:
+    def test_exact_counts(self):
+        d = degrees_from_profile(12, {2: 0.5, 3: 0.25, 8: 0.25})
+        assert len(d) == 12 and sorted(d) == list(d)
+        assert list(np.bincount(d)[[2, 3, 8]]) == [6, 3, 3]
+
+    def test_largest_remainder(self):
+        d = degrees_from_profile(10, {2: 1 / 3, 3: 1 / 3, 4: 1 / 3})
+        assert len(d) == 10 and d.sum() in (29, 30, 31)
+        assert set(np.unique(d)) == {2, 3, 4}
+
+    def test_rejects_bad_profile(self):
+        with pytest.raises(ValueError):
+            degrees_from_profile(10, {3: 0.5})
+
+
+class TestGirthOracle:
+    def test_known_girth_cycle_code(self):
+        # A single 6-cycle Tanner graph: 3 VNs, 3 CNs, each CN joins 2 VNs.
+        from ldpc_tpu.codes.code import LDPCCode
+        cn = [np.array([0, 1], np.int32), np.array([1, 2], np.int32),
+              np.array([0, 2], np.int32)]
+        code = LDPCCode(name="c6", n=3, m=3, k=0, cn_adj=cn)
+        assert girth(code) == 6
+
+    def test_4cycle_detected(self):
+        from ldpc_tpu.codes.code import LDPCCode
+        cn = [np.array([0, 1], np.int32), np.array([0, 1], np.int32)]
+        code = LDPCCode(name="c4", n=2, m=2, k=0, cn_adj=cn)
+        assert girth(code) == 4
+
+    def test_matches_has_4cycle_on_wifi(self):
+        from ldpc_tpu.codes.ieee80211n import make_code
+        code = make_code(648, "1/2")
+        g = girth(code)
+        assert g >= 6 and not has_4cycle(code)
+
+
+class TestPEGUnstructured:
+    def test_regular_36(self):
+        code = peg_construct(96, 48, 3, seed=1)
+        assert code.n == 96 and code.m == 48 and code.k == 48
+        assert gf2_rank(code.h_dense()) == 48
+        assert girth(code) >= 6
+        # exact VN degrees
+        vn_deg = np.zeros(96, int)
+        for vs in code.cn_adj:
+            vn_deg[vs] += 1
+        assert (vn_deg == 3).all()
+        # near-uniform CN degrees (PEG's min-degree tie-break concentrates
+        # them, but distance dominates once all checks are reachable)
+        cn_deg = np.array([len(a) for a in code.cn_adj])
+        assert cn_deg.max() - cn_deg.min() <= 2
+        assert not code.standard_exact
+
+    def test_irregular_profile_and_encode(self):
+        # Profile sized so girth 6 is achievable (a high-degree VN whose
+        # distance-3 neighborhood covers every check FORCES a 4-cycle —
+        # e.g. degree 7 at m=60 measures girth 4; that is graph physics,
+        # not a constructor defect).
+        code = peg_construct(200, 100, {2: 0.5, 3: 0.35, 5: 0.15}, seed=3)
+        assert girth(code) >= 6
+        info = np.random.default_rng(0).integers(0, 2, (4, code.k))
+        cw = golden_enc.encode(code, info)
+        assert (code.syndrome(cw) == 0).all()
+
+    def test_decodes_noiseless(self):
+        code = peg_construct(96, 48, 3, seed=1)
+        info = np.random.default_rng(1).integers(0, 2, code.k)
+        cw = golden_enc.encode(code, info)
+        llr = quantize((1.0 - 2.0 * cw) * 8.0)
+        res = decode_fixed(llr, code, max_iter=5)
+        assert res.converged and (res.hard == cw).all()
+
+    def test_rejects_bad_degrees(self):
+        with pytest.raises(ValueError):
+            peg_construct(10, 5, 6, seed=0)  # degree > m
+        with pytest.raises(ValueError):
+            peg_construct(10, 5, [3] * 9, seed=0)  # wrong length
+
+
+class TestQCPEG:
+    def test_girth8_at_wifi_size(self):
+        # The headline: at the 802.11n n=648 r=1/2 geometry the QC-PEG
+        # constructor reaches girth 8 where the standard table has girth 6.
+        code = qc_peg_construct(kb=12, cb=12, Z=27,
+                                col_degrees=[2] * 6 + [3] * 4 + [8] * 2,
+                                seed=0)
+        assert code.n == 648 and code.m == 324
+        assert girth(code) >= 8
+        assert not base_collisions(code.base, 27)
+        assert gf2_rank(code.h_dense()) == code.m
+
+    def test_encodable_structure(self):
+        code = qc_peg_construct(kb=12, cb=12, Z=27, col_degrees=3, seed=2)
+        st = detect_enc_struct(code.base)
+        assert st is not None and st.kb == 12 and st.cb == 12
+        # structured O(E) encoder agrees with the property H c^T = 0
+        from ldpc_tpu.codes.qcstruct import qc_encode_numpy
+        info = np.random.default_rng(2).integers(0, 2, (3, code.k))
+        cw = qc_encode_numpy(code, info)
+        assert (code.syndrome(cw) == 0).all()
+
+    def test_extension_rows(self):
+        code = qc_peg_construct(kb=8, cb=4, Z=16, col_degrees=3, mb=6, seed=1)
+        assert code.base.shape == (6, 14)
+        st = detect_enc_struct(code.base)
+        assert st is not None and st.cb == 4
+        assert girth(code) >= 6
+
+    def test_profile_dict(self):
+        code = qc_peg_construct(kb=12, cb=12, Z=27,
+                                col_degrees={2: 0.5, 3: 0.25, 8: 0.25},
+                                seed=0)
+        col_deg = (code.base[:, :12] >= 0).sum(axis=0)
+        assert sorted(col_deg) == [2, 2, 2, 2, 2, 2, 3, 3, 3, 8, 8, 8]
+
+    def test_rejects_degree_bounds(self):
+        with pytest.raises(ValueError):
+            qc_peg_construct(kb=4, cb=4, Z=8, col_degrees=1, seed=0)
+        with pytest.raises(ValueError):
+            qc_peg_construct(kb=4, cb=4, Z=8, col_degrees=5, seed=0)
+
+    def test_jnp_decoder_bit_exact_on_constructed_code(self):
+        # Constructed codes ride the same decode paths: golden == jnp,
+        # identical hard bits/iters on noisy inputs.
+        import jax.numpy as jnp
+        from ldpc_tpu.config import DecoderConfig, QuantConfig
+        from ldpc_tpu.ops.decode_ref import make_decoder
+        code = qc_peg_construct(kb=12, cb=12, Z=27, col_degrees=3, seed=4)
+        rng = np.random.default_rng(0)
+        chan = rng.integers(-31, 32, (4, code.n)).astype(np.int8)
+        dec = make_decoder(code,
+                           DecoderConfig(algorithm="offset-min-sum",
+                                         max_iter=8),
+                           QuantConfig(beta_lsb=1))
+        hard, iters, conv = map(np.asarray, dec(jnp.asarray(chan)))
+        for b in range(4):
+            ref = decode_fixed(chan[b].astype(np.int32), code, max_iter=8,
+                               beta=1)
+            assert (hard[b] == ref.hard).all()
+            assert iters[b] == ref.iters and bool(conv[b]) == ref.converged
