@@ -61,6 +61,10 @@ def _build_config(args) -> SimConfig:
     if getattr(args, "code_file", None):
         # An explicit H file implies the alist family.
         code = dataclasses.replace(code, family="alist", path=args.code_file)
+    if getattr(args, "puncture_frac", None):
+        code = dataclasses.replace(code, punct_frac=args.puncture_frac)
+    if getattr(args, "puncture_scheme", None):
+        code = dataclasses.replace(code, punct_scheme=args.puncture_scheme)
     chan = cfg.channel
     if args.modulation:
         chan = dataclasses.replace(chan, modulation=args.modulation)
@@ -348,6 +352,14 @@ def build_parser() -> argparse.ArgumentParser:
                             "(sets family=alist)")
         q.add_argument("--k-info", dest="k_info", type=int, default=None,
                        help="5G NR payload bits (enables shortening)")
+        q.add_argument("--puncture-frac", dest="puncture_frac", type=float,
+                       default=None,
+                       help="rate-compatible puncturing: fraction of parity "
+                            "bits never transmitted (LLR 0 at the decoder); "
+                            "works with any family")
+        q.add_argument("--puncture-scheme", dest="puncture_scheme",
+                       default=None, choices=["tail", "random"],
+                       help="puncture order (nested across fractions)")
         q.add_argument("--modulation", default=None,
                        choices=["bpsk", "qpsk", "16qam", "64qam",
                                 "8psk", "16apsk", "32apsk"])

@@ -83,6 +83,13 @@ class CodeConfig:
     Z: Optional[int] = None  # lifting size; derived from (family, n, rate) if None
     k_info: Optional[int] = None  # 5G NR payload bits (< kb*Z => shortening)
     path: Optional[str] = None  # alist family: H-matrix file
+    # Generic rate-compatible puncturing (codes/rate_compat.py): fraction of
+    # the mother code's parity bits punctured (never transmitted, LLR 0 at
+    # the decoder), applied AFTER family construction to any family.
+    # Nested across fractions (prefixes of one puncture order), so a set of
+    # configs differing only in punct_frac forms a rate-compatible ladder.
+    punct_frac: float = 0.0
+    punct_scheme: str = "tail"  # 'tail' | 'random' (seeded by run.seed)
 
 
 @dataclass(frozen=True)

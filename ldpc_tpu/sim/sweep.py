@@ -115,23 +115,32 @@ def build_code(cfg: SimConfig) -> LDPCCode:
     c = cfg.code
     if c.family == "ieee80211n":
         from ..codes.ieee80211n import make_code
-        return make_code(c.n, c.rate)
-    if c.family == "5gnr":
+        code = make_code(c.n, c.rate)
+    elif c.family == "5gnr":
         from ..codes.nr_bg import make_code as make_nr
-        return make_nr(base_graph=c.base_graph, Z=c.Z, rate=c.rate,
+        code = make_nr(base_graph=c.base_graph, Z=c.Z, rate=c.rate,
                        k_info=c.k_info)
-    if c.family == "dvbs2":
+    elif c.family == "dvbs2":
         from ..codes.dvbs2 import make_code as make_dvb
-        return make_dvb(n=c.n, rate=c.rate)
-    if c.family == "toy":
+        code = make_dvb(n=c.n, rate=c.rate)
+    elif c.family == "toy":
         from ..codes.toy import toy_qc
-        return toy_qc(c.Z or 4)
-    if c.family == "alist":
+        code = toy_qc(c.Z or 4)
+    elif c.family == "alist":
         if not c.path:
             raise ValueError("alist family requires CodeConfig.path")
         from ..codes.alist import read_alist
-        return read_alist(c.path)
-    raise ValueError(f"unknown code family {c.family}")
+        code = read_alist(c.path)
+    else:
+        raise ValueError(f"unknown code family {c.family}")
+    if c.punct_frac:
+        # Generic rate-compatible puncturing on top of ANY family (the NR
+        # builder's standard rate matching already lives in punct_vns; the
+        # generic order excludes those positions, so the two compose).
+        from ..codes.rate_compat import puncture
+        code = puncture(code, frac=c.punct_frac, scheme=c.punct_scheme,
+                        seed=cfg.run.seed)
+    return code
 
 
 class Sweep:
