@@ -1,0 +1,157 @@
+"""Trapping-set analysis + mixture importance sampling
+(analysis/trapping.py, sim/impsamp.py).
+
+Oracles: GF(2) syndrome arithmetic for (a, b) classification; brute-force
+Gaussian density ratios for the IS weights; plain Monte-Carlo (which the
+estimator must degenerate to at K=0 and agree with statistically at K>0 —
+mixture IS is unbiased by construction)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ldpc_tpu.analysis.trapping import (
+    classify,
+    dominant_sets,
+    odd_checks,
+    refine_support,
+    search_trapping_sets,
+)
+from ldpc_tpu.codes.ieee80211n import make_code as make_wifi
+from ldpc_tpu.codes.toy import toy_qc
+from ldpc_tpu.config import CodeConfig, DecoderConfig, SimConfig
+from ldpc_tpu.golden import encoder as golden_enc
+from ldpc_tpu.sim.impsamp import (
+    estimate_fer,
+    harvest_error_supports,
+    make_is_run,
+    mixture_log_weight,
+)
+
+
+@pytest.fixture(scope="module")
+def wifi648():
+    return make_wifi(648, "1/2")
+
+
+class TestClassify:
+    def test_single_vn(self, wifi648):
+        vdeg = len(wifi648.vn_adj()[5])
+        assert classify(wifi648, [5]) == (1, vdeg)
+        assert len(odd_checks(wifi648, [5])) == vdeg
+
+    def test_codeword_support_is_a0(self, wifi648):
+        info = np.random.default_rng(0).integers(0, 2, wifi648.k)
+        cw = golden_enc.encode(wifi648, info)
+        sup = np.nonzero(cw)[0]
+        a, b = classify(wifi648, sup)
+        assert a == len(sup) and b == 0
+
+    def test_refine_strips_satellites(self, wifi648):
+        info = np.zeros(wifi648.k, np.uint8)
+        info[:3] = 1
+        cw = golden_enc.encode(wifi648, info)
+        sup = set(map(int, np.nonzero(cw)[0]))
+        extra = sorted(set(range(wifi648.n)) - sup)[:2]
+        refined = refine_support(wifi648, sorted(sup) + extra)
+        # satellites (whose removal lowers b) are gone; the codeword core
+        # (whose removal would raise b from 0) survives intact
+        assert refined == frozenset(sup)
+
+
+class TestSearch:
+    def test_classes_consistent(self):
+        code = toy_qc(8)
+        found = search_trapping_sets(code, a_max=6, b_max=4, max_sets=64)
+        assert found, "search found nothing on the toy code"
+        for (a, b), sets in found.items():
+            assert a <= 6 and b <= 4
+            for s in sets:
+                assert classify(code, s) == (a, b)
+
+    def test_seeded_with_harvest_style_support(self, wifi648):
+        found = search_trapping_sets(wifi648, a_max=5, b_max=6,
+                                     seeds=[[0, 1, 2]], per_vn_seeds=False)
+        assert all(classify(wifi648, s) == (a, b)
+                   for (a, b), ss in found.items() for s in ss)
+
+    def test_dominant_ranking(self):
+        code = toy_qc(8)
+        found = search_trapping_sets(code, a_max=6, b_max=6, max_sets=64)
+        dom = dominant_sets(found, k=5)
+        costs = [sum(classify(code, s)) for s in dom]
+        assert costs == sorted(costs)
+
+
+class TestMixtureWeights:
+    def test_against_bruteforce_density_ratio(self):
+        rng = np.random.default_rng(0)
+        n, K, B = 12, 3, 64
+        sigma, delta, pi0 = 0.8, 2.0, 0.4
+        M = (rng.random((K, n)) < 0.3).astype(np.float32)
+        sizes = M.sum(axis=1).astype(np.float32)
+        log_pi = np.log(np.concatenate([[pi0], np.full(K, (1 - pi0) / K)])
+                        ).astype(np.float32)
+        z = rng.normal(0, sigma, (B, n)).astype(np.float32)
+        lw = np.asarray(mixture_log_weight(
+            jnp.asarray(z), jnp.asarray(M), jnp.asarray(sizes),
+            jnp.asarray(log_pi), delta, sigma))
+        # brute force: unnormalized Gaussian densities (normalizers cancel)
+        mus = np.concatenate([np.zeros((1, n)), -delta * M], axis=0)
+        pis = np.exp(log_pi)
+        dens = np.stack([
+            np.exp(-((z - mu) ** 2).sum(axis=1) / (2 * sigma ** 2))
+            for mu in mus], axis=1)  # (B, K+1)
+        ref = np.log(dens[:, 0]) - np.log(dens @ pis)
+        np.testing.assert_allclose(lw, ref, rtol=2e-4, atol=2e-4)
+        # defensive bound: w <= 1/pi0
+        assert (lw <= -np.log(pi0) + 1e-5).all()
+
+
+def _cfg():
+    return SimConfig(code=CodeConfig(),
+                     decoder=DecoderConfig(algorithm="offset-min-sum",
+                                           max_iter=10))
+
+
+class TestISEstimator:
+    def test_k0_degenerates_to_plain_mc(self, wifi648):
+        cfg = _cfg()
+        run = make_is_run(wifi648, cfg, sets=[], batch=256, backend="jnp")
+        out = np.asarray(run(jax.random.PRNGKey(0), 0.9))
+        # with no sets every weight is 1: sum(w*err) == raw error count
+        assert out[0] == out[2]
+        assert out[1] == out[2]  # (1*err)^2 sums identically
+
+    def test_estimate_matches_plain_mc_statistically(self, wifi648):
+        # 2.0 dB: FER ~0.1 — both plain MC and IS resolve it cheaply; the
+        # unbiased mixture must land within combined confidence bounds.
+        cfg = _cfg()
+        frames = 2048
+        plain = estimate_fer(wifi648, cfg, sets=[], ebn0_db=2.0,
+                             frames=frames, batch=512, backend="jnp",
+                             seed=5)
+        sets = [[0, 1, 2, 3], [640, 641, 642]]
+        mixed = estimate_fer(wifi648, cfg, sets=sets, ebn0_db=2.0,
+                             frames=frames, batch=512, backend="jnp",
+                             seed=7, delta=2.0, pi0=0.5)
+        assert plain.fer > 0 and mixed.fer > 0
+        tol = 5 * (plain.fer * plain.rel_std + mixed.fer * mixed.rel_std)
+        assert abs(plain.fer - mixed.fer) <= tol
+
+    def test_harvest_returns_classifiable_supports(self, wifi648):
+        cfg = _cfg()
+        sup = harvest_error_supports(wifi648, cfg, ebn0_db=1.0, frames=512,
+                                     batch=256, backend="jnp", seed=2)
+        assert sup, "no failures harvested at 1.0 dB?!"
+        for s in sup[:4]:
+            a, b = classify(wifi648, s)
+            assert a == len(s) >= 1
+
+    def test_rejects_non_bpsk(self, wifi648):
+        cfg = SimConfig(code=CodeConfig(),
+                        channel=__import__("dataclasses").replace(
+                            _cfg().channel, modulation="16qam"))
+        with pytest.raises(ValueError):
+            make_is_run(wifi648, cfg, sets=[], batch=64)
