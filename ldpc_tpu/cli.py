@@ -65,6 +65,10 @@ def _build_config(args) -> SimConfig:
         code = dataclasses.replace(code, punct_frac=args.puncture_frac)
     if getattr(args, "puncture_scheme", None):
         code = dataclasses.replace(code, punct_scheme=args.puncture_scheme)
+    if getattr(args, "profile", None):
+        code = dataclasses.replace(code, profile=args.profile)
+    if getattr(args, "code_seed", None) is not None:
+        code = dataclasses.replace(code, code_seed=args.code_seed)
     chan = cfg.channel
     if args.modulation:
         chan = dataclasses.replace(chan, modulation=args.modulation)
@@ -162,6 +166,31 @@ def cmd_presets(args) -> int:
         print(f"{name}: {c.family} n={c.n} rate={c.rate} "
               f"{cfg.channel.modulation} {cfg.decoder.algorithm}/"
               f"{cfg.decoder.schedule} iters={cfg.decoder.max_iter}")
+    return 0
+
+
+def cmd_construct(args) -> int:
+    """Construct the configured code (any family; the point is qcpeg),
+    report its structural quality, optionally export alist. Pure NumPy —
+    the H-matrix-generation role the reference kept in MATLAB scripts
+    (SURVEY.md §1.2), plus the girth/rank validation of SURVEY.md §8.1."""
+    from .codes.code import gf2_rank
+    from .codes.peg import girth
+    from .sim.sweep import build_code
+
+    cfg = _build_config(args)
+    code = build_code(cfg)
+    out = {"code": code.name, "family": cfg.code.family, "n": code.n,
+           "k": code.k, "m": code.m, "Z": code.Z, "edges": code.num_edges,
+           "rate": code.rate, "standard_exact": code.standard_exact}
+    if code.n <= 8192:
+        out["girth"] = girth(code)
+        out["full_rank"] = gf2_rank(code.h_dense()) == code.m
+    if getattr(args, "export_alist", None):
+        from .codes.alist import write_alist
+        write_alist(code, args.export_alist)
+        out["alist"] = args.export_alist
+    print(json.dumps(out))
     return 0
 
 
@@ -318,6 +347,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     sw = sub.add_parser("sweep", help="run a BER/FER sweep")
     cfgp = sub.add_parser("config", help="print the resolved config JSON")
+    co = sub.add_parser(
+        "construct",
+        help="construct a code (e.g. --family qcpeg) and report "
+             "girth/rank; --export-alist FILE writes H")
+    co.add_argument("--export-alist", dest="export_alist", default=None)
     an = sub.add_parser(
         "analyze", help="density-evolution threshold for the configured "
                         "code (offline, pure NumPy — analysis/de.py)")
@@ -339,10 +373,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="restrict the decision average to variable "
                          "degrees >= D (2 excludes NR's degree-1 "
                          "extension parities)")
-    for q in (sw, cfgp, an):
+    for q in (sw, cfgp, an, co):
         q.add_argument("--preset", choices=sorted(PRESETS), default=None)
         q.add_argument("--family", default=None,
-                       choices=["ieee80211n", "5gnr", "dvbs2", "toy"])
+                       choices=["ieee80211n", "5gnr", "dvbs2", "toy",
+                                "qcpeg"])
+        q.add_argument("--profile", default=None,
+                       help="qcpeg family: info-column base degrees, "
+                            "'deg:frac,...' or explicit 'd0,d1,...' "
+                            "(default uniform 3)")
+        q.add_argument("--code-seed", dest="code_seed", type=int,
+                       default=None,
+                       help="qcpeg family: construction seed")
         q.add_argument("--n", type=int, default=None)
         q.add_argument("--rate", default=None)
         q.add_argument("--base-graph", dest="base_graph", type=int, default=None)
@@ -440,7 +482,8 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     return {"sweep": cmd_sweep, "presets": cmd_presets,
             "codes": cmd_codes, "config": cmd_config,
-            "report": cmd_report, "analyze": cmd_analyze}[args.cmd](args)
+            "report": cmd_report, "analyze": cmd_analyze,
+            "construct": cmd_construct}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -40,6 +40,28 @@ _INF = np.iinfo(np.int32).max
 # Degree profiles
 # ---------------------------------------------------------------------------
 
+def parse_profile(spec: Optional[str], kb: int) -> np.ndarray:
+    """Parse a CodeConfig.profile string into per-column base degrees.
+
+    'deg:frac,...' (e.g. '2:0.5,3:0.25,8:0.25') is a node-perspective
+    profile apportioned over kb columns; 'd0,d1,...' (no colons) is an
+    explicit degree list of length kb; None/'' means uniform degree 3.
+    """
+    if not spec:
+        return np.full(kb, 3, np.int32)
+    if ":" in spec:
+        prof = {}
+        for part in spec.split(","):
+            d, f = part.split(":")
+            prof[int(d)] = float(f)
+        return degrees_from_profile(kb, prof)
+    degs = np.asarray([int(x) for x in spec.split(",")], np.int32)
+    if len(degs) != kb:
+        raise ValueError(f"explicit profile lists {len(degs)} degrees, "
+                         f"need kb={kb}")
+    return degs
+
+
 def degrees_from_profile(n: int, profile: Dict[int, float]) -> np.ndarray:
     """Integer per-node degree sequence from a NODE-perspective profile.
 

@@ -83,6 +83,14 @@ class CodeConfig:
     Z: Optional[int] = None  # lifting size; derived from (family, n, rate) if None
     k_info: Optional[int] = None  # 5G NR payload bits (< kb*Z => shortening)
     path: Optional[str] = None  # alist family: H-matrix file
+    # family='qcpeg' (codes/peg.py): girth-optimized QC-PEG construction,
+    # deterministic from (n, rate, Z, profile, code_seed) — so constructed
+    # codes are first-class config citizens (sweeps, checkpoints, CLI).
+    # profile: info-column base degrees, either 'deg:frac,...' (node-
+    # perspective fractions) or an explicit 'd0,d1,...' list of length kb;
+    # None = uniform degree 3.
+    profile: Optional[str] = None
+    code_seed: int = 0
     # Generic rate-compatible puncturing (codes/rate_compat.py): fraction of
     # the mother code's parity bits punctured (never transmitted, LLR 0 at
     # the decoder), applied AFTER family construction to any family.

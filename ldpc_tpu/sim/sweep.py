@@ -110,6 +110,11 @@ def _config_compatible(stored: dict, cfg: SimConfig) -> bool:
     return walk(stored, cfg)
 
 
+def _rate_value(rate: str) -> float:
+    from fractions import Fraction
+    return float(Fraction(rate))
+
+
 def build_code(cfg: SimConfig) -> LDPCCode:
     """CodeConfig -> LDPCCode across all supported families."""
     c = cfg.code
@@ -131,6 +136,19 @@ def build_code(cfg: SimConfig) -> LDPCCode:
             raise ValueError("alist family requires CodeConfig.path")
         from ..codes.alist import read_alist
         code = read_alist(c.path)
+    elif c.family == "qcpeg":
+        from ..codes.peg import parse_profile, qc_peg_construct
+        if not c.Z:
+            raise ValueError("qcpeg family requires CodeConfig.Z")
+        if c.n % c.Z:
+            raise ValueError(f"qcpeg: n={c.n} not a multiple of Z={c.Z}")
+        nb = c.n // c.Z
+        kb = round(nb * _rate_value(c.rate))
+        if not 0 < kb < nb:
+            raise ValueError(f"qcpeg: rate {c.rate} gives kb={kb} of nb={nb}")
+        code = qc_peg_construct(kb=kb, cb=nb - kb, Z=c.Z,
+                                col_degrees=parse_profile(c.profile, kb),
+                                seed=c.code_seed)
     else:
         raise ValueError(f"unknown code family {c.family}")
     if c.punct_frac:

@@ -162,3 +162,49 @@ class TestQCPEG:
                                beta=1)
             assert (hard[b] == ref.hard).all()
             assert iters[b] == ref.iters and bool(conv[b]) == ref.converged
+
+
+class TestQCPEGFamilyConfig:
+    def test_build_code_from_config(self):
+        from ldpc_tpu.config import CodeConfig, SimConfig
+        from ldpc_tpu.sim.sweep import build_code
+        cfg = SimConfig(code=CodeConfig(family="qcpeg", n=648, rate="1/2",
+                                        Z=27, profile="2:0.5,3:0.3,8:0.2",
+                                        code_seed=1))
+        a = build_code(cfg)
+        b = build_code(cfg)
+        assert a.n == 648 and a.k == 324 and not a.standard_exact
+        # deterministic from config (checkpoint/resume identity)
+        assert all(np.array_equal(x, y) for x, y in zip(a.cn_adj, b.cn_adj))
+
+    def test_build_code_validation(self):
+        from ldpc_tpu.config import CodeConfig, SimConfig
+        from ldpc_tpu.sim.sweep import build_code
+        with pytest.raises(ValueError):
+            build_code(SimConfig(code=CodeConfig(family="qcpeg", n=648,
+                                                 rate="1/2")))  # no Z
+        with pytest.raises(ValueError):
+            build_code(SimConfig(code=CodeConfig(family="qcpeg", n=650,
+                                                 rate="1/2", Z=27)))
+
+    def test_parse_profile(self):
+        from ldpc_tpu.codes.peg import parse_profile
+        assert (parse_profile(None, 4) == 3).all()
+        assert sorted(parse_profile("2:0.5,4:0.5", 4)) == [2, 2, 4, 4]
+        assert list(parse_profile("2,3,4,5", 4)) == [2, 3, 4, 5]
+        with pytest.raises(ValueError):
+            parse_profile("2,3", 4)
+
+    def test_cli_construct(self, capsys, tmp_path):
+        import json
+        from ldpc_tpu.cli import main
+        out = str(tmp_path / "c.alist")
+        rc = main(["construct", "--family", "qcpeg", "--n", "216",
+                   "--rate", "1/2", "--Z", "9", "--code-seed", "3",
+                   "--export-alist", out])
+        assert rc == 0
+        d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert d["girth"] >= 6 and d["full_rank"]
+        from ldpc_tpu.codes.alist import read_alist
+        back = read_alist(out)
+        assert back.n == 216 and back.m == 108
