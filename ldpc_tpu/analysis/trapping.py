@@ -126,11 +126,19 @@ def search_trapping_sets(code: LDPCCode, a_max: int = 8, b_max: int = 4,
 
 
 def dominant_sets(found: Dict[Tuple[int, int], List[FrozenSet[int]]],
-                  k: int = 32) -> List[FrozenSet[int]]:
+                  k: int = 32, min_a: int = 1) -> List[FrozenSet[int]]:
     """The k most error-floor-relevant sets: sort classes by (a + b) then a
-    (small sets with few unsatisfied checks dominate the floor)."""
+    (small sets with few unsatisfied checks dominate the floor).
+
+    min_a filters out tiny sets: an isolated 1-2 bit flip is trivially
+    corrected by any BP decoder, so (1, b)/(2, b) classes make useless IS
+    proposals even though they rank well on a + b — real floor culprits
+    are a >= ~4 cores with small b (measured on 802.11n n=648: harvested
+    failure cores classify as (6,4)/(7,3)-class, never (1,b))."""
     ranked = []
     for (a, b), sets in found.items():
+        if a < min_a:
+            continue
         for s in sets:
             ranked.append((a + b, a, s))
     ranked.sort(key=lambda t: (t[0], t[1], sorted(t[2])))
