@@ -65,6 +65,8 @@ def _build_config(args) -> SimConfig:
         code = dataclasses.replace(code, punct_frac=args.puncture_frac)
     if getattr(args, "puncture_scheme", None):
         code = dataclasses.replace(code, punct_scheme=args.puncture_scheme)
+    if getattr(args, "shorten_bits", None):
+        code = dataclasses.replace(code, shorten_bits=args.shorten_bits)
     if getattr(args, "profile", None):
         code = dataclasses.replace(code, profile=args.profile)
     if getattr(args, "code_seed", None) is not None:
@@ -191,6 +193,62 @@ def cmd_construct(args) -> int:
         write_alist(code, args.export_alist)
         out["alist"] = args.export_alist
     print(json.dumps(out))
+    return 0
+
+
+def cmd_floor(args) -> int:
+    """Error-floor estimation: harvest decoder failures at the waterfall
+    knee, refine/search trapping sets (analysis/trapping.py), then estimate
+    FER down the floor with defensive mixture importance sampling
+    (sim/impsamp.py). Unbiased; reports relative standard error and what
+    plain MC could have resolved with the same frames."""
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    from .analysis.trapping import (classify, dominant_sets, refine_support,
+                                    search_trapping_sets)
+    from .sim.impsamp import (estimate_fer, harvest_error_supports,
+                              make_is_run)
+    from .sim.sweep import build_code
+
+    cfg = _build_config(args)
+    code = build_code(cfg)
+    batch = args.batch or 8192  # shared --batch flag defaults to None
+    sup = harvest_error_supports(code, cfg, ebn0_db=args.harvest_ebn0,
+                                 frames=args.harvest_frames,
+                                 batch=min(batch, args.harvest_frames),
+                                 seed=cfg.run.seed + 11, max_supports=512)
+    cores = sorted({refine_support(code, s) for s in sup[:128]
+                    if len(s) <= 24}, key=lambda s: sorted(s))
+    found = search_trapping_sets(code, a_max=10, b_max=4, seeds=cores,
+                                 max_sets=768)
+    dom = list(dict.fromkeys(
+        [c for c in cores if 3 <= len(c) <= 16]
+        + dominant_sets(found, k=args.k_sets, min_a=4)))[:args.k_sets]
+    classes = sorted({classify(code, s) for s in dom})
+    print(f"# harvested {len(sup)} failures -> {len(dom)} proposal sets, "
+          f"classes {classes[:12]}", file=sys.stderr)
+    if not dom:
+        print("# WARNING: no failures harvested — estimates are plain MC; "
+              "lower --harvest-ebn0 or raise --harvest-frames",
+              file=sys.stderr)
+    run = make_is_run(code, cfg, sets=dom, delta=args.delta, pi0=args.pi0,
+                      batch=batch)
+    points = []
+    for e in _parse_ebn0(args.ebn0):
+        est = estimate_fer(code, cfg, sets=dom, ebn0_db=e,
+                           frames=args.frames, batch=batch,
+                           seed=cfg.run.seed, run=run)
+        points.append(est.to_dict())
+        print(json.dumps(points[-1]), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"config": json.loads(cfg.to_json()),
+                       "code": code.name,
+                       "proposal": {"n_sets": len(dom),
+                                    "classes": [list(c) for c in classes],
+                                    "delta": args.delta, "pi0": args.pi0},
+                       "points": points}, f, indent=1)
     return 0
 
 
@@ -352,6 +410,27 @@ def build_parser() -> argparse.ArgumentParser:
         help="construct a code (e.g. --family qcpeg) and report "
              "girth/rank; --export-alist FILE writes H")
     co.add_argument("--export-alist", dest="export_alist", default=None)
+    fl = sub.add_parser(
+        "floor",
+        help="error-floor FER via trapping-set mixture importance "
+             "sampling (harvest -> refine/search -> unbiased IS)")
+    fl.add_argument("--ebn0", default="3.0,3.5,4.0,4.5,5.0",
+                    help="IS estimation points, lo:hi:step or comma list")
+    fl.add_argument("--frames", type=int, default=1_000_000,
+                    help="proposal frames per SNR point")
+    fl.add_argument("--harvest-ebn0", dest="harvest_ebn0", type=float,
+                    default=2.2, help="waterfall-knee SNR for harvesting")
+    fl.add_argument("--harvest-frames", dest="harvest_frames", type=int,
+                    default=131072)
+    fl.add_argument("--delta", type=float, default=2.0,
+                    help="mean shift toward each set (2.0 = full flip)")
+    fl.add_argument("--pi0", type=float, default=0.25,
+                    help="unshifted mixture weight (weights bounded by "
+                         "1/pi0; the defensive component)")
+    fl.add_argument("--k-sets", dest="k_sets", type=int, default=48)
+    fl.add_argument("--out", default=None, help="JSON output path")
+    fl.add_argument("--platform", default=None,
+                    choices=["cpu", "tpu", "axon"])
     an = sub.add_parser(
         "analyze", help="density-evolution threshold for the configured "
                         "code (offline, pure NumPy — analysis/de.py)")
@@ -373,7 +452,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="restrict the decision average to variable "
                          "degrees >= D (2 excludes NR's degree-1 "
                          "extension parities)")
-    for q in (sw, cfgp, an, co):
+    for q in (sw, cfgp, an, co, fl):
         q.add_argument("--preset", choices=sorted(PRESETS), default=None)
         q.add_argument("--family", default=None,
                        choices=["ieee80211n", "5gnr", "dvbs2", "toy",
@@ -402,6 +481,10 @@ def build_parser() -> argparse.ArgumentParser:
         q.add_argument("--puncture-scheme", dest="puncture_scheme",
                        default=None, choices=["tail", "random"],
                        help="puncture order (nested across fractions)")
+        q.add_argument("--shorten-bits", dest="shorten_bits", type=int,
+                       default=None,
+                       help="generic shortening: last N info bits known "
+                            "zero (any family)")
         q.add_argument("--modulation", default=None,
                        choices=["bpsk", "qpsk", "16qam", "64qam",
                                 "8psk", "16apsk", "32apsk"])
@@ -483,7 +566,7 @@ def main(argv=None) -> int:
     return {"sweep": cmd_sweep, "presets": cmd_presets,
             "codes": cmd_codes, "config": cmd_config,
             "report": cmd_report, "analyze": cmd_analyze,
-            "construct": cmd_construct}[args.cmd](args)
+            "construct": cmd_construct, "floor": cmd_floor}[args.cmd](args)
 
 
 if __name__ == "__main__":

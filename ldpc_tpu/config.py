@@ -98,6 +98,10 @@ class CodeConfig:
     # configs differing only in punct_frac forms a rate-compatible ladder.
     punct_frac: float = 0.0
     punct_scheme: str = "tail"  # 'tail' | 'random' (seeded by run.seed)
+    # Generic shortening: the LAST shorten_bits information bits are known
+    # zeros (not transmitted; decoder sees saturated +LLR). Any family;
+    # composes with punct_frac (applied first) and NR's k_info.
+    shorten_bits: int = 0
 
 
 @dataclass(frozen=True)

@@ -151,6 +151,9 @@ def build_code(cfg: SimConfig) -> LDPCCode:
                                 seed=c.code_seed)
     else:
         raise ValueError(f"unknown code family {c.family}")
+    if c.shorten_bits:
+        from ..codes.rate_compat import shorten
+        code = shorten(code, c.shorten_bits)
     if c.punct_frac:
         # Generic rate-compatible puncturing on top of ANY family (the NR
         # builder's standard rate matching already lives in punct_vns; the

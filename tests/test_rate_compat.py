@@ -138,3 +138,43 @@ class TestPipelineIntegration:
         cfg = _build_config(args)
         assert cfg.code.punct_frac == 0.25
         assert cfg.code.punct_scheme == "random"
+
+
+class TestShortenConfig:
+    def test_build_code_shorten(self):
+        cfg = SimConfig(code=CodeConfig(shorten_bits=100))
+        code = build_code(cfg)
+        assert code.k_eff == 224 and code.n_tx == 548
+
+    def test_shorten_sweep_counters(self):
+        from ldpc_tpu.sim.sweep import Sweep
+        cfg = SimConfig(
+            code=CodeConfig(shorten_bits=64, punct_frac=0.125),
+            run=RunConfig(batch=128, max_frames=128, target_frame_errors=4),
+        )
+        sw = Sweep(cfg, decoder_backend="jnp", batch_tile=128)
+        pt = sw.run([4.0]).points[0]
+        assert pt.frames == 128 and 0 <= pt.frame_errs <= 128
+
+    def test_cli_flag(self):
+        from ldpc_tpu.cli import _build_config, build_parser
+        args = build_parser().parse_args(["sweep", "--shorten-bits", "32"])
+        assert _build_config(args).code.shorten_bits == 32
+
+
+class TestFloorCLI:
+    def test_floor_smoke(self, tmp_path, capsys):
+        import json
+        from ldpc_tpu.cli import main
+        out = str(tmp_path / "floor.json")
+        rc = main(["floor", "--platform", "cpu",
+                   "--algorithm", "normalized-min-sum", "--beta-lsb", "0",
+                   "--schedule", "layered",
+                   "--harvest-ebn0", "2.2", "--harvest-frames", "1024",
+                   "--batch", "256", "--frames", "512",
+                   "--ebn0", "3.0", "--out", out])
+        assert rc == 0
+        d = json.load(open(out))
+        assert d["points"][0]["frames"] == 512
+        assert d["points"][0]["fer"] >= 0
+        assert d["proposal"]["n_sets"] >= 0
