@@ -56,38 +56,49 @@ def main():
     wifi_info_degs = np.sort((wifi.base[:, :kb] >= 0).sum(axis=0))
 
     # ---- 1. DE profile scan (CPU) --------------------------------------
+    # Scan by PROTOGRAPH DE (exact edge types of the constructed base):
+    # round-4 measurement showed the single-edge lambda/rho ensemble
+    # MISPREDICTS the ranking at this geometry (it picked uniform-4 at
+    # 1.044 dB "ensemble" threshold; silicon measured it ~0.3 dB WORSE
+    # than the wifi profile — proto DE predicts that order and the gap,
+    # 0.795 vs 1.113 dB). Both numbers are recorded per candidate.
+    from ldpc_tpu.analysis.proto_de import proto_de_threshold_awgn
     candidates = {
         "wifi-match": wifi_info_degs,
         "uniform-3": np.full(kb, 3),
         "uniform-4": np.full(kb, 4),
         "mix-3-8": np.asarray([3] * 9 + [8] * 3),
-        "mix-3-4-11": np.asarray([3] * 8 + [4] * 2 + [11] * 2),
+        "w8-12x4": np.asarray([3] * 8 + [12] * 4),
         "mix-2-3-8": np.asarray([2] * 3 + [3] * 6 + [8] * 3),
     }
+
+    def ebn0_of(sigma):
+        return round(-20 * float(np.log10(sigma)), 3)
+
     scan = []
     for name, degs in candidates.items():
         code = qc_peg_construct(kb=kb, cb=12, Z=Z, col_degrees=degs, seed=1)
         sp = de.spectra_from_code(code)
         t0 = time.time()
-        sigma = de.de_threshold_awgn_spectra(sp, quant, beta=2,
-                                             bracket=(0.4, 1.1))
+        sig_se = de.de_threshold_awgn_spectra(sp, quant, beta=2,
+                                              bracket=(0.4, 1.1))
+        sig_pr = proto_de_threshold_awgn(code, quant, beta=2,
+                                         bracket=(0.5, 1.1))
         row = {"profile": name, "degrees": profile_str(degs),
-               "girth": girth(code), "sigma_star": round(float(sigma), 4),
-               "ebn0_star_db": round(
-                   -20 * np.log10(sigma * np.sqrt(2 * 0.5)), 3)}
+               "girth": girth(code),
+               "ebn0_star_proto_db": ebn0_of(sig_pr),
+               "ebn0_star_single_edge_db": ebn0_of(sig_se)}
         scan.append(row)
         print(f"scan {name}: {row} ({time.time()-t0:.0f}s)", flush=True)
-    # the standard code's own ensemble threshold, for reference
-    sp_wifi = de.spectra_from_code(wifi)
-    sigma_w = de.de_threshold_awgn_spectra(sp_wifi, quant, beta=2,
-                                           bracket=(0.4, 1.1))
+    # the standard code's own thresholds, for reference
+    sig_w = proto_de_threshold_awgn(wifi, quant, beta=2, bracket=(0.5, 1.1))
     wifi_row = {"profile": "802.11n standard table", "girth": girth(wifi),
-                "sigma_star": round(float(sigma_w), 4),
-                "ebn0_star_db": round(
-                    -20 * np.log10(sigma_w * np.sqrt(2 * 0.5)), 3)}
+                "ebn0_star_proto_db": ebn0_of(sig_w)}
     print(f"wifi reference: {wifi_row}", flush=True)
-    best = min(scan, key=lambda r: r["ebn0_star_db"])
-    print(f"DE pick: {best['profile']}", flush=True)
+    best = min(scan, key=lambda r: r["ebn0_star_proto_db"])
+    best_se = min(scan, key=lambda r: r["ebn0_star_single_edge_db"])
+    print(f"proto-DE pick: {best['profile']} "
+          f"(single-edge would pick: {best_se['profile']})", flush=True)
 
     # ---- 2+3. Monte-Carlo on hardware ----------------------------------
     def cfg_for(profile_degs):
@@ -106,9 +117,10 @@ def main():
         "wifi648-standard": cfg_for(None),
         "qcpeg-wifi-profile": cfg_for(wifi_info_degs),
     }
-    if best["profile"] != "wifi-match":
-        runs[f"qcpeg-{best['profile']}"] = cfg_for(
-            candidates[best["profile"]])
+    # measure BOTH picks when they differ: the proto-DE winner and the
+    # single-edge winner (silicon evidence for which DE to trust)
+    for pick in {best["profile"], best_se["profile"]} - {"wifi-match"}:
+        runs[f"qcpeg-{pick}"] = cfg_for(candidates[pick])
     if args.quick:
         ebn0, batch, max_frames, tfe = [2.0, 2.5], 512, 2048, 20
     else:
@@ -134,7 +146,18 @@ def main():
                              "n=648 r=1/2, 8-bit OMS layered 20it")
     with open(args.out + ".json", "w") as f:
         json.dump({"scan": scan, "wifi_reference": wifi_row,
-                   "de_pick": best["profile"],
+                   "proto_de_pick": best["profile"],
+                   "single_edge_de_pick": best_se["profile"],
+                   "conclusions": [
+                       "protograph DE ranks designs correctly at this "
+                       "geometry; the single-edge lambda/rho ensemble "
+                       "mispredicts (its pick measured ~0.3 dB worse on "
+                       "silicon, matching the proto-DE gap)",
+                       "QC-PEG with the standard's own degree profile "
+                       "reproduces the 802.11n waterfall from pure offline "
+                       "construction; the expert table keeps a small "
+                       "high-SNR tail edge at n=648",
+                   ],
                    "curves": {r.code_name: r.rows() for r in results}},
                   f, indent=1)
     print("done", flush=True)

@@ -208,3 +208,48 @@ class TestQCPEGFamilyConfig:
         from ldpc_tpu.codes.alist import read_alist
         back = read_alist(out)
         assert back.n == 216 and back.m == 108
+
+
+@pytest.mark.slow
+class TestQCPEGPallas:
+    def test_pallas_kernel_bit_exact_on_constructed_code(self):
+        # Constructed codes must be first-class on the VMEM Pallas kernel
+        # too (interpret mode = the sanitizer; exact equality vs golden).
+        import jax.numpy as jnp
+        from ldpc_tpu.kernels.minsum_pallas import make_pallas_decoder
+        code = qc_peg_construct(kb=12, cb=12, Z=27, col_degrees=3, seed=4)
+        rng = np.random.default_rng(3)
+        chan = rng.integers(-31, 32, (4, code.n)).astype(np.int8)
+        dec = make_pallas_decoder(code, max_iter=6, beta=2, batch_tile=4,
+                                  interpret=True, schedule="layered")
+        hard, iters, conv = map(np.asarray, dec(jnp.asarray(chan)))
+        for b in range(4):
+            ref = decode_fixed(chan[b].astype(np.int32), code, max_iter=6,
+                               beta=2, schedule="layered")
+            assert (hard[b] == ref.hard).all()
+            assert iters[b] == ref.iters and bool(conv[b]) == ref.converged
+
+
+@pytest.mark.slow
+class TestPuncturedPipelineExact:
+    def test_punctured_chain_jnp_equals_golden(self):
+        # End-to-end punctured pipeline equality: the jnp chain's decoder
+        # input (LLR 0 at punctured positions) must reproduce the golden
+        # decoder bit-for-bit on identical quantized inputs.
+        from ldpc_tpu.codes.ieee80211n import make_code as make_wifi
+        from ldpc_tpu.codes.rate_compat import puncture
+        import jax.numpy as jnp
+        from ldpc_tpu.config import DecoderConfig, QuantConfig
+        from ldpc_tpu.ops.decode_ref import make_decoder
+        wifi = make_wifi(648, "1/2")
+        p = puncture(wifi, count=81)
+        rng = np.random.default_rng(5)
+        chan = rng.integers(-31, 32, (3, p.n)).astype(np.int32)
+        chan[:, np.asarray(p.punct_vns)] = 0
+        dec = make_decoder(p, DecoderConfig(algorithm="offset-min-sum",
+                                            max_iter=8),
+                           QuantConfig(beta_lsb=2))
+        hard, iters, conv = map(np.asarray, dec(jnp.asarray(chan, jnp.int8)))
+        for b in range(3):
+            ref = decode_fixed(chan[b], p, max_iter=8, beta=2)
+            assert (hard[b] == ref.hard).all() and iters[b] == ref.iters
