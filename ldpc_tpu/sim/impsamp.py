@@ -123,14 +123,19 @@ class ISEstimate:
 
 def make_is_run(code, cfg: SimConfig, sets: Sequence[Sequence[int]],
                 delta: float = 2.0, pi0: float = 0.5, batch: int = 1024,
-                backend: str = "auto", interpret: bool = False
-                ) -> Callable[[jax.Array, float], jnp.ndarray]:
+                backend: str = "auto", interpret: bool = False,
+                mesh=None) -> Callable[[jax.Array, float], jnp.ndarray]:
     """One jitted IS batch: run(key, sigma) -> stacked sums
     [sum w*err, sum (w*err)^2, raw err frames, sum w*bit_errs] (float32).
 
     sets may be empty: the proposal is then exactly p and every weight is
     1 — the estimator degenerates to plain Monte-Carlo by construction
     (tested; this is the unbiasedness anchor).
+
+    mesh: optional jax.sharding.Mesh — the frame batch shards over all
+    mesh axes like the main pipeline's DP (partitionable threefry keeps
+    the SAMPLES identical to the unsharded run; only the f32 summation
+    order differs across shards).
     """
     _check_domain(cfg)
     if not 0 < pi0 <= 1:
@@ -156,10 +161,24 @@ def make_is_run(code, cfg: SimConfig, sets: Sequence[Sequence[int]],
     else:
         Mj = sizes_j = log_pi = None
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if batch % mesh.size:
+            raise ValueError(f"batch {batch} not divisible by mesh size "
+                             f"{mesh.size}")
+
+        def shard_b(x):
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(mesh.axis_names,
+                                         *([None] * (x.ndim - 1)))))
+    else:
+        def shard_b(x):
+            return x
+
     def run(key: jax.Array, sigma) -> jnp.ndarray:
         sigma = jnp.float32(sigma)
         kc, kn = jax.random.split(key)
-        eps = jax.random.normal(kn, (batch, code.n), jnp.float32)
+        eps = shard_b(jax.random.normal(kn, (batch, code.n), jnp.float32))
         z = sigma * eps
         if K:
             # component per lane: 0 = unshifted, 1..K = sets
@@ -182,6 +201,10 @@ def make_is_run(code, cfg: SimConfig, sets: Sequence[Sequence[int]],
         return jnp.stack([jnp.sum(we), jnp.sum(we * we), jnp.sum(err),
                           jnp.sum(w * bits)])
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+        return jax.jit(run, in_shardings=(repl, repl), out_shardings=repl)
     return jax.jit(run)
 
 
@@ -189,14 +212,14 @@ def estimate_fer(code, cfg: SimConfig, sets: Sequence[Sequence[int]],
                  ebn0_db: float, frames: int, delta: float = 2.0,
                  pi0: float = 0.5, batch: int = 1024,
                  backend: str = "auto", seed: int = 0,
-                 interpret: bool = False,
+                 interpret: bool = False, mesh=None,
                  run: Optional[Callable] = None) -> ISEstimate:
     """Mixture-IS FER estimate at one SNR point. `frames` is rounded up to
     whole batches. Pass a prebuilt `run` (make_is_run) to amortize compiles
     across SNR points."""
     if run is None:
         run = make_is_run(code, cfg, sets, delta=delta, pi0=pi0, batch=batch,
-                          backend=backend, interpret=interpret)
+                          backend=backend, interpret=interpret, mesh=mesh)
     sigma = ch.sigma_for(ebn0_db, code.rate, "bpsk")
     nb = (frames + batch - 1) // batch
     key = jax.random.PRNGKey(seed)

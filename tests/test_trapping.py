@@ -155,3 +155,27 @@ class TestISEstimator:
                             _cfg().channel, modulation="16qam"))
         with pytest.raises(ValueError):
             make_is_run(wifi648, cfg, sets=[], batch=64)
+
+
+class TestISMesh:
+    def test_mesh_counters_match_unsharded(self, wifi648):
+        # DP contract for the IS estimator: the partitionable threefry
+        # stream makes the SAMPLES identical under sharding; only the f32
+        # summation order may differ across shards.
+        from ldpc_tpu.parallel.mesh import make_mesh
+        cfg = _cfg()
+        sets = [[0, 1, 2, 3], [640, 641, 642]]
+        key = jax.random.PRNGKey(3)
+        run1 = make_is_run(wifi648, cfg, sets=sets, batch=256,
+                           backend="jnp")
+        run8 = make_is_run(wifi648, cfg, sets=sets, batch=256,
+                           backend="jnp", mesh=make_mesh())
+        a = np.asarray(run1(key, 0.9), np.float64)
+        b = np.asarray(run8(key, 0.9), np.float64)
+        np.testing.assert_allclose(a, b, rtol=3e-6)
+
+    def test_mesh_batch_divisibility(self, wifi648):
+        from ldpc_tpu.parallel.mesh import make_mesh
+        with pytest.raises(ValueError):
+            make_is_run(wifi648, _cfg(), sets=[], batch=250,
+                        backend="jnp", mesh=make_mesh())
