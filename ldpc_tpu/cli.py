@@ -71,6 +71,10 @@ def _build_config(args) -> SimConfig:
         code = dataclasses.replace(code, profile=args.profile)
     if getattr(args, "code_seed", None) is not None:
         code = dataclasses.replace(code, code_seed=args.code_seed)
+    if getattr(args, "core_rows", None):
+        code = dataclasses.replace(code, core_rows=args.core_rows)
+    if getattr(args, "ext_row_degree", None):
+        code = dataclasses.replace(code, ext_row_degree=args.ext_row_degree)
     chan = cfg.channel
     if args.modulation:
         chan = dataclasses.replace(chan, modulation=args.modulation)
@@ -456,7 +460,13 @@ def build_parser() -> argparse.ArgumentParser:
         q.add_argument("--preset", choices=sorted(PRESETS), default=None)
         q.add_argument("--family", default=None,
                        choices=["ieee80211n", "5gnr", "dvbs2", "toy",
-                                "qcpeg"])
+                                "qcpeg", "pbrl"])
+        q.add_argument("--core-rows", dest="core_rows", type=int,
+                       default=None,
+                       help="pbrl family: dual-diagonal core rows (cb)")
+        q.add_argument("--ext-row-degree", dest="ext_row_degree", type=int,
+                       default=None,
+                       help="pbrl family: circulants per extension row")
         q.add_argument("--profile", default=None,
                        help="qcpeg family: info-column base degrees, "
                             "'deg:frac,...' or explicit 'd0,d1,...' "

@@ -278,6 +278,40 @@ def _qc_bfs(B: np.ndarray, Z: int, j0: int) -> np.ndarray:
     return dist_c
 
 
+def _qc_bfs_from_check(B: np.ndarray, Z: int, i0: int) -> np.ndarray:
+    """BFS in the lifted graph from check (i0, 0).
+
+    Returns D (nb, Z): D[j, q] = distance to lifted variable (j, q), _INF
+    if unreachable. The check-rooted dual of _qc_bfs, used when placing a
+    ROW's edges (PBRL extension rows)."""
+    mb, nb = B.shape
+    dist_c = np.full((mb, Z), _INF, np.int64)
+    dist_v = np.full((nb, Z), _INF, np.int64)
+    dist_c[i0, 0] = 0
+    frontier_c: List[Tuple[int, int]] = [(i0, 0)]
+    d = 0
+    col_rows = [np.nonzero(B[:, j] >= 0)[0] for j in range(nb)]
+    row_cols = [np.nonzero(B[i] >= 0)[0] for i in range(mb)]
+    while frontier_c:
+        d += 1
+        frontier_v: List[Tuple[int, int]] = []
+        for (i, r) in frontier_c:
+            for j in row_cols[i]:
+                q = (r + int(B[i, j])) % Z
+                if dist_v[j, q] == _INF:
+                    dist_v[j, q] = d
+                    frontier_v.append((int(j), q))
+        d += 1
+        frontier_c = []
+        for (j, q) in frontier_v:
+            for i in col_rows[j]:
+                r = (q - int(B[i, j])) % Z
+                if dist_c[i, r] == _INF:
+                    dist_c[i, r] = d
+                    frontier_c.append((int(i), r))
+    return dist_v
+
+
 def _shift_collides(B: np.ndarray, Z: int, i: int, j: int, s: int) -> bool:
     """Exact test: does placing shift s at B[i, j] close a lifted 4-cycle?
 
@@ -362,12 +396,15 @@ def qc_peg_construct(kb: int, cb: int, Z: int,
 
 
 def _place_qc_edge(B: np.ndarray, Z: int, j: int, row_deg: np.ndarray,
-                   rng: np.random.Generator, first: bool) -> bool:
+                   rng: np.random.Generator, first: bool,
+                   rows: Optional[Sequence[int]] = None) -> bool:
     """Place one circulant entry in info column j: pick (row, shift) by
     maximal lifted-BFS distance with exact 4-cycle veto. Mutates B/row_deg.
-    Returns False if every (row, shift) would close a 4-cycle."""
+    Returns False if every (row, shift) would close a 4-cycle.
+    rows restricts the candidate base rows (PBRL core placement)."""
     mb = B.shape[0]
-    open_rows = [i for i in range(mb) if B[i, j] < 0]
+    cand_rows = range(mb) if rows is None else rows
+    open_rows = [i for i in cand_rows if B[i, j] < 0]
     if not open_rows:
         raise ValueError(f"column {j}: degree exceeds row count")
     del first  # the BFS degenerates gracefully on an edgeless column
@@ -395,3 +432,112 @@ def _place_qc_edge(B: np.ndarray, Z: int, j: int, row_deg: np.ndarray,
     B[i, j] = s
     row_deg[i] += 1
     return True
+
+
+def _place_row_edge(B: np.ndarray, Z: int, i: int, allowed_cols,
+                    rng: np.random.Generator) -> bool:
+    """Place one circulant entry in ROW i (PBRL extension rows): pick
+    (column, shift) by maximal check-rooted lifted-BFS distance with the
+    exact 4-cycle veto; ties prefer the lightest column. Mutates B."""
+    col_deg = (B >= 0).sum(axis=0)
+    open_cols = [j for j in allowed_cols if B[i, j] < 0]
+    if not open_cols:
+        raise ValueError(f"row {i}: degree exceeds allowed columns")
+    D = _qc_bfs_from_check(B, Z, i)  # (nb, Z)
+    best: Tuple[int, int, int, int] = (-1, -1, -1, -1)
+    best_list: List[Tuple[int, int]] = []
+    for j in open_cols:
+        for s in range(Z):
+            d = D[j, s]  # new-cycle length via lifted edge (i,0)-(j,s)
+            score = _INF if d == _INF else d + 1
+            key = (score, -int(col_deg[j]))
+            if key < (best[0], best[1]):
+                continue
+            if _shift_collides(B, Z, i, j, s):
+                continue
+            if key > (best[0], best[1]):
+                best = (key[0], key[1], j, s)
+                best_list = [(j, s)]
+            else:
+                best_list.append((j, s))
+    if not best_list:
+        return False
+    j, s = best_list[int(rng.integers(0, len(best_list)))]
+    B[i, j] = s
+    return True
+
+
+def pbrl_construct(kb: int, cb: int, Z: int, n_ext: int,
+                   core_col_degrees: Sequence[int] | int | Dict[int, float]
+                   = 3,
+                   ext_row_degree: int = 3, seed: int = 0,
+                   name: Optional[str] = None) -> LDPCCode:
+    """PBRL-style (protograph-based raptor-like) rate-compatible QC code.
+
+    Structure (the 3GPP-NR base-graph shape, built here by PEG): a
+    HIGH-RATE core — kb info columns PEG-placed over cb dual-diagonal
+    parity rows — followed by n_ext EXTENSION rows, each carrying a
+    weight-1 identity parity in its own column plus ext_row_degree
+    PEG-placed circulants over the info + core-parity columns (chosen by
+    check-rooted lifted BFS with the exact 4-cycle veto).
+
+    Mother rate kb/(kb+cb+n_ext). Because every extension parity column
+    has degree 1, tail-puncturing them (codes/rate_compat 'tail' order =
+    last extension first) is exactly incremental redundancy: each
+    untransmitted extension leaves a dangling check the decoder ignores,
+    and each transmitted one adds a designed parity — unlike naive
+    puncturing of a dual-diagonal code's staircase, whose degree-2 chain
+    degrades the core graph. Encoder-ready (detect_enc_struct passes:
+    core back-substitution then per-row extension XORs, O(E)).
+    """
+    if cb < 3 or n_ext < 0:
+        raise ValueError("need cb >= 3 and n_ext >= 0")
+    if isinstance(core_col_degrees, dict):
+        degs = degrees_from_profile(kb, core_col_degrees)
+    elif np.isscalar(core_col_degrees):
+        degs = np.full(kb, int(core_col_degrees), np.int32)
+    else:
+        degs = np.asarray(core_col_degrees, np.int32)
+        if degs.shape != (kb,):
+            raise ValueError(f"core_col_degrees must have length kb={kb}")
+    if degs.min() < 2 or degs.max() > cb:
+        raise ValueError("core info degrees must be in [2, cb]")
+    if not 1 <= ext_row_degree <= kb + cb:
+        raise ValueError("ext_row_degree must be in [1, kb+cb]")
+
+    rng = np.random.default_rng(seed)
+    mb = cb + n_ext
+    nb = kb + mb
+    B = np.full((mb, nb), -1, np.int64)
+    sigma = 1 % Z
+    B[0, kb] = sigma
+    B[cb // 2, kb] = 0
+    B[cb - 1, kb] = sigma
+    for t in range(1, cb):
+        B[t - 1, kb + t] = 0
+        B[t, kb + t] = 0
+    for e in range(cb, mb):
+        B[e, kb + cb + (e - cb)] = 0
+
+    # 1. the high-rate core: PEG over info columns, core rows only
+    row_deg = (B >= 0).sum(axis=1)
+    core_rows = list(range(cb))
+    for j in map(int, np.argsort(degs, kind="stable")):
+        for t in range(int(degs[j])):
+            if not _place_qc_edge(B, Z, j, row_deg, rng, first=(t == 0),
+                                  rows=core_rows):
+                raise ValueError(
+                    f"PBRL core: no 4-cycle-free placement for column {j} "
+                    f"(kb={kb}, cb={cb}, Z={Z})")
+    # 2. extension rows, one at a time (incremental-redundancy order)
+    allowed = list(range(kb + cb))  # info + core parity, never other exts
+    for e in range(cb, mb):
+        for _ in range(ext_row_degree):
+            if not _place_row_edge(B, Z, e, allowed, rng):
+                raise ValueError(
+                    f"PBRL extension row {e}: no 4-cycle-free placement")
+    st = detect_enc_struct(B)
+    assert st is not None and st.kb == kb and st.cb == cb
+    return expand_qc(B, Z,
+                     name=name or f"pbrl-{kb}x{cb}+{n_ext}-Z{Z}-s{seed}",
+                     standard_exact=False)

@@ -91,6 +91,15 @@ class CodeConfig:
     # None = uniform degree 3.
     profile: Optional[str] = None
     code_seed: int = 0
+    # family='pbrl' (codes/peg.py pbrl_construct): raptor-like
+    # rate-compatible construction — core_rows dual-diagonal core rows
+    # (cb), the remaining parity rows are weight-1-parity extensions with
+    # ext_row_degree PEG-placed circulants each. n/rate set the MOTHER
+    # geometry: kb = rate*n/Z, mb = n/Z - kb, n_ext = mb - core_rows.
+    # profile = core info-column degrees. Tail puncturing (punct_frac)
+    # climbs the IR ladder toward the core rate kb/(kb+core_rows).
+    core_rows: int = 4
+    ext_row_degree: int = 3
     # Generic rate-compatible puncturing (codes/rate_compat.py): fraction of
     # the mother code's parity bits punctured (never transmitted, LLR 0 at
     # the decoder), applied AFTER family construction to any family.

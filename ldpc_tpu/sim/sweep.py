@@ -149,6 +149,24 @@ def build_code(cfg: SimConfig) -> LDPCCode:
         code = qc_peg_construct(kb=kb, cb=nb - kb, Z=c.Z,
                                 col_degrees=parse_profile(c.profile, kb),
                                 seed=c.code_seed)
+    elif c.family == "pbrl":
+        from ..codes.peg import parse_profile, pbrl_construct
+        if not c.Z:
+            raise ValueError("pbrl family requires CodeConfig.Z")
+        if c.n % c.Z:
+            raise ValueError(f"pbrl: n={c.n} not a multiple of Z={c.Z}")
+        nb = c.n // c.Z
+        kb = round(nb * _rate_value(c.rate))
+        n_ext = nb - kb - c.core_rows
+        if not 0 < kb < nb or n_ext < 0:
+            raise ValueError(f"pbrl: rate {c.rate} with core_rows="
+                             f"{c.core_rows} gives kb={kb}, n_ext={n_ext}")
+        code = pbrl_construct(kb=kb, cb=c.core_rows, Z=c.Z, n_ext=n_ext,
+                              core_col_degrees=parse_profile(
+                                  c.profile, kb) if c.profile
+                              else min(3, c.core_rows),
+                              ext_row_degree=c.ext_row_degree,
+                              seed=c.code_seed)
     else:
         raise ValueError(f"unknown code family {c.family}")
     if c.shorten_bits:

@@ -253,3 +253,71 @@ class TestPuncturedPipelineExact:
         for b in range(3):
             ref = decode_fixed(chan[b], p, max_iter=8, beta=2)
             assert (hard[b] == ref.hard).all() and iters[b] == ref.iters
+
+
+class TestPBRL:
+    def test_structure_and_ladder(self):
+        from ldpc_tpu.codes.peg import pbrl_construct
+        from ldpc_tpu.codes.rate_compat import rate_ladder
+        code = pbrl_construct(kb=12, cb=4, Z=27, n_ext=12,
+                              core_col_degrees=[3] * 9 + [4] * 3,
+                              ext_row_degree=3, seed=0)
+        assert code.n == 756 and code.k == 324
+        assert detect_enc_struct(code.base) is not None
+        assert girth(code) >= 6
+        assert gf2_rank(code.h_dense()) == code.m
+        # extension parity columns have degree exactly 1
+        ext_cols = code.base[:, 12 + 4:]
+        assert ((ext_cols >= 0).sum(axis=0) == 1).all()
+        # the IR ladder: tail puncturing climbs to the core rate
+        lad = rate_ladder(code, [0.5, 0.75])
+        assert lad[0].rate == pytest.approx(0.5)
+        assert lad[1].rate == pytest.approx(0.75)
+        # the 0.75 rung punctures exactly the 12 extension parities
+        assert len(lad[1].punct_vns) == 12 * 27
+        assert (np.asarray(lad[1].punct_vns) >= (12 + 4) * 27).all()
+
+    def test_encode_property(self):
+        from ldpc_tpu.codes.peg import pbrl_construct
+        from ldpc_tpu.codes.qcstruct import qc_encode_numpy
+        code = pbrl_construct(kb=8, cb=4, Z=16, n_ext=6, seed=1)
+        info = np.random.default_rng(1).integers(0, 2, (4, code.k))
+        cw = qc_encode_numpy(code, info)
+        assert (code.syndrome(cw) == 0).all()
+
+    def test_decode_bit_exact(self):
+        import jax.numpy as jnp
+        from ldpc_tpu.codes.peg import pbrl_construct
+        from ldpc_tpu.config import DecoderConfig, QuantConfig
+        from ldpc_tpu.ops.decode_ref import make_decoder
+        code = pbrl_construct(kb=8, cb=4, Z=16, n_ext=6, seed=1)
+        rng = np.random.default_rng(2)
+        chan = rng.integers(-31, 32, (3, code.n)).astype(np.int8)
+        dec = make_decoder(code, DecoderConfig(algorithm="offset-min-sum",
+                                               max_iter=6),
+                           QuantConfig(beta_lsb=2))
+        hard, iters, conv = map(np.asarray, dec(jnp.asarray(chan)))
+        for b in range(3):
+            ref = decode_fixed(chan[b].astype(np.int32), code, max_iter=6,
+                               beta=2)
+            assert (hard[b] == ref.hard).all() and iters[b] == ref.iters
+
+    def test_build_code_from_config(self):
+        from ldpc_tpu.config import CodeConfig, SimConfig
+        from ldpc_tpu.sim.sweep import build_code
+        cfg = SimConfig(code=CodeConfig(family="pbrl", n=756, rate="3/7",
+                                        Z=27, core_rows=4,
+                                        ext_row_degree=3, code_seed=0))
+        code = build_code(cfg)
+        assert code.n == 756 and code.k == 324
+        # punct_frac composes: 0.25 of 432 parity = 108 -> rate 0.5
+        import dataclasses as dc
+        cfg2 = SimConfig(code=dc.replace(cfg.code, punct_frac=0.25))
+        assert build_code(cfg2).rate == pytest.approx(0.5)
+
+    def test_rejects(self):
+        from ldpc_tpu.codes.peg import pbrl_construct
+        with pytest.raises(ValueError):
+            pbrl_construct(kb=4, cb=2, Z=8, n_ext=2)
+        with pytest.raises(ValueError):
+            pbrl_construct(kb=4, cb=4, Z=8, n_ext=2, core_col_degrees=5)
