@@ -175,6 +175,54 @@ def cmd_presets(args) -> int:
     return 0
 
 
+def _analyze_scan_scale(args, cfg) -> int:
+    """Quantizer DESIGN scan: DE threshold as a function of the LLR scale
+    at the configured bit width — the fixed-point design question the
+    reference answers by rerunning its whole simulation per format. One
+    JSON line per scale; the last line names the best. Single-edge
+    lambda/rho DE (fast enough to scan; protograph refinement can follow
+    on the winner via --proto)."""
+    import math
+
+    from .analysis import de
+    from .config import cn_params
+    from .sim.sweep import build_code
+
+    lo, hi, count = args.scan_scale.split(":")
+    scales = [float(lo) * (float(hi) / float(lo)) ** (i / (int(count) - 1))
+              for i in range(int(count))] if int(count) > 1 else [float(lo)]
+    code = build_code(cfg)
+    sp = de.spectra_from_code(code)
+    rate = code.k_eff / code.n
+    best = None
+    for s in scales:
+        q = dataclasses.replace(cfg.quant, scale=s)
+        beta, alpha = cn_params(cfg.decoder, q)
+        try:
+            sigma = de.de_threshold_awgn_spectra(
+                sp, q, beta=beta, alpha=alpha, iters=args.iters,
+                tol=args.tol, target=args.target,
+                bracket=tuple(args.bracket))
+            row = {"scale": round(s, 4), "bits": q.bits,
+                   "sigma_star": round(sigma, 4),
+                   "ebn0_star_db": round(
+                       -20.0 * math.log10(sigma * math.sqrt(2 * rate)), 3)}
+        except (AssertionError, ValueError) as e:
+            row = {"scale": round(s, 4), "bits": q.bits, "error": str(e)}
+        print(json.dumps(row), flush=True)
+        if "ebn0_star_db" in row and (
+                best is None or row["ebn0_star_db"] < best["ebn0_star_db"]):
+            best = row
+    if best is None:
+        raise SystemExit("scan-scale: no scale produced a threshold; widen "
+                         "--bracket or relax --target")
+    print(json.dumps({"best_scale": best["scale"],
+                      "best_ebn0_star_db": best["ebn0_star_db"],
+                      "code": code.name, "bits": cfg.quant.bits,
+                      "algorithm": cfg.decoder.algorithm}))
+    return 0
+
+
 def cmd_construct(args) -> int:
     """Construct the configured code (any family; the point is qcpeg),
     report its structural quality, optionally export alist. Pure NumPy —
@@ -311,6 +359,8 @@ def cmd_analyze(args) -> int:
                                      "normalized-min-sum"):
         raise SystemExit(f"analyze: quantized DE covers the fixed-point "
                          f"min-sum family, not {cfg.decoder.algorithm}")
+    if getattr(args, "scan_scale", None):
+        return _analyze_scan_scale(args, cfg)
     # DE uses only the code profile + quantizer + CN parameters; flag the
     # decode/sweep flags that parse but cannot affect the computation
     # (--iters, not --max-iter, bounds the DE recursion).
@@ -451,6 +501,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "structured bases, rate matching modeled, "
                          "decision over info columns (slower — NR BG1 "
                          "Z=384 ~2 min)")
+    an.add_argument("--scan-scale", dest="scan_scale", default=None,
+                    help="quantizer design: scan LLR scales 'lo:hi:count' "
+                         "(geometric) and report the DE threshold per "
+                         "scale + the best")
     an.add_argument("--min-decision-degree", dest="min_decision_degree",
                     type=int, default=1,
                     help="restrict the decision average to variable "

@@ -166,3 +166,15 @@ def test_cli_analyze_de_threshold(capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["channel"] == "awgn-bpsk"
     assert 0.188 < out["ebn0_star_db"] < 2.0  # Shannon < DE* < waterfall
+
+
+def test_analyze_scan_scale(capsys):
+    from ldpc_tpu.cli import main
+    rc = main(["analyze", "--scan-scale", "3:6:2", "--beta-lsb", "2",
+               "--algorithm", "offset-min-sum", "--bits", "8",
+               "--iters", "60", "--tol", "5e-3"])
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip()
+             .splitlines() if x.startswith("{")]
+    assert "best_scale" in lines[-1]
+    assert sum("sigma_star" in r for r in lines[:-1]) >= 1
