@@ -4,7 +4,8 @@ kept its analysis in MATLAB next to the C simulator; here it is NumPy next
 to the JAX simulator)."""
 from .exit import (  # noqa: F401
     J, J_inv, exit_curves_regular, pexit_threshold_awgn,
-    pexit_threshold_sigma, pexit_trajectory, sigma_ch_columns)
+    pexit_threshold_sigma, pexit_trajectory, sigma_ch_columns,
+    sigma_ch_for)
 from .proto_de import (  # noqa: F401
     column_channel_pmfs, proto_de_threshold_awgn, proto_de_trajectory)
 from .trapping import (  # noqa: F401

@@ -14,11 +14,12 @@ role). The repo now has three independent threshold tools:
 
 PEXIT trades exactness for speed: one trajectory costs O(E * iters) scalar
 updates (no pmfs, no convolutions), ~1000x faster than proto_de. That makes
-it the DESIGN loop tool — the greedy PBRL rate-compatible family search
-(scripts/design_pbrl.py, codes/pbrl.py) evaluates thousands of candidate
-protographs under PEXIT, then the exact quantized proto-DE and silicon
-Monte-Carlo validate the final design. This is precisely the methodology of
-the PBRL literature (protograph EXIT design + DE verification).
+it the DESIGN loop tool — candidate protographs (e.g. the PBRL-style
+rate-compatible constructions in codes/peg.py / scripts/make_pbrl_ladder.py)
+can be screened by the thousands under PEXIT, then the exact quantized
+proto-DE and silicon Monte-Carlo validate the finalists. This is precisely
+the methodology of the PBRL literature (protograph EXIT design + DE
+verification).
 
 Conventions (all standard):
   * BPSK over AWGN with noise std sigma_n: channel LLR ~ N(mu, 2*mu) with
@@ -91,13 +92,6 @@ def J_inv(I: np.ndarray) -> np.ndarray:
     return np.interp(np.clip(np.asarray(I, np.float64), 0.0, tI[-1]), tI, ts)
 
 
-def _q(x: np.ndarray) -> np.ndarray:
-    """Gaussian tail Q(x)."""
-    return 0.5 * math.erfc(x / math.sqrt(2.0)) if np.isscalar(x) else \
-        0.5 * np.array([math.erfc(v / math.sqrt(2.0)) for v in np.ravel(x)]
-                       ).reshape(np.shape(x))
-
-
 def _edges(base: np.ndarray) -> Tuple[List[np.ndarray], List[np.ndarray],
                                       np.ndarray, np.ndarray]:
     """Edge list of a protograph: per-row/per-col edge indices and the
@@ -110,14 +104,12 @@ def _edges(base: np.ndarray) -> Tuple[List[np.ndarray], List[np.ndarray],
     return by_row, by_col, ei.astype(np.int64), ej.astype(np.int64)
 
 
-def sigma_ch_columns(code, sigma_n: float) -> np.ndarray:
-    """(nb,) per-base-column channel LLR sigma for BPSK-AWGN with the code's
-    rate matching (mirrors proto_de.column_channel_pmfs classification):
-    punctured blocks 0, shortened blocks SIGMA_MAX, else 2/sigma_n."""
-    nb = code.base.shape[1]
-    Z = code.Z
-    punct = {int(v) // Z for v in code.punct_vns}
-    short = {int(v) // Z for v in code.shortened_vns}
+def sigma_ch_for(nb: int, punct_cols, short_cols,
+                 sigma_n: float) -> np.ndarray:
+    """(nb,) per-base-column channel LLR sigma for BPSK-AWGN: punctured
+    columns 0 (never transmitted), shortened columns SIGMA_MAX (known
+    bits), else the consistent-Gaussian 2/sigma_n."""
+    punct, short = set(map(int, punct_cols)), set(map(int, short_cols))
     out = np.full(nb, 2.0 / sigma_n)
     for j in range(nb):
         if j in short:
@@ -125,6 +117,18 @@ def sigma_ch_columns(code, sigma_n: float) -> np.ndarray:
         elif j in punct:
             out[j] = 0.0
     return out
+
+
+def sigma_ch_columns(code, sigma_n: float) -> np.ndarray:
+    """(nb,) channel sigmas for an LDPCCode's rate matching (mirrors
+    proto_de.column_channel_pmfs classification; raises on bit-granular
+    punct/shortened sets that don't cover whole Z-blocks)."""
+    from ..codes.code import qc_block_cover
+    Z = code.Z
+    return sigma_ch_for(code.base.shape[1],
+                        qc_block_cover(code.punct_vns, Z, "punctured"),
+                        qc_block_cover(code.shortened_vns, Z, "shortened"),
+                        sigma_n)
 
 
 def pexit_trajectory(base: np.ndarray, sigma_ch: np.ndarray,
@@ -203,25 +207,24 @@ def pexit_threshold_sigma(base: np.ndarray,
                           decision_cols: Optional[Sequence[int]] = None,
                           target_pe: float = 1e-6, tol: float = 1e-3,
                           bracket: Tuple[float, float] = (0.3, 2.5)) -> float:
-    """Largest AWGN noise sigma_n at which PEXIT converges (bisection)."""
+    """Largest AWGN noise sigma_n at which PEXIT converges (bisection).
+    Raises when the threshold sits outside the bracket on either side, so
+    a saturated bracket can never masquerade as a real threshold."""
     nb = base.shape[1]
-    punct, short = set(map(int, punct_cols)), set(map(int, short_cols))
-
-    def sig_ch(sigma_n):
-        out = np.full(nb, 2.0 / sigma_n)
-        for j in range(nb):
-            if j in short:
-                out[j] = SIGMA_MAX
-            elif j in punct:
-                out[j] = 0.0
-        return out
 
     def ok(sigma_n):
-        return pexit_converges(base, sig_ch(sigma_n), iters, decision_cols,
-                               target_pe)
+        return pexit_converges(base,
+                               sigma_ch_for(nb, punct_cols, short_cols,
+                                            sigma_n),
+                               iters, decision_cols, target_pe)
 
     lo, hi = bracket
     assert ok(lo), "bracket low end must converge"
+    if ok(hi):
+        raise ValueError(
+            f"PEXIT threshold exceeds the bracket's high end ({hi}); "
+            f"raise the bracket (the returned value would otherwise "
+            f"silently saturate at ~{hi})")
     while hi - lo > tol:
         mid = (lo + hi) / 2
         lo, hi = (mid, hi) if ok(mid) else (lo, mid)
@@ -235,11 +238,12 @@ def pexit_threshold_awgn(code, iters: int = 500,
     """(sigma_n*, Eb/N0* dB) of an LDPCCode under PEXIT, rate matching
     modeled per column; decision over info columns with shortened filler
     blocks excluded (same convention as proto_de_threshold_awgn)."""
+    from ..codes.code import qc_block_cover
     Z = code.Z
     kb = code.k // Z
-    short = {int(v) // Z for v in code.shortened_vns}
+    short = qc_block_cover(code.shortened_vns, Z, "shortened")
     decision_cols = [j for j in range(kb) if j not in short]
-    punct = sorted({int(v) // Z for v in code.punct_vns})
+    punct = sorted(qc_block_cover(code.punct_vns, Z, "punctured"))
     sigma = pexit_threshold_sigma(
         code.base, punct_cols=punct, short_cols=sorted(short), iters=iters,
         decision_cols=decision_cols, target_pe=target_pe, tol=tol,

@@ -57,8 +57,9 @@ def column_channel_pmfs(code, sigma: float, quant: QuantConfig
     nb = code.base.shape[1]
     Z = code.Z
     std = chan_pmf_awgn(sigma, quant)
-    punct = {int(v) // Z for v in code.punct_vns}
-    short = {int(v) // Z for v in code.shortened_vns}
+    from ..codes.code import qc_block_cover
+    punct = qc_block_cover(code.punct_vns, Z, "punctured")
+    short = qc_block_cover(code.shortened_vns, Z, "shortened")
     out = np.zeros((nb, 2 * Q + 1))
     for j in range(nb):
         if j in short:

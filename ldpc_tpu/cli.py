@@ -266,10 +266,14 @@ def cmd_floor(args) -> int:
     cfg = _build_config(args)
     code = build_code(cfg)
     batch = args.batch or 8192  # shared --batch flag defaults to None
-    sup = harvest_error_supports(code, cfg, ebn0_db=args.harvest_ebn0,
-                                 frames=args.harvest_frames,
-                                 batch=min(batch, args.harvest_frames),
-                                 seed=cfg.run.seed + 11, max_supports=512)
+    try:
+        sup = harvest_error_supports(code, cfg, ebn0_db=args.harvest_ebn0,
+                                     frames=args.harvest_frames,
+                                     batch=min(batch, args.harvest_frames),
+                                     seed=cfg.run.seed + 11,
+                                     max_supports=512)
+    except ValueError as e:
+        raise SystemExit(f"floor: {e}")
     cores = sorted({refine_support(code, s) for s in sup[:128]
                     if len(s) <= 24}, key=lambda s: sorted(s))
     found = search_trapping_sets(code, a_max=10, b_max=4, seeds=cores,
@@ -436,6 +440,10 @@ def cmd_analyze(args) -> int:
                    "p_star": round(p, 5)}
             if p >= 0.4 - 2 * args.tol:
                 out["bracket_saturated"] = True
+    except ValueError as e:
+        # e.g. bit-granular (non-Z-aligned) puncturing, which the
+        # per-column analyses refuse rather than silently over-puncture
+        raise SystemExit(f"analyze: {e}")
     except AssertionError as e:
         raise SystemExit(
             f"analyze: {e} — DE does not reach Pe <= {args.target} at the "

@@ -129,6 +129,28 @@ def expand_qc(base: np.ndarray, Z: int, name: str = "qc",
                     standard_exact=standard_exact)
 
 
+def qc_block_cover(vns, Z: int, what: str = "punctured") -> set:
+    """Base columns FULLY covered by the variable set `vns`.
+
+    The per-column analyses (proto_de.column_channel_pmfs, exit.PEXIT)
+    model rate matching as a whole-block property; bit-granular sets (e.g.
+    codes/rate_compat puncture counts not a multiple of Z) cannot be
+    represented there — classifying a block by 'any bit punctured' would
+    silently over-puncture the model. Raises for partial blocks."""
+    counts: dict = {}
+    for v in vns:
+        b = int(v) // Z
+        counts[b] = counts.get(b, 0) + 1
+    partial = sorted(b for b, c in counts.items() if c != Z)
+    if partial:
+        raise ValueError(
+            f"{what} set covers base column(s) {partial[:8]} only "
+            f"partially (Z={Z}); per-column analysis needs Z-aligned "
+            f"rate matching — use puncture counts that are multiples of "
+            f"Z, or Monte-Carlo the bit-granular code directly")
+    return set(counts)
+
+
 def has_4cycle(code: LDPCCode) -> bool:
     """True if the Tanner graph has a 4-cycle (two checks sharing >= 2 vars).
 

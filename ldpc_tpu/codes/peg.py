@@ -31,7 +31,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from .code import LDPCCode, expand_qc, gf2_rank
-from .qcstruct import detect_enc_struct
+from .qcstruct import detect_enc_struct, parity_skeleton
 
 _INF = np.iinfo(np.int32).max
 
@@ -367,16 +367,7 @@ def qc_peg_construct(kb: int, cb: int, Z: int,
     rng = np.random.default_rng(seed)
     nb = kb + mb
     B = np.full((mb, nb), -1, np.int64)
-    # Parity skeleton (identical to gen_qc_code's — detect_enc_struct shape).
-    sigma = 1 % Z
-    B[0, kb] = sigma
-    B[cb // 2, kb] = 0
-    B[cb - 1, kb] = sigma
-    for t in range(1, cb):
-        B[t - 1, kb + t] = 0
-        B[t, kb + t] = 0
-    for e in range(cb, mb):
-        B[e, kb + cb + (e - cb)] = 0
+    parity_skeleton(B, kb, cb, mb, Z)
 
     # PEG over info columns, lowest base degree first (stable order).
     row_deg = (B >= 0).sum(axis=1)
@@ -509,15 +500,7 @@ def pbrl_construct(kb: int, cb: int, Z: int, n_ext: int,
     mb = cb + n_ext
     nb = kb + mb
     B = np.full((mb, nb), -1, np.int64)
-    sigma = 1 % Z
-    B[0, kb] = sigma
-    B[cb // 2, kb] = 0
-    B[cb - 1, kb] = sigma
-    for t in range(1, cb):
-        B[t - 1, kb + t] = 0
-        B[t, kb + t] = 0
-    for e in range(cb, mb):
-        B[e, kb + cb + (e - cb)] = 0
+    parity_skeleton(B, kb, cb, mb, Z)
 
     # 1. the high-rate core: PEG over info columns, core rows only
     row_deg = (B >= 0).sum(axis=1)

@@ -292,6 +292,25 @@ def repair_girth(B: np.ndarray, Z: int, kb: int, rng: np.random.Generator,
     return B
 
 
+
+def parity_skeleton(B: np.ndarray, kb: int, cb: int, mb: int, Z: int) -> None:
+    """Write the encodable parity skeleton into B (in place): the weight-3
+    column (sigma = 1 % Z at core rows 0 and cb-1, shift 0 in the middle),
+    the zero-shift staircase over the cb core rows, and one zero-shift
+    identity per extension row. This is the ONE structural shape
+    detect_enc_struct recognizes — every generator (gen_qc_code, PEG, PBRL)
+    must build it through this helper so the convention cannot drift."""
+    sigma = 1 % Z
+    B[0, kb] = sigma
+    B[cb // 2, kb] = 0
+    B[cb - 1, kb] = sigma
+    for t in range(1, cb):
+        B[t - 1, kb + t] = 0
+        B[t, kb + t] = 0
+    for e in range(cb, mb):
+        B[e, kb + cb + (e - cb)] = 0
+
+
 def gen_qc_code(
     row_info_cols: List[List[int]],
     kb: int,
@@ -318,17 +337,9 @@ def gen_qc_code(
         for j in cols:
             assert 0 <= j < kb
             B[i, j] = int(rng.integers(0, Z))
-    # Weight-3 column: sigma=1 at rows 0 and cb-1, shift 0 in the middle.
-    sigma = 1 % Z
-    B[0, kb] = sigma
-    B[cb // 2, kb] = 0
-    B[cb - 1, kb] = sigma
-    for t in range(1, cb):
-        B[t - 1, kb + t] = 0
-        B[t, kb + t] = 0
-    for e in range(cb, mb):
-        B[e, kb + cb + (e - cb)] = 0
-        if ext_core_cols is not None:
+    parity_skeleton(B, kb, cb, mb, Z)
+    if ext_core_cols is not None:
+        for e in range(cb, mb):
             for j in ext_core_cols[e - cb]:
                 assert kb <= j < kb + cb
                 B[e, j] = int(rng.integers(0, Z))

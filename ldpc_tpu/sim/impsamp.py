@@ -42,9 +42,19 @@ from ..ops.quantize import quantize
 from .pipeline import select_decoder
 
 
-def _check_domain(cfg: SimConfig) -> None:
+def _check_domain(cfg: SimConfig, code=None) -> None:
     if cfg.channel.modulation != "bpsk":
         raise ValueError("importance sampling supports BPSK only")
+    if code is not None and (len(code.punct_vns)
+                             or len(code.shortened_vns)):
+        # The IS chain applies real channel observations to every position;
+        # silently estimating a punctured/shortened system with the wrong
+        # channel would be off by orders of magnitude (the pipeline's
+        # rate-matching block is not replicated here).
+        raise ValueError(
+            "importance sampling does not model rate matching yet: "
+            f"{code.name} has punctured/shortened positions — estimate the "
+            "mother code, or Monte-Carlo the rate-matched code directly")
 
 
 # ---------------------------------------------------------------------------
@@ -60,26 +70,35 @@ def harvest_error_supports(code, cfg: SimConfig, ebn0_db: float,
     (positions of nonzero decoded bits) of every failed frame. Harvested
     at a waterfall-floor transition SNR these are the dominant trapping-set
     cores (after analysis.trapping.refine_support)."""
-    _check_domain(cfg)
+    _check_domain(cfg, code)
     dec, _ = select_decoder(code, cfg, backend, batch_tile=min(batch, 1024),
                             interpret=interpret, batch=batch)
     sigma = ch.sigma_for(ebn0_db, code.rate, "bpsk")
 
+    # Two-step fetch: only the (B,) failure mask crosses the device->host
+    # link every batch; the (n_bad, n) hard bits are gathered on-device and
+    # fetched only for failing frames. (CLAUDE.md tunnel gotcha: never
+    # stream a (B, n) tensor per call — at the default harvest sizes the
+    # full tensor would be ~85 MB through a ~4 MB/s link.)
     @jax.jit
     def run(key):
         z = sigma * jax.random.normal(key, (batch, code.n))
         llr = ch.demap(1.0 + z, sigma, "bpsk")
         q = quantize(llr, cfg.quant)
         hard, _, _ = dec(q)
-        return hard
+        return hard.any(axis=1), hard
 
+    gather = jax.jit(lambda hard, idx: jnp.take(hard, idx, axis=0))
     out: List[np.ndarray] = []
     key = jax.random.PRNGKey(seed)
     for i in range((frames + batch - 1) // batch):
-        hard = np.asarray(run(jax.random.fold_in(key, i)))
-        bad = np.nonzero(hard.any(axis=1))[0]
-        for b in bad:
-            out.append(np.nonzero(hard[b])[0].astype(np.int32))
+        mask, hard = run(jax.random.fold_in(key, i))
+        bad = np.nonzero(np.asarray(mask))[0]
+        if not len(bad):
+            continue
+        rows = np.asarray(gather(hard, jnp.asarray(bad)))
+        for r in rows:
+            out.append(np.nonzero(r)[0].astype(np.int32))
             if len(out) >= max_supports:
                 return out
     return out
@@ -137,7 +156,7 @@ def make_is_run(code, cfg: SimConfig, sets: Sequence[Sequence[int]],
     the SAMPLES identical to the unsharded run; only the f32 summation
     order differs across shards).
     """
-    _check_domain(cfg)
+    _check_domain(cfg, code)
     if not 0 < pi0 <= 1:
         raise ValueError(f"pi0 must be in (0, 1], got {pi0}")
     if not sets and pi0 < 1:

@@ -179,3 +179,41 @@ class TestISMesh:
         with pytest.raises(ValueError):
             make_is_run(wifi648, _cfg(), sets=[], batch=250,
                         backend="jnp", mesh=make_mesh())
+
+
+class TestRateMatchingGuards:
+    def test_is_rejects_punctured_code(self, wifi648):
+        from ldpc_tpu.codes.rate_compat import puncture
+        p = puncture(wifi648, count=81)
+        with pytest.raises(ValueError, match="rate matching"):
+            make_is_run(p, _cfg(), sets=[], batch=64)
+        with pytest.raises(ValueError, match="rate matching"):
+            harvest_error_supports(p, _cfg(), ebn0_db=2.0, frames=64,
+                                   batch=64)
+
+    def test_proto_analyses_reject_partial_blocks(self, wifi648):
+        # Bit-granular puncturing (not Z-aligned) cannot be represented in
+        # the per-column analyses; they must refuse, not over-puncture.
+        from ldpc_tpu.analysis.exit import sigma_ch_columns
+        from ldpc_tpu.analysis.proto_de import column_channel_pmfs
+        from ldpc_tpu.codes.rate_compat import puncture
+        from ldpc_tpu.config import QuantConfig
+        p = puncture(wifi648, count=40)  # 40 % 27 != 0 -> partial block
+        with pytest.raises(ValueError, match="partially"):
+            sigma_ch_columns(p, 0.8)
+        with pytest.raises(ValueError, match="partially"):
+            column_channel_pmfs(p, 0.8, QuantConfig())
+        # Z-aligned puncturing still passes
+        ok = puncture(wifi648, count=81)
+        assert (sigma_ch_columns(ok, 0.8)[-3:] == 0).all()
+
+
+class TestPexitBracketGuard:
+    def test_saturated_bracket_raises(self):
+        import numpy as np
+        from ldpc_tpu.analysis.exit import pexit_threshold_sigma
+        from ldpc_tpu.codes.toy import toy_qc
+        B = toy_qc(8).base
+        with pytest.raises(ValueError, match="bracket"):
+            pexit_threshold_sigma(np.asarray(B), bracket=(0.1, 0.2),
+                                  iters=200)
