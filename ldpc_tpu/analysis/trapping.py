@@ -40,20 +40,27 @@ def odd_checks(code: LDPCCode, support: Sequence[int]) -> np.ndarray:
 def refine_support(code: LDPCCode, support: Sequence[int],
                    max_passes: int = 4) -> FrozenSet[int]:
     """Shrink a harvested failure support toward its trapping-set core:
-    repeatedly drop any VN whose removal does not increase b (removing a
-    satellite bit strictly reduces a at equal-or-better b)."""
+    repeatedly drop the first VN (ascending order) whose removal does not
+    increase b (removing a satellite bit strictly reduces a at
+    equal-or-better b). All single-removal trials of a round are evaluated
+    in ONE batched syndrome call, so this scales to DVB-S2-sized graphs."""
     s = set(int(v) for v in support)
     for _ in range(max_passes):
-        _, b = classify(code, s)
         changed = False
-        for v in sorted(s):
-            trial = s - {v}
-            if not trial:
+        # inner loop: accept the first improving removal, re-evaluate
+        while len(s) > 1:
+            order = sorted(s)
+            svec = np.zeros(code.n, np.uint8)
+            svec[order] = 1
+            b = int(code.syndrome(svec).sum())
+            stack = np.tile(svec, (len(order), 1))
+            stack[np.arange(len(order)), order] = 0
+            b2 = code.syndrome(stack).sum(axis=-1)
+            ok = np.nonzero(b2 <= b)[0]
+            if len(ok) == 0:
                 break
-            _, b2 = classify(code, trial)
-            if b2 <= b:
-                s, b = trial, b2
-                changed = True
+            s.remove(order[int(ok[0])])
+            changed = True
         if not changed:
             break
     return frozenset(s)

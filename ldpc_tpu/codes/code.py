@@ -88,12 +88,32 @@ class LDPCCode:
             H[c, vs] = 1
         return H
 
+    def _flat_edges(self):
+        """(edge_vn[E], ptr_nz, nz_mask) flat-CSR view of cn_adj over the
+        NONEMPTY checks, cached — the vectorized syndrome's gather/segment
+        layout (trapping-set analysis calls syndrome thousands of times on
+        DVB-S2-sized graphs). Degree-0 checks are excluded: reduceat
+        cannot represent empty segments (their syndrome is 0)."""
+        cached = getattr(self, "_flat_edges_cache", None)
+        if cached is None:
+            deg = np.asarray([len(a) for a in self.cn_adj], np.int64)
+            nz = deg > 0
+            edge_vn = (np.concatenate(
+                [a for a in self.cn_adj if len(a)]).astype(np.int64)
+                if nz.any() else np.zeros(0, np.int64))
+            ptr = np.zeros(int(nz.sum()), np.int64)
+            np.cumsum(deg[nz][:-1], out=ptr[1:])
+            cached = self._flat_edges_cache = (edge_vn, ptr, nz)
+        return cached
+
     def syndrome(self, bits: np.ndarray) -> np.ndarray:
         """GF(2) syndrome of hard bits, shape (..., n) -> (..., m)."""
-        bits = np.asarray(bits)
+        bits = np.asarray(bits).astype(np.uint8)
         out = np.zeros(bits.shape[:-1] + (self.m,), np.uint8)
-        for c, vs in enumerate(self.cn_adj):
-            out[..., c] = np.bitwise_xor.reduce(bits[..., vs].astype(np.uint8), axis=-1)
+        edge_vn, ptr, nz = self._flat_edges()
+        if len(edge_vn):
+            out[..., nz] = np.bitwise_xor.reduceat(
+                bits[..., edge_vn], ptr, axis=-1)
         return out
 
 

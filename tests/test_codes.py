@@ -123,3 +123,23 @@ class TestLayout:
                 for r in (0, qc.Z - 1):
                     v = j * qc.Z + (r + s) % qc.Z
                     assert v in code.cn_adj[i * qc.Z + r]
+
+
+def test_syndrome_vectorized_matches_loop():
+    # The reduceat fast path (round 4) vs the definitional loop, including
+    # degree-0 checks (reduceat cannot represent empty segments natively)
+    # and batched leading axes.
+    rng = np.random.default_rng(3)
+    cn = [np.sort(rng.choice(40, size=int(rng.integers(2, 7)),
+                             replace=False)).astype(np.int32)
+          for _ in range(15)]
+    cn.insert(3, np.zeros(0, np.int32))
+    cn.append(np.zeros(0, np.int32))
+    code = LDPCCode(name="t", n=40, m=17, k=23, cn_adj=cn)
+    bits = rng.integers(0, 2, (5, 40)).astype(np.uint8)
+    ref = np.zeros((5, 17), np.uint8)
+    for c, vs in enumerate(cn):
+        if len(vs):
+            ref[:, c] = np.bitwise_xor.reduce(bits[:, vs], axis=-1)
+    assert (code.syndrome(bits) == ref).all()
+    assert (code.syndrome(bits[2]) == ref[2]).all()
