@@ -1,0 +1,135 @@
+"""Error-floor study for the flagship DVB-S2 n=64800 r=1/2 code.
+
+The round-4 vectorized syndrome + batched refinement open the trapping-set
+machinery to HBM-regime graphs; the IS chain decodes through the same
+slot-streaming Pallas kernel as the production sweeps. Long codes have
+razor waterfalls (FER 0.64 -> <5e-5 between 1.0 and 1.25 dB measured), so
+plain MC sees NOTHING above the knee — exactly where mixture IS earns its
+keep.
+
+Writes results/dvb_floor.{json,png}.
+
+Usage: PYTHONPATH=. python scripts/make_dvb_floor.py [--platform cpu]
+       [--quick]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+C_MC, C_IS = "#2a78d6", "#eb6834"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--out", default="results/dvb_floor")
+    args = ap.parse_args()
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ldpc_jax_cache")
+
+    from ldpc_tpu.analysis.trapping import classify, refine_support
+    from ldpc_tpu.codes.dvbs2 import make_code
+    from ldpc_tpu.config import DecoderConfig, QuantConfig, SimConfig, \
+        CodeConfig
+    from ldpc_tpu.sim.impsamp import (estimate_fer, harvest_error_supports,
+                                      make_is_run)
+
+    code = make_code(64800, "1/2")
+    cfg = SimConfig(code=CodeConfig(family="dvbs2", n=64800, rate="1/2"),
+                    quant=QuantConfig(bits=8, scale=4.0, beta_lsb=2),
+                    decoder=DecoderConfig(algorithm="offset-min-sum",
+                                          schedule="layered", max_iter=20,
+                                          early_term=False))
+    if args.quick:
+        batch, h_frames, mc_frames, is_frames = 64, 256, 512, 512
+        mc_snrs, is_snrs = [1.1], [1.2]
+    else:
+        batch, h_frames, mc_frames, is_frames = 1024, 65536, 262144, 262144
+        mc_snrs = [1.1, 1.2]
+        is_snrs = [1.1, 1.2, 1.3, 1.5, 1.8]
+
+    t0 = time.time()
+    sup = harvest_error_supports(code, cfg, ebn0_db=1.1, frames=h_frames,
+                                 batch=batch, seed=17, max_supports=512)
+    sizes = sorted(len(s) for s in sup)
+    small = [s for s in sup if len(s) <= 48]
+    cores = sorted({refine_support(code, s) for s in small[:96]},
+                   key=lambda s: sorted(s))
+    cores = [c for c in cores if 3 <= len(c) <= 32]
+    classes = sorted({classify(code, c) for c in cores})
+    print(f"harvest: {len(sup)} failures (supports {sizes[:3]}..."
+          f"{sizes[-3:]}), {len(small)} small, {len(cores)} cores, "
+          f"classes {classes[:12]} ({time.time()-t0:.0f}s)", flush=True)
+    dom = cores[:48]
+
+    run_mc = make_is_run(code, cfg, sets=[], batch=batch)
+    run_is = make_is_run(code, cfg, sets=dom, batch=batch, delta=2.0,
+                         pi0=0.25)
+    out = {"code": code.name, "batch": batch,
+           "proposal": {"n_sets": len(dom),
+                        "classes": [list(c) for c in classes]},
+           "mc": [], "is": []}
+    for snr in mc_snrs:
+        t0 = time.time()
+        est = estimate_fer(code, cfg, sets=[], ebn0_db=snr,
+                           frames=mc_frames, batch=batch, seed=23,
+                           run=run_mc)
+        out["mc"].append(est.to_dict())
+        print(f"MC {snr} dB: FER {est.fer:.3e} +-{est.rel_std:.2f} "
+              f"({est.raw_hits:.0f} hits, {time.time()-t0:.0f}s)",
+              flush=True)
+    for snr in is_snrs:
+        t0 = time.time()
+        est = estimate_fer(code, cfg, sets=dom, ebn0_db=snr,
+                           frames=is_frames, batch=batch, seed=29,
+                           run=run_is)
+        out["is"].append(est.to_dict())
+        print(f"IS {snr} dB: FER {est.fer:.3e} +-{est.rel_std:.2f} "
+              f"({est.raw_hits:.0f} raw hits, plain-MC floor "
+              f"{est.fer_plain_ci95:.1e}, {time.time()-t0:.0f}s)",
+              flush=True)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out + ".json", "w") as f:
+        json.dump(out, f, indent=1)
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=(7, 5))
+    for key, color, style in (
+            ("mc", C_MC, dict(marker="o", mfc="none", ls="none",
+                              label="plain MC")),
+            ("is", C_IS, dict(marker="D", ls="--", ms=5,
+                              label="mixture IS"))):
+        pts = [r for r in out[key] if r["fer"] > 0]
+        if pts:
+            ax.errorbar([r["ebn0_db"] for r in pts],
+                        [r["fer"] for r in pts],
+                        yerr=[[min(2 * r["rel_std"], 0.99) * r["fer"]
+                               for r in pts],
+                              [2 * r["rel_std"] * r["fer"] for r in pts]],
+                        color=color, lw=2, capsize=3, **style)
+    ax.set_yscale("log")
+    ax.set_xlabel("Eb/N0 (dB)")
+    ax.set_ylabel("FER")
+    ax.set_title("DVB-S2 n=64800 r=1/2, 8-bit OMS layered 20it: "
+                 "error floor via trapping-set mixture IS")
+    ax.grid(True, which="both", alpha=0.25, lw=0.5)
+    ax.legend(fontsize=9)
+    fig.tight_layout()
+    fig.savefig(args.out + ".png", dpi=140)
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
