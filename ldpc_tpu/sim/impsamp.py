@@ -88,15 +88,22 @@ def harvest_error_supports(code, cfg: SimConfig, ebn0_db: float,
         hard, _, _ = dec(q)
         return hard.any(axis=1), hard
 
+    # FIXED-SHAPE row gather: a dynamic-length index vector would retrace/
+    # recompile per distinct failure count (minutes each over the tunnel).
+    # Failures beyond the per-batch cap are dropped — max_supports caps the
+    # total anyway, and failure supports are exchangeable samples.
+    max_bad = min(64, batch)
     gather = jax.jit(lambda hard, idx: jnp.take(hard, idx, axis=0))
     out: List[np.ndarray] = []
     key = jax.random.PRNGKey(seed)
     for i in range((frames + batch - 1) // batch):
         mask, hard = run(jax.random.fold_in(key, i))
-        bad = np.nonzero(np.asarray(mask))[0]
+        bad = np.nonzero(np.asarray(mask))[0][:max_bad]
         if not len(bad):
             continue
-        rows = np.asarray(gather(hard, jnp.asarray(bad)))
+        idx = np.zeros(max_bad, np.int32)
+        idx[:len(bad)] = bad
+        rows = np.asarray(gather(hard, jnp.asarray(idx)))[:len(bad)]
         for r in rows:
             out.append(np.nonzero(r)[0].astype(np.int32))
             if len(out) >= max_supports:
