@@ -53,9 +53,9 @@ def main():
         batch, h_frames, mc_frames, is_frames = 64, 256, 512, 512
         mc_snrs, is_snrs = [1.1], [1.2]
     else:
-        batch, h_frames, mc_frames, is_frames = 1024, 65536, 262144, 262144
+        batch, h_frames, mc_frames, is_frames = 1024, 65536, 262144, 524288
         mc_snrs = [1.1, 1.2]
-        is_snrs = [1.1, 1.2, 1.3, 1.5, 1.8]
+        is_snrs = [1.1, 1.2, 1.25, 1.3, 1.4, 1.6]
 
     t0 = time.time()
     sup = harvest_error_supports(code, cfg, ebn0_db=1.1, frames=h_frames,
@@ -69,7 +69,32 @@ def main():
     print(f"harvest: {len(sup)} failures (supports {sizes[:3]}..."
           f"{sizes[-3:]}), {len(small)} small, {len(cores)} cores, "
           f"classes {classes[:12]} ({time.time()-t0:.0f}s)", flush=True)
-    dom = cores[:48]
+    dom = cores[:32]
+    # Structural proposals: IRA accumulator CHAINS. Any run of consecutive
+    # parity (accumulator) bits is an (L, 2) trapping set — the two chain
+    # ends are the only odd checks — the textbook IRA floor mechanism.
+    # Measured round 4: harvesting at the knee finds ONLY waterfall-sized
+    # supports and 1-bit stragglers (no small cores), so the mixture gets
+    # these designed shifts instead; if chains are not actual decoder
+    # attractors the unbiased estimator simply reports ~0 with the
+    # defensive component intact.
+    rng = np.random.default_rng(5)
+    Z, kb = code.Z, code.k // code.Z
+    mb = code.m // Z
+    chains = []
+    for L in (4, 8, 12, 16):
+        for _ in range(6):
+            # the staircase runs across consecutive parity BLOCK columns at
+            # one lifted row (the code is QC dual-diagonal, not a bit-level
+            # accumulator): {(kb+1+t)*Z + r} is an exact (L, 2) set
+            t0c = int(rng.integers(0, mb - 1 - L))
+            r = int(rng.integers(0, Z))
+            chains.append(frozenset((kb + 1 + t0c + t) * Z + r
+                                    for t in range(L)))
+    chain_classes = sorted({classify(code, c) for c in chains})
+    print(f"chain proposals: {len(chains)} sets, classes {chain_classes}",
+          flush=True)
+    dom = list(dict.fromkeys(dom + chains))[:56]
 
     run_mc = make_is_run(code, cfg, sets=[], batch=batch)
     run_is = make_is_run(code, cfg, sets=dom, batch=batch, delta=2.0,
