@@ -266,6 +266,12 @@ def cmd_floor(args) -> int:
     cfg = _build_config(args)
     code = build_code(cfg)
     batch = args.batch or 8192  # shared --batch flag defaults to None
+    mesh = None
+    if args.mesh:
+        from .parallel import make_mesh
+        shape = tuple(int(x) for x in args.mesh.split("x"))
+        axes = ("dcn", "ici")[-len(shape):] if len(shape) > 1 else ("batch",)
+        mesh = make_mesh(shape=shape, axes=axes)
     try:
         sup = harvest_error_supports(code, cfg, ebn0_db=args.harvest_ebn0,
                                      frames=args.harvest_frames,
@@ -289,7 +295,7 @@ def cmd_floor(args) -> int:
               "lower --harvest-ebn0 or raise --harvest-frames",
               file=sys.stderr)
     run = make_is_run(code, cfg, sets=dom, delta=args.delta, pi0=args.pi0,
-                      batch=batch)
+                      batch=batch, mesh=mesh)
     points = []
     for e in _parse_ebn0(args.ebn0):
         est = estimate_fer(code, cfg, sets=dom, ebn0_db=e,
@@ -493,6 +499,9 @@ def build_parser() -> argparse.ArgumentParser:
     fl.add_argument("--out", default=None, help="JSON output path")
     fl.add_argument("--platform", default=None,
                     choices=["cpu", "tpu", "axon"])
+    fl.add_argument("--mesh", default=None,
+                    help="mesh shape, e.g. 8 or 2x4 — shards the IS frame "
+                         "batch like the sweep's DP")
     an = sub.add_parser(
         "analyze", help="density-evolution threshold for the configured "
                         "code (offline, pure NumPy — analysis/de.py)")
