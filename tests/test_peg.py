@@ -321,3 +321,22 @@ class TestPBRL:
             pbrl_construct(kb=4, cb=2, Z=8, n_ext=2)
         with pytest.raises(ValueError):
             pbrl_construct(kb=4, cb=4, Z=8, n_ext=2, core_col_degrees=5)
+
+
+@pytest.mark.slow
+class TestPBRLPallas:
+    def test_pallas_kernel_bit_exact_on_pbrl(self):
+        import jax.numpy as jnp
+        from ldpc_tpu.codes.peg import pbrl_construct
+        from ldpc_tpu.kernels.minsum_pallas import make_pallas_decoder
+        code = pbrl_construct(kb=8, cb=4, Z=16, n_ext=6, seed=1)
+        rng = np.random.default_rng(7)
+        chan = rng.integers(-31, 32, (4, code.n)).astype(np.int8)
+        dec = make_pallas_decoder(code, max_iter=5, beta=2, batch_tile=4,
+                                  interpret=True, schedule="layered")
+        hard, iters, conv = map(np.asarray, dec(jnp.asarray(chan)))
+        for b in range(4):
+            ref = decode_fixed(chan[b].astype(np.int32), code, max_iter=5,
+                               beta=2, schedule="layered")
+            assert (hard[b] == ref.hard).all()
+            assert iters[b] == ref.iters and bool(conv[b]) == ref.converged
