@@ -44,25 +44,22 @@ def refine_support(code: LDPCCode, support: Sequence[int],
     increase b (removing a satellite bit strictly reduces a at
     equal-or-better b). All single-removal trials of a round are evaluated
     in ONE batched syndrome call, so this scales to DVB-S2-sized graphs."""
+    del max_passes  # kept for API compatibility; the loop runs to fixpoint
     s = set(int(v) for v in support)
-    for _ in range(max_passes):
-        changed = False
-        # inner loop: accept the first improving removal, re-evaluate
-        while len(s) > 1:
-            order = sorted(s)
-            svec = np.zeros(code.n, np.uint8)
-            svec[order] = 1
-            b = int(code.syndrome(svec).sum())
-            stack = np.tile(svec, (len(order), 1))
-            stack[np.arange(len(order)), order] = 0
-            b2 = code.syndrome(stack).sum(axis=-1)
-            ok = np.nonzero(b2 <= b)[0]
-            if len(ok) == 0:
-                break
-            s.remove(order[int(ok[0])])
-            changed = True
-        if not changed:
+    # accept the first improving removal, re-evaluate until no removal
+    # keeps b from rising (a fixpoint — a second sweep cannot find more)
+    while len(s) > 1:
+        order = sorted(s)
+        svec = np.zeros(code.n, np.uint8)
+        svec[order] = 1
+        b = int(code.syndrome(svec).sum())
+        stack = np.tile(svec, (len(order), 1))
+        stack[np.arange(len(order)), order] = 0
+        b2 = code.syndrome(stack).sum(axis=-1)
+        ok = np.nonzero(b2 <= b)[0]
+        if len(ok) == 0:
             break
+        s.remove(order[int(ok[0])])
     return frozenset(s)
 
 
@@ -121,10 +118,14 @@ def search_trapping_sets(code: LDPCCode, a_max: int = 8, b_max: int = 4,
     seen: set = set()
     all_seeds: List[FrozenSet[int]] = [frozenset(map(int, s)) for s in seeds]
     if per_vn_seeds:
-        all_seeds += [frozenset([v]) for v in range(code.n)]
+        # On large graphs a growth per VN is hours of NumPy; an evenly
+        # spaced sample keeps the search bounded (growths are local, so
+        # coverage scales with sample count, not graph size).
+        step = max(1, code.n // 4096)
+        all_seeds += [frozenset([v]) for v in range(0, code.n, step)]
     for sd in all_seeds:
         for a, b, S in _grow_greedy(code, sd, a_max, vn_adj):
-            if b <= b_max and S not in seen:
+            if a <= a_max and b <= b_max and S not in seen:
                 seen.add(S)
                 found.setdefault((a, b), []).append(S)
                 if len(seen) >= max_sets:

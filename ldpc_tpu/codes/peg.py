@@ -373,7 +373,7 @@ def qc_peg_construct(kb: int, cb: int, Z: int,
     row_deg = (B >= 0).sum(axis=1)
     for j in map(int, np.argsort(degs, kind="stable")):
         for t in range(int(degs[j])):
-            placed = _place_qc_edge(B, Z, j, row_deg, rng, first=(t == 0))
+            placed = _place_qc_edge(B, Z, j, row_deg, rng)
             if not placed:
                 raise ValueError(
                     f"QC-PEG: no 4-cycle-free placement for column {j} edge "
@@ -387,7 +387,7 @@ def qc_peg_construct(kb: int, cb: int, Z: int,
 
 
 def _place_qc_edge(B: np.ndarray, Z: int, j: int, row_deg: np.ndarray,
-                   rng: np.random.Generator, first: bool,
+                   rng: np.random.Generator,
                    rows: Optional[Sequence[int]] = None) -> bool:
     """Place one circulant entry in info column j: pick (row, shift) by
     maximal lifted-BFS distance with exact 4-cycle veto. Mutates B/row_deg.
@@ -398,7 +398,6 @@ def _place_qc_edge(B: np.ndarray, Z: int, j: int, row_deg: np.ndarray,
     open_rows = [i for i in cand_rows if B[i, j] < 0]
     if not open_rows:
         raise ValueError(f"column {j}: degree exceeds row count")
-    del first  # the BFS degenerates gracefully on an edgeless column
     D = _qc_bfs(B, Z, j)  # (mb, Z); all-_INF when column j has no edges yet
     best: Tuple[int, int, int, int] = (-1, -1, -1, -1)  # (score, -deg, i, s)
     best_list: List[Tuple[int, int]] = []
@@ -507,8 +506,7 @@ def pbrl_construct(kb: int, cb: int, Z: int, n_ext: int,
     core_rows = list(range(cb))
     for j in map(int, np.argsort(degs, kind="stable")):
         for t in range(int(degs[j])):
-            if not _place_qc_edge(B, Z, j, row_deg, rng, first=(t == 0),
-                                  rows=core_rows):
+            if not _place_qc_edge(B, Z, j, row_deg, rng, rows=core_rows):
                 raise ValueError(
                     f"PBRL core: no 4-cycle-free placement for column {j} "
                     f"(kb={kb}, cb={cb}, Z={Z})")

@@ -144,7 +144,10 @@ class ISEstimate:
     ber: float                 # importance-sampled info-BER estimate
 
     def to_dict(self):
-        return dataclasses.asdict(self)
+        d = dataclasses.asdict(self)
+        if not np.isfinite(d["rel_std"]):
+            d["rel_std"] = None  # strict-JSON safe (Infinity is not RFC 8259)
+        return d
 
 
 def make_is_run(code, cfg: SimConfig, sets: Sequence[Sequence[int]],
@@ -174,11 +177,12 @@ def make_is_run(code, cfg: SimConfig, sets: Sequence[Sequence[int]],
     info_pos = jnp.asarray(np.asarray(info_positions(code)))
     if K:
         M = np.zeros((K, code.n), np.float32)
-        sizes = np.zeros(K, np.float32)
         for k, s in enumerate(sets):
-            idx = np.asarray(list(map(int, s)), np.int64)
-            M[k, idx] = 1.0
-            sizes[k] = len(idx)
+            M[k, np.asarray(sorted(set(map(int, s))), np.int64)] = 1.0
+        # |mu_k|^2 must describe the shift actually applied: count UNIQUE
+        # positions (a duplicated index in a caller's set would otherwise
+        # silently bias the weights)
+        sizes = M.sum(axis=1).astype(np.float32)
         Mj = jnp.asarray(M)
         sizes_j = jnp.asarray(sizes)
         log_pi = jnp.log(jnp.concatenate(
@@ -230,8 +234,11 @@ def make_is_run(code, cfg: SimConfig, sets: Sequence[Sequence[int]],
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         repl = NamedSharding(mesh, P())
-        return jax.jit(run, in_shardings=(repl, repl), out_shardings=repl)
-    return jax.jit(run)
+        out = jax.jit(run, in_shardings=(repl, repl), out_shardings=repl)
+    else:
+        out = jax.jit(run)
+    out.batch = batch  # estimate_fer validates against its own accounting
+    return out
 
 
 def estimate_fer(code, cfg: SimConfig, sets: Sequence[Sequence[int]],
@@ -246,9 +253,16 @@ def estimate_fer(code, cfg: SimConfig, sets: Sequence[Sequence[int]],
     if run is None:
         run = make_is_run(code, cfg, sets, delta=delta, pi0=pi0, batch=batch,
                           backend=backend, interpret=interpret, mesh=mesh)
+    elif getattr(run, "batch", batch) != batch:
+        # a prebuilt run sums over ITS batch size; silently dividing by a
+        # different N would scale every reported rate
+        batch = run.batch
     sigma = ch.sigma_for(ebn0_db, code.rate, "bpsk")
     nb = (frames + batch - 1) // batch
-    key = jax.random.PRNGKey(seed)
+    # fold the SNR point into the stream so a floor curve's points are
+    # statistically independent (the pipeline's fold_in(seed, snr) contract)
+    key = jax.random.fold_in(jax.random.PRNGKey(seed),
+                             int(round(ebn0_db * 1000)) & 0x7FFFFFFF)
     sw = sw2 = raw = swb = 0.0
     for i in range(nb):
         out = np.asarray(run(jax.random.fold_in(key, i), sigma), np.float64)

@@ -217,3 +217,57 @@ class TestPexitBracketGuard:
         with pytest.raises(ValueError, match="bracket"):
             pexit_threshold_sigma(np.asarray(B), bracket=(0.1, 0.2),
                                   iters=200)
+
+
+class TestReviewFixes:
+    def test_prebuilt_run_batch_wins(self, wifi648):
+        # a prebuilt run sums over ITS batch; estimate_fer must account
+        # with that batch, not its own default
+        cfg = _cfg()
+        run = make_is_run(wifi648, cfg, sets=[], batch=256, backend="jnp")
+        est = estimate_fer(wifi648, cfg, sets=[], ebn0_db=1.0, frames=256,
+                           batch=64, run=run)
+        assert est.frames == 256  # one 256-frame batch, not 4x64
+
+    def test_snr_points_use_independent_streams(self, wifi648):
+        cfg = _cfg()
+        run = make_is_run(wifi648, cfg, sets=[], batch=256, backend="jnp")
+        a = estimate_fer(wifi648, cfg, sets=[], ebn0_db=1.0, frames=256,
+                         run=run, seed=3)
+        b = estimate_fer(wifi648, cfg, sets=[], ebn0_db=1.001, frames=256,
+                         run=run, seed=3)
+        # near-identical sigma, different fold -> different raw error counts
+        # (with the old shared stream these were bit-identical draws)
+        assert (a.raw_hits != b.raw_hits) or (a.fer != b.fer)
+
+    def test_duplicate_set_indices_are_deduped(self):
+        import jax.numpy as jnp
+        # sizes must describe the APPLIED shift: [5,5,9] shifts {5,9}
+        lw_dup = mixture_log_weight(
+            jnp.zeros((1, 12)), jnp.asarray(np.eye(12, dtype=np.float32)[
+                [5, 9]].sum(axis=0, keepdims=True)),
+            jnp.asarray([2.0], jnp.float32),
+            jnp.log(jnp.asarray([0.5, 0.5], jnp.float32)), 2.0, 1.0)
+        from ldpc_tpu.codes.toy import toy_qc
+        code = toy_qc(4)
+        cfg = _cfg()
+        run = make_is_run(code, cfg, sets=[[5, 5, 9]], batch=128,
+                          backend="jnp", pi0=0.5)
+        out = np.asarray(run(jax.random.PRNGKey(0), 0.7))
+        assert np.isfinite(out).all()
+
+    def test_zero_fer_json_safe(self, wifi648):
+        import json
+        cfg = _cfg()
+        est = estimate_fer(wifi648, cfg, sets=[], ebn0_db=12.0, frames=256,
+                           batch=256, backend="jnp")
+        assert est.fer == 0.0
+        s = json.dumps(est.to_dict())  # must not emit Infinity
+        assert "Infinity" not in s
+        assert json.loads(s)["rel_std"] is None
+
+    def test_search_respects_a_max_for_seeds(self, wifi648):
+        big_seed = list(range(30))  # a=30 > a_max
+        found = search_trapping_sets(wifi648, a_max=5, b_max=60,
+                                     seeds=[big_seed], per_vn_seeds=False)
+        assert all(a <= 5 for (a, b) in found)
