@@ -98,8 +98,11 @@ def main():
             print(f"  MC  {snr} dB: FER {est.fer:.3e} +-{est.rel_std:.2f} "
                   f"({est.raw_hits:.0f} hits)", flush=True)
         for snr in is_snrs:
+            # crossover region (waterfall tail still dominates, defensive
+            # component starves — docs/PERFORMANCE.md caveat): 4x frames
+            nframes = is_frames * (4 if 2.8 <= snr <= 3.9 else 1)
             est = estimate_fer(code, cfg, sets=dom, ebn0_db=snr,
-                               frames=is_frames, batch=batch, seed=31,
+                               frames=nframes, batch=batch, seed=31,
                                run=run_is)
             rows["is"].append(est.to_dict())
             print(f"  IS  {snr} dB: FER {est.fer:.3e} +-{est.rel_std:.2f} "
