@@ -340,3 +340,28 @@ class TestPBRLPallas:
                                beta=2, schedule="layered")
             assert (hard[b] == ref.hard).all()
             assert iters[b] == ref.iters and bool(conv[b]) == ref.converged
+
+
+class TestCLIPBRLConstruct:
+    def test_cli_construct_pbrl(self, capsys):
+        import json
+        from ldpc_tpu.cli import main
+        rc = main(["construct", "--family", "pbrl", "--n", "378",
+                   "--rate", "3/7", "--Z", "27", "--core-rows", "4",
+                   "--ext-row-degree", "3"])
+        assert rc == 0
+        d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert d["n"] == 378 and d["girth"] >= 6 and d["full_rank"]
+
+
+@pytest.mark.slow
+class TestQCPEGLargerGeometry:
+    def test_n1944_construction(self):
+        # the 802.11n n=1944 r=1/2 geometry (Z=81): construction scales,
+        # girth >= 6 guaranteed, encodable, full rank
+        code = qc_peg_construct(kb=12, cb=12, Z=81,
+                                col_degrees=[3] * 9 + [11] * 3, seed=0)
+        assert code.n == 1944
+        assert detect_enc_struct(code.base) is not None
+        assert girth(code) >= 6
+        assert gf2_rank(code.h_dense()) == code.m

@@ -271,3 +271,17 @@ class TestReviewFixes:
         found = search_trapping_sets(wifi648, a_max=5, b_max=60,
                                      seeds=[big_seed], per_vn_seeds=False)
         assert all(a <= 5 for (a, b) in found)
+
+
+class TestISWithTwoPhaseET:
+    def test_two_phase_decoder_composes(self, wifi648):
+        # phase1_iters triggers the two-phase repacking wrapper inside
+        # select_decoder; the IS chain must jit through it unchanged
+        import dataclasses as dc
+        cfg = _cfg()
+        cfg = dc.replace(cfg, decoder=dc.replace(
+            cfg.decoder, early_term=True, phase1_iters=4, phase2_frac=0.5))
+        run = make_is_run(wifi648, cfg, sets=[[0, 1, 2]], batch=256,
+                          backend="jnp")
+        out = np.asarray(run(jax.random.PRNGKey(1), 0.85))
+        assert np.isfinite(out).all() and out[2] >= 0
