@@ -522,3 +522,68 @@ def pbrl_construct(kb: int, cb: int, Z: int, n_ext: int,
     return expand_qc(B, Z,
                      name=name or f"pbrl-{kb}x{cb}+{n_ext}-Z{Z}-s{seed}",
                      standard_exact=False)
+
+
+def count_6cycles(code: LDPCCode) -> int:
+    """Exact number of 6-cycles in the Tanner graph.
+
+    Girth says only whether short cycles exist; their MULTIPLICITY is the
+    finer construction-quality metric (two girth-6 codes can differ by
+    thousands of 6-cycles — the cycle census discriminates construction
+    seeds where the greedy trapping census cannot, its spectrum being
+    dominated by the shared parity chain). Enumeration: 6-cycles through
+    one VN per orbit (QC rotation symmetry), each cycle touched by 3 VNs
+    and walked in 2 directions; total = Z * sum_reps c(rep) / (3 * 2)
+    (unstructured codes loop every VN with Z = 1).
+    """
+    vn = code.vn_adj()
+    cn = code.cn_adj
+    if code.Z is not None and code.base is not None:
+        reps = [j * code.Z for j in range(code.base.shape[1])]
+        mult = code.Z
+    else:
+        reps = range(code.n)
+        mult = 1
+    total_dir = 0
+    for v in reps:
+        checks_v = set(map(int, vn[v]))
+        for ca in map(int, vn[v]):
+            for w in map(int, cn[ca]):
+                if w == v:
+                    continue
+                for cb in map(int, vn[w]):
+                    if cb == ca:
+                        continue
+                    for x in map(int, cn[cb]):
+                        if x == v or x == w:
+                            continue
+                        # closing checks: adjacent to both x and v,
+                        # distinct from ca/cb
+                        for cc in map(int, vn[x]):
+                            if cc != ca and cc != cb and cc in checks_v:
+                                total_dir += 1
+    assert (mult * total_dir) % 6 == 0
+    return mult * total_dir // 6
+
+
+def qc_peg_best(kb: int, cb: int, Z: int,
+                col_degrees, n_seeds: int = 8, seed0: int = 0,
+                mb: Optional[int] = None,
+                name: Optional[str] = None) -> Tuple[LDPCCode, List[dict]]:
+    """QC-PEG with construction-seed selection by (girth desc, 6-cycle
+    count asc): builds n_seeds candidates and returns the winner plus the
+    census table. The tie-break the greedy trapping census cannot provide
+    (PARITY.md round-4 open item c)."""
+    table = []
+    best = None
+    for s in range(seed0, seed0 + n_seeds):
+        code = qc_peg_construct(kb=kb, cb=cb, Z=Z, col_degrees=col_degrees,
+                                seed=s, mb=mb, name=name)
+        g = girth(code)
+        c6 = count_6cycles(code) if g <= 6 else 0
+        row = {"seed": s, "girth": g, "cycles6": c6}
+        table.append(row)
+        key = (-g, c6)
+        if best is None or key < best[0]:
+            best = (key, code)
+    return best[1], table

@@ -365,3 +365,52 @@ class TestQCPEGLargerGeometry:
         assert detect_enc_struct(code.base) is not None
         assert girth(code) >= 6
         assert gf2_rank(code.h_dense()) == code.m
+
+
+class TestCycleCensus:
+    def test_single_cycle_graph(self):
+        from ldpc_tpu.codes.code import LDPCCode
+        from ldpc_tpu.codes.peg import count_6cycles
+        cn = [np.array([0, 1], np.int32), np.array([1, 2], np.int32),
+              np.array([0, 2], np.int32)]
+        assert count_6cycles(LDPCCode(name="c6", n=3, m=3, k=0,
+                                      cn_adj=cn)) == 1
+
+    def test_matches_bruteforce(self):
+        import itertools
+        from ldpc_tpu.codes.code import LDPCCode
+        from ldpc_tpu.codes.peg import count_6cycles
+        rng = np.random.default_rng(0)
+        cn = [np.sort(rng.choice(12, 3, replace=False)).astype(np.int32)
+              for _ in range(8)]
+        code = LDPCCode(name="r", n=12, m=8, k=4, cn_adj=cn)
+        vn = code.vn_adj()
+        brute = 0
+        for trio in itertools.combinations(range(12), 3):
+            for (va, vb, vc) in set(itertools.permutations(trio)):
+                if va > vc:
+                    continue
+                for ca in set(map(int, vn[va])) & set(map(int, vn[vb])):
+                    for cb in set(map(int, vn[vb])) & set(map(int, vn[vc])):
+                        if cb == ca:
+                            continue
+                        for cc in set(map(int, vn[vc])) & set(
+                                map(int, vn[va])):
+                            if cc != ca and cc != cb:
+                                brute += 1
+        assert count_6cycles(code) == brute // 3
+
+    def test_girth8_code_has_zero(self):
+        from ldpc_tpu.codes.peg import count_6cycles
+        code = qc_peg_construct(kb=12, cb=12, Z=27,
+                                col_degrees=[2] * 6 + [3] * 4 + [8] * 2,
+                                seed=0)
+        assert girth(code) >= 8 and count_6cycles(code) == 0
+
+    def test_seed_selection(self):
+        from ldpc_tpu.codes.peg import qc_peg_best
+        best, table = qc_peg_best(kb=8, cb=8, Z=16, col_degrees=3,
+                                  n_seeds=4)
+        counts = {r["seed"]: (r["girth"], r["cycles6"]) for r in table}
+        g, c6 = counts[int(best.name.split("-s")[-1])]
+        assert all((-g, c6) <= (-gg, cc) for gg, cc in counts.values())
