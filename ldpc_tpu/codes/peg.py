@@ -587,3 +587,43 @@ def qc_peg_best(kb: int, cb: int, Z: int,
         if best is None or key < best[0]:
             best = (key, code)
     return best[1], table
+
+
+def count_8cycles(code: LDPCCode) -> int:
+    """Exact number of 8-cycles (simple cycles: 4 distinct VNs, 4 distinct
+    CNs). Same per-orbit enumeration as count_6cycles one level deeper;
+    each cycle is touched by 4 VNs and walked in 2 directions, so
+    total = mult * directed_count / (4 * 2) with mult = Z for QC codes."""
+    vn = code.vn_adj()
+    cn = code.cn_adj
+    if code.Z is not None and code.base is not None:
+        reps = [j * code.Z for j in range(code.base.shape[1])]
+        mult = code.Z
+    else:
+        reps = range(code.n)
+        mult = 1
+    total_dir = 0
+    for v in reps:
+        checks_v = set(map(int, vn[v]))
+        for c1 in map(int, vn[v]):
+            for w in map(int, cn[c1]):
+                if w == v:
+                    continue
+                for c2 in map(int, vn[w]):
+                    if c2 == c1:
+                        continue
+                    for x in map(int, cn[c2]):
+                        if x == v or x == w:
+                            continue
+                        for c3 in map(int, vn[x]):
+                            if c3 == c1 or c3 == c2:
+                                continue
+                            for y in map(int, cn[c3]):
+                                if y == v or y == w or y == x:
+                                    continue
+                                for c4 in map(int, vn[y]):
+                                    if (c4 in checks_v and c4 != c1
+                                            and c4 != c2 and c4 != c3):
+                                        total_dir += 1
+    assert (mult * total_dir) % 8 == 0
+    return mult * total_dir // 8

@@ -414,3 +414,41 @@ class TestCycleCensus:
         counts = {r["seed"]: (r["girth"], r["cycles6"]) for r in table}
         g, c6 = counts[int(best.name.split("-s")[-1])]
         assert all((-g, c6) <= (-gg, cc) for gg, cc in counts.values())
+
+
+class TestCycleCensus8:
+    def test_single_8cycle_graph(self):
+        from ldpc_tpu.codes.code import LDPCCode
+        from ldpc_tpu.codes.peg import count_8cycles
+        cn = [np.array([0, 1], np.int32), np.array([1, 2], np.int32),
+              np.array([2, 3], np.int32), np.array([0, 3], np.int32)]
+        assert count_8cycles(LDPCCode(name="c8", n=4, m=4, k=0,
+                                      cn_adj=cn)) == 1
+
+    def test_matches_bruteforce(self):
+        import itertools
+        from ldpc_tpu.codes.code import LDPCCode
+        from ldpc_tpu.codes.peg import count_8cycles
+        rng = np.random.default_rng(1)
+        cn = [np.sort(rng.choice(10, 3, replace=False)).astype(np.int32)
+              for _ in range(7)]
+        code = LDPCCode(name="r", n=10, m=7, k=3, cn_adj=cn)
+        vn = code.vn_adj()
+        brute = 0
+        for quad in itertools.permutations(range(10), 4):
+            v, w, x, y = quad
+            if v != min(quad):
+                continue
+            for c1 in set(map(int, vn[v])) & set(map(int, vn[w])):
+                for c2 in set(map(int, vn[w])) & set(map(int, vn[x])):
+                    if c2 == c1:
+                        continue
+                    for c3 in set(map(int, vn[x])) & set(map(int, vn[y])):
+                        if c3 in (c1, c2):
+                            continue
+                        for c4 in set(map(int, vn[y])) & set(
+                                map(int, vn[v])):
+                            if c4 in (c1, c2, c3):
+                                continue
+                            brute += 1
+        assert count_8cycles(code) == brute // 2
