@@ -9,7 +9,7 @@ from .exit import (  # noqa: F401
 from .proto_de import (  # noqa: F401
     column_channel_pmfs, proto_de_threshold_awgn, proto_de_trajectory)
 from .trapping import (  # noqa: F401
-    classify, dominant_sets, odd_checks, refine_support,
+    classify, dominant_sets, is_absorbing, odd_checks, refine_support,
     search_trapping_sets)
 from .de import (  # noqa: F401
     DegreeSpectra, chan_pmf_awgn, chan_pmf_bsc, de_pe_trajectory,

@@ -151,3 +151,23 @@ def dominant_sets(found: Dict[Tuple[int, int], List[FrozenSet[int]]],
             ranked.append((a + b, a, s))
     ranked.sort(key=lambda t: (t[0], t[1], sorted(t[2])))
     return [s for _, _, s in ranked[:k]]
+
+
+def is_absorbing(code: LDPCCode, support: Sequence[int]) -> bool:
+    """True when the set is ABSORBING: every VN in S has strictly more
+    satisfied (even-degree) than unsatisfied (odd-degree) neighboring
+    checks under the induced subgraph — the condition that makes an (a,b)
+    trapping set a stable bit-flipping/min-sum attractor (Dolecek et al.).
+    The round-4 tail study showed the 802.11n expert table's remaining
+    edge over census-optimal QC-PEG lies in exactly this structure (both
+    exact short-cycle counts FAVORED the constructed code)."""
+    s = np.zeros(code.n, np.uint8)
+    idx = np.asarray(sorted(set(map(int, support))), np.int64)
+    s[idx] = 1
+    syn = code.syndrome(s)  # 1 = odd/unsatisfied check
+    vn = code.vn_adj()
+    for v in idx:
+        odd = int(syn[vn[v]].sum())
+        if 2 * odd >= len(vn[v]):
+            return False
+    return True

@@ -285,3 +285,28 @@ class TestISWithTwoPhaseET:
                           backend="jnp")
         out = np.asarray(run(jax.random.PRNGKey(1), 0.85))
         assert np.isfinite(out).all() and out[2] >= 0
+
+
+class TestAbsorbing:
+    def test_codeword_support_is_absorbing(self, wifi648):
+        from ldpc_tpu.analysis.trapping import is_absorbing
+        info = np.random.default_rng(0).integers(0, 2, wifi648.k)
+        cw = golden_enc.encode(wifi648, info)
+        # b = 0: every neighbor check satisfied -> absorbing by definition
+        assert is_absorbing(wifi648, np.nonzero(cw)[0])
+
+    def test_single_bit_not_absorbing(self, wifi648):
+        from ldpc_tpu.analysis.trapping import is_absorbing
+        # a lone flipped bit leaves ALL its checks unsatisfied
+        assert not is_absorbing(wifi648, [0])
+
+    def test_handcrafted(self):
+        from ldpc_tpu.analysis.trapping import is_absorbing
+        from ldpc_tpu.codes.code import LDPCCode
+        # v0 has checks {c0,c1,c2}; v1 has {c0,c1,c3}. S={v0,v1}:
+        # c0,c1 even (2 hits), c2,c3 odd -> each VN: 1 odd of 3 -> absorbing
+        cn = [np.array([0, 1], np.int32), np.array([0, 1], np.int32),
+              np.array([0, 2], np.int32), np.array([1, 2], np.int32)]
+        code = LDPCCode(name="h", n=3, m=4, k=0, cn_adj=cn)
+        assert is_absorbing(code, [0, 1])
+        assert not is_absorbing(code, [0])
