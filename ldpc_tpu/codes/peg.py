@@ -568,12 +568,19 @@ def count_6cycles(code: LDPCCode) -> int:
 
 def qc_peg_best(kb: int, cb: int, Z: int,
                 col_degrees, n_seeds: int = 8, seed0: int = 0,
-                mb: Optional[int] = None,
-                name: Optional[str] = None) -> Tuple[LDPCCode, List[dict]]:
-    """QC-PEG with construction-seed selection by (girth desc, 6-cycle
-    count asc): builds n_seeds candidates and returns the winner plus the
-    census table. The tie-break the greedy trapping census cannot provide
-    (PARITY.md round-4 open item c)."""
+                mb: Optional[int] = None, name: Optional[str] = None,
+                use_absorbing: bool = True
+                ) -> Tuple[LDPCCode, List[dict]]:
+    """QC-PEG with construction-seed selection by
+    (girth desc, absorbing-set count asc, 6-cycle count asc).
+
+    The round-4 silicon tail study validated this ordering: the greedy
+    absorbing-set census (search_trapping_sets + is_absorbing, a<=9
+    b<=3) rank-ordered the measured tails exactly — the 27-absorbing
+    seed measured 2.6x worse tail FER than a 0-absorbing seed — while
+    girth alone and the trapping census alone could not discriminate;
+    the 6-cycle count breaks remaining ties. use_absorbing=False skips
+    the census (~seconds per seed) for quick scans."""
     table = []
     best = None
     for s in range(seed0, seed0 + n_seeds):
@@ -581,9 +588,18 @@ def qc_peg_best(kb: int, cb: int, Z: int,
                                 seed=s, mb=mb, name=name)
         g = girth(code)
         c6 = count_6cycles(code) if g <= 6 else 0
-        row = {"seed": s, "girth": g, "cycles6": c6}
+        if use_absorbing:
+            from ..analysis.trapping import (is_absorbing,
+                                             search_trapping_sets)
+            found = search_trapping_sets(code, a_max=9, b_max=3,
+                                         max_sets=100000)
+            n_abs = sum(is_absorbing(code, S)
+                        for ss in found.values() for S in ss)
+        else:
+            n_abs = 0
+        row = {"seed": s, "girth": g, "absorbing": n_abs, "cycles6": c6}
         table.append(row)
-        key = (-g, c6)
+        key = (-g, n_abs, c6)
         if best is None or key < best[0]:
             best = (key, code)
     return best[1], table

@@ -410,10 +410,23 @@ class TestCycleCensus:
     def test_seed_selection(self):
         from ldpc_tpu.codes.peg import qc_peg_best
         best, table = qc_peg_best(kb=8, cb=8, Z=16, col_degrees=3,
-                                  n_seeds=4)
-        counts = {r["seed"]: (r["girth"], r["cycles6"]) for r in table}
-        g, c6 = counts[int(best.name.split("-s")[-1])]
-        assert all((-g, c6) <= (-gg, cc) for gg, cc in counts.values())
+                                  n_seeds=4, use_absorbing=False)
+        counts = {r["seed"]: (r["girth"], r["absorbing"], r["cycles6"])
+                  for r in table}
+        g, na, c6 = counts[int(best.name.split("-s")[-1])]
+        assert all((-g, na, c6) <= (-gg, aa, cc)
+                   for gg, aa, cc in counts.values())
+
+    def test_seed_selection_absorbing(self):
+        # with the census on, a seed with absorbing sets must lose to a
+        # 0-absorbing seed of equal girth (the silicon-validated ordering)
+        from ldpc_tpu.codes.peg import qc_peg_best
+        best, table = qc_peg_best(kb=12, cb=12, Z=27,
+                                  col_degrees=[3] * 9 + [12] * 3,
+                                  n_seeds=2, seed0=6)  # seeds 6 (81), 7 (0)
+        by_seed = {r["seed"]: r["absorbing"] for r in table}
+        assert by_seed[6] > 0 and by_seed[7] == 0
+        assert best.name.endswith("-s7")
 
 
 class TestCycleCensus8:
