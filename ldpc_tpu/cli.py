@@ -295,12 +295,14 @@ def cmd_floor(args) -> int:
               "lower --harvest-ebn0 or raise --harvest-frames",
               file=sys.stderr)
     run = make_is_run(code, cfg, sets=dom, delta=args.delta, pi0=args.pi0,
-                      batch=batch, mesh=mesh)
+                      batch=batch, mesh=mesh, stratify=args.stratified)
     points = []
     for e in _parse_ebn0(args.ebn0):
         est = estimate_fer(code, cfg, sets=dom, ebn0_db=e,
                            frames=args.frames, batch=batch,
-                           seed=cfg.run.seed, run=run)
+                           seed=cfg.run.seed, run=run,
+                           allocation=args.allocation,
+                           pilot_frames=args.pilot_frames)
         points.append(est.to_dict())
         print(json.dumps(points[-1]), flush=True)
     if args.out:
@@ -309,7 +311,9 @@ def cmd_floor(args) -> int:
                        "code": code.name,
                        "proposal": {"n_sets": len(dom),
                                     "classes": [list(c) for c in classes],
-                                    "delta": args.delta, "pi0": args.pi0},
+                                    "delta": args.delta, "pi0": args.pi0,
+                                    "stratified": bool(args.stratified),
+                                    "allocation": args.allocation},
                        "points": points}, f, indent=1)
     return 0
 
@@ -496,6 +500,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="unshifted mixture weight (weights bounded by "
                          "1/pi0; the defensive component)")
     fl.add_argument("--k-sets", dest="k_sets", type=int, default=48)
+    fl.add_argument("--stratified", action="store_true",
+                    help="deterministic per-component lane allocation "
+                         "(removes multinomial component-count noise — the "
+                         "crossover-region variance fix)")
+    fl.add_argument("--allocation", default="proportional",
+                    choices=["proportional", "neyman"],
+                    help="stratified lane allocation rule; neyman runs a "
+                         "pilot phase and allocates ~ pi_j * std_j")
+    fl.add_argument("--pilot-frames", dest="pilot_frames", type=int,
+                    default=0,
+                    help="pilot frames per point for --allocation neyman "
+                         "(excluded from the reported estimate)")
     fl.add_argument("--out", default=None, help="JSON output path")
     fl.add_argument("--platform", default=None,
                     choices=["cpu", "tpu", "axon"])

@@ -16,6 +16,14 @@ All-zeros transmission (valid: min-sum with symmetric quantization is
 sign-symmetric, so the error probability is codeword-independent — the
 same argument that justifies RunConfig.all_zeros). BPSK/AWGN only.
 
+Rate matching (punctured/shortened codes — NR, rate_compat ladders) is
+modeled with the pipeline's exact contract: the channel, the noise space,
+and the mixture mean shifts cover only the n_tx transmitted positions;
+punctured VNs enter the decoder at LLR 0 and shortened VNs saturated.
+Eb/N0 -> sigma uses the EFFECTIVE rate k_eff/n_tx (code.rate), matching
+sim/sweep.py, so floor curves line up with waterfall curves point-for-
+point.
+
 Estimator: FER = E_q[ 1{frame error} * p(z)/q(z) ], with
 p = N(0, sigma^2 I), q = pi0*p + (1-pi0)/K * sum_k N(mu_k, sigma^2 I),
 mu_k = -delta * indicator(S_k). Per-batch sums of w and w^2 leave the
@@ -43,18 +51,43 @@ from .pipeline import select_decoder
 
 
 def _check_domain(cfg: SimConfig, code=None) -> None:
+    del code  # rate matching is modeled natively (see _rate_match)
     if cfg.channel.modulation != "bpsk":
         raise ValueError("importance sampling supports BPSK only")
-    if code is not None and (len(code.punct_vns)
-                             or len(code.shortened_vns)):
-        # The IS chain applies real channel observations to every position;
-        # silently estimating a punctured/shortened system with the wrong
-        # channel would be off by orders of magnitude (the pipeline's
-        # rate-matching block is not replicated here).
-        raise ValueError(
-            "importance sampling does not model rate matching yet: "
-            f"{code.name} has punctured/shortened positions — estimate the "
-            "mother code, or Monte-Carlo the rate-matched code directly")
+
+
+def _rate_match(code) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
+    """(tx_pos, short_pos) mirroring the pipeline's rate-matching contract
+    (sim/pipeline.py): punctured VNs are never transmitted and enter the
+    decoder with LLR 0; shortened VNs are known zeros and enter saturated
+    (+1e6 pre-quantize -> +qmax). The channel — and therefore the IS noise
+    space and the mixture mean shifts — covers ONLY the n_tx transmitted
+    positions; a trapping set's punctured members receive no shift (there
+    is no channel observation to bias there). Returns (None, None) for an
+    unpunctured code."""
+    if not (len(code.punct_vns) or len(code.shortened_vns)):
+        return None, None
+    excluded = set(map(int, code.punct_vns)) | set(
+        map(int, code.shortened_vns))
+    tx_pos = np.asarray([v for v in range(code.n) if v not in excluded],
+                        np.int32)
+    short_pos = (np.asarray(code.shortened_vns, np.int32)
+                 if len(code.shortened_vns) else None)
+    return tx_pos, short_pos
+
+
+def _assemble_llr(z: jnp.ndarray, sigma, code, tx_pos, short_pos,
+                  batch: int) -> jnp.ndarray:
+    """Channel observations (1 + z over transmitted positions, all-zeros
+    codeword) -> full-length float LLR row, pipeline rate-matching rules."""
+    llr = ch.demap(1.0 + z, sigma, "bpsk")
+    if tx_pos is None:
+        return llr
+    full = jnp.zeros((batch, code.n), llr.dtype).at[:, jnp.asarray(tx_pos)
+                                                    ].set(llr)
+    if short_pos is not None:
+        full = full.at[:, jnp.asarray(short_pos)].set(jnp.float32(1e6))
+    return full
 
 
 # ---------------------------------------------------------------------------
@@ -74,6 +107,8 @@ def harvest_error_supports(code, cfg: SimConfig, ebn0_db: float,
     dec, _ = select_decoder(code, cfg, backend, batch_tile=min(batch, 1024),
                             interpret=interpret, batch=batch)
     sigma = ch.sigma_for(ebn0_db, code.rate, "bpsk")
+    tx_pos, short_pos = _rate_match(code)
+    n_ch = code.n if tx_pos is None else len(tx_pos)
 
     # Two-step fetch: only the (B,) failure mask crosses the device->host
     # link every batch; the (n_bad, n) hard bits are gathered on-device and
@@ -82,8 +117,8 @@ def harvest_error_supports(code, cfg: SimConfig, ebn0_db: float,
     # full tensor would be ~85 MB through a ~4 MB/s link.)
     @jax.jit
     def run(key):
-        z = sigma * jax.random.normal(key, (batch, code.n))
-        llr = ch.demap(1.0 + z, sigma, "bpsk")
+        z = sigma * jax.random.normal(key, (batch, n_ch))
+        llr = _assemble_llr(z, sigma, code, tx_pos, short_pos, batch)
         q = quantize(llr, cfg.quant)
         hard, _, _ = dec(q)
         return hard.any(axis=1), hard
@@ -150,10 +185,30 @@ class ISEstimate:
         return d
 
 
+def _apportion(pis: np.ndarray, total: int, min_each: int = 1) -> np.ndarray:
+    """Largest-remainder apportionment of `total` lanes to len(pis) strata,
+    each stratum guaranteed >= min_each (an unsampled stratum would bias a
+    stratified estimator — every mixture component must appear)."""
+    k = len(pis)
+    if total < k * min_each:
+        raise ValueError(f"batch {total} too small for {k} strata "
+                         f"(min {min_each} each)")
+    rem_total = total - k * min_each
+    p = np.asarray(pis, np.float64)
+    quota = p / p.sum() * rem_total
+    base = np.floor(quota).astype(np.int64)
+    frac = quota - base
+    left = int(rem_total - base.sum())
+    order = np.argsort(-frac, kind="stable")
+    base[order[:left]] += 1
+    return (base + min_each).astype(np.int32)
+
+
 def make_is_run(code, cfg: SimConfig, sets: Sequence[Sequence[int]],
                 delta: float = 2.0, pi0: float = 0.5, batch: int = 1024,
                 backend: str = "auto", interpret: bool = False,
-                mesh=None) -> Callable[[jax.Array, float], jnp.ndarray]:
+                mesh=None, stratify: bool = False
+                ) -> Callable[[jax.Array, float], jnp.ndarray]:
     """One jitted IS batch: run(key, sigma) -> stacked sums
     [sum w*err, sum (w*err)^2, raw err frames, sum w*bit_errs] (float32).
 
@@ -165,10 +220,37 @@ def make_is_run(code, cfg: SimConfig, sets: Sequence[Sequence[int]],
     mesh axes like the main pipeline's DP (partitionable threefry keeps
     the SAMPLES identical to the unsharded run; only the f32 summation
     order differs across shards).
+
+    stratify: instead of drawing each lane's mixture component
+    multinomially, take run(key, sigma, counts) with a replicated int32
+    (K+1,) lane allocation (sum == batch, every entry >= 1) and return the
+    per-stratum sums as a (4, K+1) array. The likelihood weights are
+    unchanged (still p/q against the FULL mixture q); the host combines
+    strata as sum_j pi_j * mean_j, which removes the component-count
+    multinomial noise from the estimator (classic stratified IS) and
+    enables Neyman allocation without recompiling — counts is a runtime
+    argument.
     """
     _check_domain(cfg, code)
     if not 0 < pi0 <= 1:
         raise ValueError(f"pi0 must be in (0, 1], got {pi0}")
+    tx_pos, short_pos = _rate_match(code)
+    n_ch = code.n if tx_pos is None else len(tx_pos)
+    if sets and tx_pos is not None:
+        # The mixture can only shift transmitted positions. A set whose VNs
+        # are all punctured/shortened collapses to the defensive component
+        # (zero shift) — drop it rather than waste a mixture slot on a
+        # duplicate of p (weights stay exact either way; this is variance
+        # hygiene, not a correctness need).
+        kept = [s for s in sets
+                if len(np.intersect1d(np.asarray(sorted(set(map(int, s))),
+                                                 np.int64), tx_pos))]
+        if len(kept) != len(sets):
+            import warnings
+            warnings.warn(f"importance sampling: dropped "
+                          f"{len(sets) - len(kept)} proposal set(s) with no "
+                          "transmitted positions (fully punctured/shortened)")
+        sets = kept
     if not sets and pi0 < 1:
         pi0 = 1.0
     K = len(sets)
@@ -179,6 +261,8 @@ def make_is_run(code, cfg: SimConfig, sets: Sequence[Sequence[int]],
         M = np.zeros((K, code.n), np.float32)
         for k, s in enumerate(sets):
             M[k, np.asarray(sorted(set(map(int, s))), np.int64)] = 1.0
+        if tx_pos is not None:
+            M = M[:, tx_pos]  # shifts live in the transmitted space only
         # |mu_k|^2 must describe the shift actually applied: count UNIQUE
         # positions (a duplicated index in a caller's set would otherwise
         # silently bias the weights)
@@ -205,15 +289,24 @@ def make_is_run(code, cfg: SimConfig, sets: Sequence[Sequence[int]],
         def shard_b(x):
             return x
 
-    def run(key: jax.Array, sigma) -> jnp.ndarray:
+    stratified = bool(stratify) and K > 0
+
+    def run(key: jax.Array, sigma, counts=None) -> jnp.ndarray:
         sigma = jnp.float32(sigma)
         kc, kn = jax.random.split(key)
-        eps = shard_b(jax.random.normal(kn, (batch, code.n), jnp.float32))
+        eps = shard_b(jax.random.normal(kn, (batch, n_ch), jnp.float32))
         z = sigma * eps
         if K:
-            # component per lane: 0 = unshifted, 1..K = sets
-            comp = jax.random.categorical(
-                kc, jnp.broadcast_to(log_pi, (batch, K + 1)), axis=-1)
+            if stratified:
+                # deterministic lane blocks: lanes [0, counts[0]) are the
+                # defensive component, the next counts[1] are set 1, ...
+                comp = jnp.searchsorted(jnp.cumsum(counts),
+                                        jnp.arange(batch), side="right"
+                                        ).astype(jnp.int32)
+            else:
+                # component per lane: 0 = unshifted, 1..K = sets
+                comp = jax.random.categorical(
+                    kc, jnp.broadcast_to(log_pi, (batch, K + 1)), axis=-1)
             shift_row = jnp.where(comp[:, None] > 0,
                                   -delta * Mj[jnp.maximum(comp - 1, 0)], 0.0)
             z = z + shift_row
@@ -221,23 +314,33 @@ def make_is_run(code, cfg: SimConfig, sets: Sequence[Sequence[int]],
                                            sigma))
         else:
             w = jnp.ones((batch,), jnp.float32)
-        llr = ch.demap(1.0 + z, sigma, "bpsk")
+        llr = _assemble_llr(z, sigma, code, tx_pos, short_pos, batch)
         q = quantize(llr, cfg.quant)
         hard, _, _ = dec(q)
         info_err = hard[:, info_pos] != 0
         err = jnp.any(info_err, axis=-1).astype(jnp.float32)
         bits = jnp.sum(info_err, axis=-1).astype(jnp.float32)
         we = w * err
+        if stratified:
+            seg = lambda v: jax.ops.segment_sum(  # noqa: E731
+                v, comp, num_segments=K + 1)
+            return jnp.stack([seg(we), seg(we * we), seg(err),
+                              seg(w * bits)])
         return jnp.stack([jnp.sum(we), jnp.sum(we * we), jnp.sum(err),
                           jnp.sum(w * bits)])
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         repl = NamedSharding(mesh, P())
-        out = jax.jit(run, in_shardings=(repl, repl), out_shardings=repl)
+        ins = (repl, repl) + ((repl,) if stratified else ())
+        out = jax.jit(run, in_shardings=ins, out_shardings=repl)
     else:
         out = jax.jit(run)
     out.batch = batch  # estimate_fer validates against its own accounting
+    out.stratified = stratified
+    out.n_comp = K + 1
+    out.pis = (np.concatenate([[pi0], np.full(K, (1.0 - pi0) / K)])
+               if K else np.ones(1))
     return out
 
 
@@ -246,35 +349,95 @@ def estimate_fer(code, cfg: SimConfig, sets: Sequence[Sequence[int]],
                  pi0: float = 0.5, batch: int = 1024,
                  backend: str = "auto", seed: int = 0,
                  interpret: bool = False, mesh=None,
-                 run: Optional[Callable] = None) -> ISEstimate:
+                 run: Optional[Callable] = None,
+                 stratify: bool = False,
+                 allocation: str = "proportional",
+                 pilot_frames: int = 0) -> ISEstimate:
     """Mixture-IS FER estimate at one SNR point. `frames` is rounded up to
     whole batches. Pass a prebuilt `run` (make_is_run) to amortize compiles
-    across SNR points."""
+    across SNR points.
+
+    stratify: use deterministic per-component lane allocation (see
+    make_is_run) — removes the multinomial component-count noise, the
+    principled fix for crossover-region variance. allocation:
+      "proportional" — counts follow the mixture probabilities pi_j;
+      "neyman"       — a pilot phase (pilot_frames, proportional) measures
+                       each stratum's std of w*err, then the main phase
+                       allocates counts ~ pi_j * std_j (each stratum kept
+                       >= 1 lane). The pilot is EXCLUDED from the estimate,
+                       so the reported figure stays strictly unbiased
+                       (pooling would make sample counts depend on sample
+                       values); `frames` counts the main phase only.
+    """
+    if allocation not in ("proportional", "neyman"):
+        raise ValueError(f"unknown allocation {allocation!r}")
     if run is None:
         run = make_is_run(code, cfg, sets, delta=delta, pi0=pi0, batch=batch,
-                          backend=backend, interpret=interpret, mesh=mesh)
+                          backend=backend, interpret=interpret, mesh=mesh,
+                          stratify=stratify)
     elif getattr(run, "batch", batch) != batch:
         # a prebuilt run sums over ITS batch size; silently dividing by a
         # different N would scale every reported rate
         batch = run.batch
+    stratified = getattr(run, "stratified", False)
     sigma = ch.sigma_for(ebn0_db, code.rate, "bpsk")
     nb = (frames + batch - 1) // batch
     # fold the SNR point into the stream so a floor curve's points are
     # statistically independent (the pipeline's fold_in(seed, snr) contract)
     key = jax.random.fold_in(jax.random.PRNGKey(seed),
                              int(round(ebn0_db * 1000)) & 0x7FFFFFFF)
-    sw = sw2 = raw = swb = 0.0
-    for i in range(nb):
-        out = np.asarray(run(jax.random.fold_in(key, i), sigma), np.float64)
-        sw += out[0]
-        sw2 += out[1]
-        raw += out[2]
-        swb += out[3]
-    N = nb * batch
-    fer = sw / N
-    var = max(sw2 / N - fer ** 2, 0.0) / N
+
+    if not stratified:
+        sw = sw2 = raw = swb = 0.0
+        for i in range(nb):
+            out = np.asarray(run(jax.random.fold_in(key, i), sigma),
+                             np.float64)
+            sw += out[0]
+            sw2 += out[1]
+            raw += out[2]
+            swb += out[3]
+        N = nb * batch
+        fer = sw / N
+        var = max(sw2 / N - fer ** 2, 0.0) / N
+        rel = float(np.sqrt(var) / fer) if fer > 0 else float("inf")
+        return ISEstimate(ebn0_db=float(ebn0_db), fer=float(fer),
+                          rel_std=rel, frames=int(N), raw_hits=int(raw),
+                          fer_plain_ci95=2.0 / N,
+                          ber=float(swb / (N * code.k_eff)))
+
+    pis = np.asarray(run.pis, np.float64)
+    nc = run.n_comp
+    counts = _apportion(pis, batch)
+    ib = 0  # batch counter shared across phases -> distinct keys everywhere
+    if allocation == "neyman" and pilot_frames > 0:
+        npb = (pilot_frames + batch - 1) // batch
+        acc = np.zeros((4, nc), np.float64)
+        cj = jnp.asarray(counts)
+        for _ in range(npb):
+            acc += np.asarray(run(jax.random.fold_in(key, ib), sigma, cj),
+                              np.float64)
+            ib += 1
+        n_j = counts.astype(np.float64) * npb
+        mean_j = acc[0] / n_j
+        std_j = np.sqrt(np.maximum(acc[1] / n_j - mean_j ** 2, 0.0))
+        alloc_w = pis * std_j
+        if alloc_w.sum() > 0:
+            counts = _apportion(alloc_w, batch)
+
+    acc = np.zeros((4, nc), np.float64)
+    cj = jnp.asarray(counts)
+    for _ in range(nb):
+        acc += np.asarray(run(jax.random.fold_in(key, ib), sigma, cj),
+                          np.float64)
+        ib += 1
+    n_j = counts.astype(np.float64) * nb
+    mean_j = acc[0] / n_j
+    var_j = np.maximum(acc[1] / n_j - mean_j ** 2, 0.0)
+    fer = float(np.sum(pis * mean_j))
+    var = float(np.sum(pis ** 2 * var_j / n_j))
     rel = float(np.sqrt(var) / fer) if fer > 0 else float("inf")
-    return ISEstimate(ebn0_db=float(ebn0_db), fer=float(fer),
-                      rel_std=rel, frames=int(N), raw_hits=int(raw),
+    N = nb * batch
+    return ISEstimate(ebn0_db=float(ebn0_db), fer=fer, rel_std=rel,
+                      frames=int(N), raw_hits=int(acc[2].sum()),
                       fer_plain_ci95=2.0 / N,
-                      ber=float(swb / (N * code.k_eff)))
+                      ber=float(np.sum(pis * acc[3] / n_j) / code.k_eff))

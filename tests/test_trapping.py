@@ -181,16 +181,179 @@ class TestISMesh:
                         backend="jnp", mesh=make_mesh())
 
 
-class TestRateMatchingGuards:
-    def test_is_rejects_punctured_code(self, wifi648):
-        from ldpc_tpu.codes.rate_compat import puncture
-        p = puncture(wifi648, count=81)
-        with pytest.raises(ValueError, match="rate matching"):
-            make_is_run(p, _cfg(), sets=[], batch=64)
-        with pytest.raises(ValueError, match="rate matching"):
-            harvest_error_supports(p, _cfg(), ebn0_db=2.0, frames=64,
-                                   batch=64)
+class TestRateMatchedIS:
+    """Round-5: the IS chain models rate matching natively, with the
+    pipeline's exact contract (punctured -> LLR 0, shortened -> saturated,
+    sigma from the EFFECTIVE rate k_eff/n_tx). Oracle: the production
+    pipeline itself (Sweep plain MC) plus the unbiasedness anchor."""
 
+    @pytest.fixture(scope="class")
+    def pcfg(self):
+        import dataclasses
+        cfg = _cfg()
+        return dataclasses.replace(cfg, code=dataclasses.replace(
+            cfg.code, punct_frac=81 / 648))
+
+    @pytest.fixture(scope="class")
+    def pcode(self, pcfg):
+        from ldpc_tpu.sim.sweep import build_code
+        return build_code(pcfg)
+
+    def test_assemble_llr_contract(self, pcode):
+        from ldpc_tpu.ops.channel import demap
+        from ldpc_tpu.sim.impsamp import _assemble_llr, _rate_match
+        tx_pos, short_pos = _rate_match(pcode)
+        assert short_pos is None
+        assert len(tx_pos) == pcode.n_tx
+        assert not set(map(int, tx_pos)) & set(map(int, pcode.punct_vns))
+        z = 0.3 * jnp.ones((2, len(tx_pos)), jnp.float32)
+        full = np.asarray(_assemble_llr(z, 0.8, pcode, tx_pos, short_pos, 2))
+        assert (full[:, np.asarray(pcode.punct_vns)] == 0).all()
+        np.testing.assert_allclose(
+            full[:, tx_pos], np.asarray(demap(1.0 + z, 0.8, "bpsk")),
+            rtol=1e-6)
+
+    def test_k0_matches_pipeline_sweep(self, pcfg, pcode):
+        import dataclasses
+        from ldpc_tpu.sim.sweep import Sweep
+        cfg = dataclasses.replace(pcfg, run=dataclasses.replace(
+            pcfg.run, batch=512, all_zeros=True, seed=3))
+        res = Sweep(cfg, decoder_backend="jnp").run(
+            [2.0], target_frame_errors=10 ** 9, max_frames=3072)
+        pt = res.points[0]
+        fer_mc = pt.frame_errs / pt.frames
+        est = estimate_fer(pcode, pcfg, sets=[], ebn0_db=2.0, frames=3072,
+                           batch=512, backend="jnp", seed=11)
+        assert est.fer > 0 and fer_mc > 0
+        se = np.sqrt(fer_mc * (1 - fer_mc) / pt.frames)
+        tol = 5 * (se + est.fer * est.rel_std)
+        assert abs(est.fer - fer_mc) <= tol
+
+    def test_mixture_unbiased_on_punctured(self, pcfg, pcode):
+        frames = 2048
+        plain = estimate_fer(pcode, pcfg, sets=[], ebn0_db=2.0,
+                             frames=frames, batch=512, backend="jnp",
+                             seed=5)
+        # sets straddling transmitted and punctured (tail >= 567)
+        # positions: the mean shift must apply only to transmitted members
+        sets = [[0, 1, 2, 3], [560, 561, 600, 640]]
+        mixed = estimate_fer(pcode, pcfg, sets=sets, ebn0_db=2.0,
+                             frames=frames, batch=512, backend="jnp",
+                             seed=7)
+        assert plain.fer > 0 and mixed.fer > 0
+        tol = 5 * (plain.fer * plain.rel_std + mixed.fer * mixed.rel_std)
+        assert abs(plain.fer - mixed.fer) <= tol
+
+    def test_fully_punctured_set_dropped(self, pcfg, pcode):
+        with pytest.warns(UserWarning, match="dropped"):
+            run = make_is_run(pcode, pcfg, sets=[[610, 620, 640]],
+                              batch=64, backend="jnp")
+        # the proposal collapsed to plain MC: every weight is 1
+        out = np.asarray(run(jax.random.PRNGKey(0), 0.8))
+        assert out[0] == out[2]
+
+    def test_shortened_harvest_and_estimate(self):
+        import dataclasses
+        cfg = _cfg()
+        cfg = dataclasses.replace(cfg, code=dataclasses.replace(
+            cfg.code, shorten_bits=54))
+        from ldpc_tpu.sim.sweep import build_code
+        code = build_code(cfg)
+        assert len(code.shortened_vns) == 54
+        sup = harvest_error_supports(code, cfg, ebn0_db=0.8, frames=512,
+                                     batch=128, backend="jnp", seed=2)
+        assert sup, "no failures harvested at 0.8 dB?!"
+        est = estimate_fer(code, cfg, sets=[list(map(int, sup[0]))[:6]],
+                           ebn0_db=1.0, frames=512, batch=128,
+                           backend="jnp")
+        assert np.isfinite(est.fer)
+
+
+class TestStratifiedIS:
+    """Stratified per-component allocation (round-5): deterministic lane
+    counts remove the multinomial component-count noise; Neyman allocation
+    reweights strata by pilot-measured std. Estimator stays unbiased."""
+
+    def test_apportion(self):
+        from ldpc_tpu.sim.impsamp import _apportion
+        pis = np.asarray([0.5, 0.25, 0.25])
+        c = _apportion(pis, 8)
+        assert c.sum() == 8 and (c >= 1).all() and c[0] == 4
+        c = _apportion(np.asarray([0.999, 0.0005, 0.0005]), 4)
+        assert c.sum() == 4 and (c >= 1).all()
+        with pytest.raises(ValueError):
+            _apportion(pis, 2)
+
+    def test_stratified_matches_plain_mc(self, wifi648):
+        cfg = _cfg()
+        frames = 2048
+        plain = estimate_fer(wifi648, cfg, sets=[], ebn0_db=2.0,
+                             frames=frames, batch=512, backend="jnp",
+                             seed=5)
+        sets = [[0, 1, 2, 3], [640, 641, 642]]
+        strat = estimate_fer(wifi648, cfg, sets=sets, ebn0_db=2.0,
+                             frames=frames, batch=512, backend="jnp",
+                             seed=9, stratify=True)
+        assert strat.frames == frames
+        assert plain.fer > 0 and strat.fer > 0
+        tol = 5 * (plain.fer * plain.rel_std + strat.fer * strat.rel_std)
+        assert abs(plain.fer - strat.fer) <= tol
+
+    def test_stratified_run_shape_and_flags(self, wifi648):
+        from ldpc_tpu.sim.impsamp import _apportion
+        cfg = _cfg()
+        sets = [[0, 1, 2, 3], [5, 6, 7]]
+        run = make_is_run(wifi648, cfg, sets=sets, batch=64, backend="jnp",
+                          stratify=True)
+        assert run.stratified and run.n_comp == 3
+        counts = _apportion(run.pis, 64)
+        out = np.asarray(run(jax.random.PRNGKey(0), 0.9,
+                             jnp.asarray(counts)))
+        assert out.shape == (4, 3)
+        # raw error count per stratum is bounded by that stratum's lanes
+        assert (out[2] <= counts).all()
+
+    def test_neyman_allocation_runs(self, wifi648):
+        cfg = _cfg()
+        sets = [[0, 1, 2, 3], [640, 641, 642]]
+        est = estimate_fer(wifi648, cfg, sets=sets, ebn0_db=2.0,
+                           frames=1024, batch=256, backend="jnp",
+                           stratify=True, allocation="neyman",
+                           pilot_frames=512, seed=3)
+        # pilot is excluded: main-phase frames only
+        assert est.frames == 1024 and np.isfinite(est.fer) and est.fer > 0
+
+    def test_stratify_with_no_sets_degenerates(self, wifi648):
+        cfg = _cfg()
+        run = make_is_run(wifi648, cfg, sets=[], batch=64, backend="jnp",
+                          stratify=True)
+        assert not run.stratified
+        out = np.asarray(run(jax.random.PRNGKey(0), 0.9))
+        assert out.shape == (4,)
+
+    def test_stratified_mesh_matches_unsharded(self, wifi648):
+        from ldpc_tpu.parallel.mesh import make_mesh
+        from ldpc_tpu.sim.impsamp import _apportion
+        cfg = _cfg()
+        sets = [[0, 1, 2, 3], [640, 641, 642]]
+        key = jax.random.PRNGKey(3)
+        run1 = make_is_run(wifi648, cfg, sets=sets, batch=256,
+                           backend="jnp", stratify=True)
+        run8 = make_is_run(wifi648, cfg, sets=sets, batch=256,
+                           backend="jnp", stratify=True, mesh=make_mesh())
+        counts = jnp.asarray(_apportion(run1.pis, 256))
+        a = np.asarray(run1(key, 0.9, counts), np.float64)
+        b = np.asarray(run8(key, 0.9, counts), np.float64)
+        np.testing.assert_allclose(a, b, rtol=3e-6)
+
+    def test_invalid_allocation_rejected(self, wifi648):
+        with pytest.raises(ValueError, match="allocation"):
+            estimate_fer(wifi648, _cfg(), sets=[[0, 1]], ebn0_db=2.0,
+                         frames=64, batch=64, backend="jnp",
+                         allocation="optimal")
+
+
+class TestRateMatchingGuards:
     def test_proto_analyses_reject_partial_blocks(self, wifi648):
         # Bit-granular puncturing (not Z-aligned) cannot be represented in
         # the per-column analyses; they must refuse, not over-puncture.
