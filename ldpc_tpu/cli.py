@@ -240,6 +240,13 @@ def cmd_construct(args) -> int:
     if code.n <= 8192:
         out["girth"] = girth(code)
         out["full_rank"] = gf2_rank(code.h_dense()) == code.m
+    if getattr(args, "census", None):
+        from .analysis.asenum import exact_absorbing_census
+        a_max, b_max, dv_cap = (int(x) for x in args.census.split(","))
+        c = exact_absorbing_census(code, a_max=a_max, b_max=b_max,
+                                   dv_cap=dv_cap)
+        del c["key"]  # JSON-unfriendly tuple; classes carry the content
+        out["absorbing_census"] = c
     if getattr(args, "export_alist", None):
         from .codes.alist import write_alist
         write_alist(code, args.export_alist)
@@ -287,6 +294,22 @@ def cmd_floor(args) -> int:
     dom = list(dict.fromkeys(
         [c for c in cores if 3 <= len(c) <= 16]
         + dominant_sets(found, k=args.k_sets, min_a=4)))[:args.k_sets]
+    if args.exact_sets:
+        # union in the exhaustive census's sets (native-C enumeration):
+        # absorbing first, then smallest (a + b, a) — the provably
+        # complete list of small attractors strengthens the proposal
+        # beyond what harvesting happens to sample
+        from .analysis.asenum import enumerate_sets
+        a_max, b_max, dv_cap = (int(x) for x in args.exact_sets.split(","))
+        r = enumerate_sets(code, a_max=a_max, b_max=b_max, dv_cap=dv_cap,
+                           emit_min_a=3, emit_cap=8192)
+        exact = [frozenset(S) for (_, _, _, S) in sorted(
+            r.sets, key=lambda t: (not t[2], t[0] + t[1], t[0]))]
+        print(f"# exact census: {len(exact)} sets "
+              f"(a<={a_max} b<={b_max} dv<={dv_cap}"
+              f"{', truncated' if r.emit_truncated else ''})",
+              file=sys.stderr)
+        dom = list(dict.fromkeys(dom + exact))[:args.k_sets]
     classes = sorted({classify(code, s) for s in dom})
     print(f"# harvested {len(sup)} failures -> {len(dom)} proposal sets, "
           f"classes {classes[:12]}", file=sys.stderr)
@@ -482,6 +505,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="construct a code (e.g. --family qcpeg) and report "
              "girth/rank; --export-alist FILE writes H")
     co.add_argument("--export-alist", dest="export_alist", default=None)
+    co.add_argument("--census", default=None, metavar="A,B,DVCAP",
+                    help="exhaustive absorbing-set census (native-C ESU "
+                         "enumeration, analysis/asenum.py), e.g. 8,3,3 = "
+                         "all connected sets a<=8 b<=3 over VNs of degree "
+                         "<=3")
     fl = sub.add_parser(
         "floor",
         help="error-floor FER via trapping-set mixture importance "
@@ -500,6 +528,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="unshifted mixture weight (weights bounded by "
                          "1/pi0; the defensive component)")
     fl.add_argument("--k-sets", dest="k_sets", type=int, default=48)
+    fl.add_argument("--exact-sets", dest="exact_sets", default=None,
+                    metavar="A,B,DVCAP",
+                    help="union the exhaustive census's sets into the IS "
+                         "proposal (e.g. 8,2,3); absorbing sets rank "
+                         "first")
     fl.add_argument("--stratified", action="store_true",
                     help="deterministic per-component lane allocation "
                          "(removes multinomial component-count noise — the "

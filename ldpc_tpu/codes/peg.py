@@ -572,15 +572,20 @@ def qc_peg_best(kb: int, cb: int, Z: int,
                 use_absorbing: bool = True
                 ) -> Tuple[LDPCCode, List[dict]]:
     """QC-PEG with construction-seed selection by
-    (girth desc, absorbing-set count asc, 6-cycle count asc).
+    (girth desc, EXACT absorbing-set spectrum asc, 6-cycle count asc).
 
-    The round-4 silicon tail study validated this ordering: the greedy
-    absorbing-set census (search_trapping_sets + is_absorbing, a<=9
-    b<=3) rank-ordered the measured tails exactly — the 27-absorbing
-    seed measured 2.6x worse tail FER than a 0-absorbing seed — while
-    girth alone and the trapping census alone could not discriminate;
-    the 6-cycle count breaks remaining ties. use_absorbing=False skips
-    the census (~seconds per seed) for quick scans."""
+    Round-5 upgrade: the census is now the exhaustive native-C enumerator
+    (analysis/asenum.py, a<=8 b<=3 dv_cap=3 by default — exact for small
+    classes on hub-profile codes and ~2 s/seed), compared by
+    absorbing_spectrum_key: smallest (a, b) classes first, because
+    small-a absorbing sets dominate the error floor. This ordering
+    reproduces the measured round-4 silicon tail order at the wifi-648
+    geometry EXACTLY (standard < s7 < s1 — results/designed_648.json),
+    where the round-4 greedy census had scored all three codes as
+    0-absorbing and could not explain the standard's remaining 1.8x tail
+    edge: the standard has no absorbing set below a=6 while s7 carries
+    108 (5,3)s and s1 27 (5,2)s. use_absorbing=False skips the census
+    for quick scans; the 6-cycle count breaks remaining ties."""
     table = []
     best = None
     for s in range(seed0, seed0 + n_seeds):
@@ -589,17 +594,16 @@ def qc_peg_best(kb: int, cb: int, Z: int,
         g = girth(code)
         c6 = count_6cycles(code) if g <= 6 else 0
         if use_absorbing:
-            from ..analysis.trapping import (is_absorbing,
-                                             search_trapping_sets)
-            found = search_trapping_sets(code, a_max=9, b_max=3,
-                                         max_sets=100000)
-            n_abs = sum(is_absorbing(code, S)
-                        for ss in found.values() for S in ss)
+            from ..analysis.asenum import exact_absorbing_census
+            census = exact_absorbing_census(code)
+            key_abs, n_abs = census["key"], census["total"]
+            classes = census["classes"]
         else:
-            n_abs = 0
-        row = {"seed": s, "girth": g, "absorbing": n_abs, "cycles6": c6}
+            key_abs, n_abs, classes = (), 0, {}
+        row = {"seed": s, "girth": g, "absorbing": n_abs,
+               "absorbing_classes": classes, "cycles6": c6}
         table.append(row)
-        key = (-g, n_abs, c6)
+        key = (-g, key_abs, c6)
         if best is None or key < best[0]:
             best = (key, code)
     return best[1], table
