@@ -193,3 +193,21 @@ class TestSeedSelectionIntegration:
             assert row["absorbing"] == sum(
                 row["absorbing_classes"].values())
         assert code.n == 64
+
+
+class TestDVBS2Census:
+    @pytest.mark.slow
+    def test_accumulator_chains_and_smallest_absorbing(self):
+        """DVB-S2 n=64800 r=1/2 (round-5): the exhaustive census confirms
+        the round-4 structural seeding — at b <= 2 the ONLY small sets
+        are the accumulator staircase (L, 2) chains (arithmetic counts
+        32040 - 360(L-1)), with zero absorbing sets; the smallest
+        absorbing sets in the graph are one QC orbit of 360 (7,3)s
+        (results/dvb_census.json)."""
+        from ldpc_tpu.codes.dvbs2 import make_code
+        code = make_code(n=64800, rate="1/2")
+        r = enumerate_sets(code, a_max=5, b_max=2, dv_cap=3,
+                           emit_min_a=99, emit_cap=1)
+        for L in range(1, 6):
+            assert int(r.class_counts[L, 2]) == 32040 - 360 * (L - 1)
+        assert int(r.absorb_counts.sum()) == 0
