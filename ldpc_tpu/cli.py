@@ -317,11 +317,20 @@ def cmd_floor(args) -> int:
         print("# WARNING: no failures harvested — estimates are plain MC; "
               "lower --harvest-ebn0 or raise --harvest-frames",
               file=sys.stderr)
-    run = make_is_run(code, cfg, sets=dom, delta=args.delta, pi0=args.pi0,
-                      batch=batch, mesh=mesh, stratify=args.stratified)
+    deltas = [float(x) for x in str(args.delta).split(",")]
+    if len(deltas) > 1:
+        from .sim.impsamp import expand_radial
+        dom_run, delta_run = expand_radial(dom, deltas)
+        print(f"# radial ladder: {len(dom)} sets x {len(deltas)} depths "
+              f"{deltas} -> {len(dom_run)} components", file=sys.stderr)
+    else:
+        dom_run, delta_run = dom, deltas[0]
+    run = make_is_run(code, cfg, sets=dom_run, delta=delta_run,
+                      pi0=args.pi0, batch=batch, mesh=mesh,
+                      stratify=args.stratified)
     points = []
     for e in _parse_ebn0(args.ebn0):
-        est = estimate_fer(code, cfg, sets=dom, ebn0_db=e,
+        est = estimate_fer(code, cfg, sets=dom_run, ebn0_db=e,
                            frames=args.frames, batch=batch,
                            seed=cfg.run.seed, run=run,
                            allocation=args.allocation,
@@ -334,7 +343,7 @@ def cmd_floor(args) -> int:
                        "code": code.name,
                        "proposal": {"n_sets": len(dom),
                                     "classes": [list(c) for c in classes],
-                                    "delta": args.delta, "pi0": args.pi0,
+                                    "delta": deltas, "pi0": args.pi0,
                                     "stratified": bool(args.stratified),
                                     "allocation": args.allocation},
                        "points": points}, f, indent=1)
@@ -522,8 +531,11 @@ def build_parser() -> argparse.ArgumentParser:
                     default=2.2, help="waterfall-knee SNR for harvesting")
     fl.add_argument("--harvest-frames", dest="harvest_frames", type=int,
                     default=131072)
-    fl.add_argument("--delta", type=float, default=2.0,
-                    help="mean shift toward each set (2.0 = full flip)")
+    fl.add_argument("--delta", default="2.0",
+                    help="mean shift toward each set (2.0 = full flip); a "
+                         "comma list (e.g. 1.2,1.6,2.0) builds a radial "
+                         "LADDER — every set at every depth (the deep-"
+                         "floor variance fix)")
     fl.add_argument("--pi0", type=float, default=0.25,
                     help="unshifted mixture weight (weights bounded by "
                          "1/pi0; the defensive component)")

@@ -185,6 +185,27 @@ class ISEstimate:
         return d
 
 
+def expand_radial(sets: Sequence[Sequence[int]],
+                  deltas: Sequence[float]
+                  ) -> Tuple[List[Sequence[int]], np.ndarray]:
+    """Radial-ladder proposal: replicate every support at every shift
+    depth, as separate mixture components. Returns (sets_expanded,
+    delta_vector) for make_is_run/estimate_fer. Covering several radii of
+    each basin tames the heavy-tailed weights that a single full-flip
+    depth produces deep in the floor (the dominant contribution comes
+    from the basin's low-energy boundary — partial flips)."""
+    ds = [float(d) for d in deltas]
+    if not ds:
+        raise ValueError("deltas must be non-empty")
+    out_sets: List[Sequence[int]] = []
+    out_d: List[float] = []
+    for s in sets:
+        for d in ds:
+            out_sets.append(s)
+            out_d.append(d)
+    return out_sets, np.asarray(out_d, np.float32)
+
+
 def _apportion(pis: np.ndarray, total: int, min_each: int = 1) -> np.ndarray:
     """Largest-remainder apportionment of `total` lanes to len(pis) strata,
     each stratum guaranteed >= min_each (an unsampled stratum would bias a
@@ -216,6 +237,10 @@ def make_is_run(code, cfg: SimConfig, sets: Sequence[Sequence[int]],
     1 — the estimator degenerates to plain Monte-Carlo by construction
     (tested; this is the unbiasedness anchor).
 
+    delta: scalar shift depth, or a per-set vector. To build a RADIAL
+    LADDER (the deep-floor variance fix), pass each support several times
+    with different depths — see expand_radial().
+
     mesh: optional jax.sharding.Mesh — the frame batch shards over all
     mesh axes like the main pipeline's DP (partitionable threefry keeps
     the SAMPLES identical to the unsharded run; only the f32 summation
@@ -234,23 +259,37 @@ def make_is_run(code, cfg: SimConfig, sets: Sequence[Sequence[int]],
     _check_domain(cfg, code)
     if not 0 < pi0 <= 1:
         raise ValueError(f"pi0 must be in (0, 1], got {pi0}")
+    if np.any(np.asarray(delta, np.float32) <= 0):
+        raise ValueError("delta (shift depth) must be > 0 per component")
     tx_pos, short_pos = _rate_match(code)
     n_ch = code.n if tx_pos is None else len(tx_pos)
-    if sets and tx_pos is not None:
+    # delta may be a scalar (one shift depth for every set) or a per-set
+    # vector — a RADIAL LADDER: the same support at several depths as
+    # separate mixture components. Deep floors need this: the dominant
+    # weight mass sits at the basin's low-energy boundary (partial flips),
+    # which a single full-flip shift undersamples — measured as seed-to-
+    # seed scatter far beyond reported errors at 5.0 dB
+    # (results/floor_validate.json) before the ladder existed.
+    deltas = np.broadcast_to(np.asarray(delta, np.float32),
+                             (len(sets),)).copy()
+    if len(sets) and tx_pos is not None:
         # The mixture can only shift transmitted positions. A set whose VNs
         # are all punctured/shortened collapses to the defensive component
         # (zero shift) — drop it rather than waste a mixture slot on a
         # duplicate of p (weights stay exact either way; this is variance
         # hygiene, not a correctness need).
-        kept = [s for s in sets
-                if len(np.intersect1d(np.asarray(sorted(set(map(int, s))),
-                                                 np.int64), tx_pos))]
-        if len(kept) != len(sets):
+        keep_idx = [i for i, s in enumerate(sets)
+                    if len(np.intersect1d(
+                        np.asarray(sorted(set(map(int, s))), np.int64),
+                        tx_pos))]
+        if len(keep_idx) != len(sets):
             import warnings
             warnings.warn(f"importance sampling: dropped "
-                          f"{len(sets) - len(kept)} proposal set(s) with no "
-                          "transmitted positions (fully punctured/shortened)")
-        sets = kept
+                          f"{len(sets) - len(keep_idx)} proposal set(s) "
+                          "with no transmitted positions (fully "
+                          "punctured/shortened)")
+            sets = [sets[i] for i in keep_idx]
+            deltas = deltas[keep_idx]
     if not sets and pi0 < 1:
         pi0 = 1.0
     K = len(sets)
@@ -265,8 +304,11 @@ def make_is_run(code, cfg: SimConfig, sets: Sequence[Sequence[int]],
             M = M[:, tx_pos]  # shifts live in the transmitted space only
         # |mu_k|^2 must describe the shift actually applied: count UNIQUE
         # positions (a duplicated index in a caller's set would otherwise
-        # silently bias the weights)
-        sizes = M.sum(axis=1).astype(np.float32)
+        # silently bias the weights). Depths are folded into the mean
+        # matrix (mu_k = -deltas_k * m_k), so the weight kernel runs with
+        # delta=1 and per-component |mu_k|^2.
+        M = deltas[:, None] * M
+        sizes = (deltas ** 2 * (M > 0).sum(axis=1)).astype(np.float32)
         Mj = jnp.asarray(M)
         sizes_j = jnp.asarray(sizes)
         log_pi = jnp.log(jnp.concatenate(
@@ -307,10 +349,13 @@ def make_is_run(code, cfg: SimConfig, sets: Sequence[Sequence[int]],
                 # component per lane: 0 = unshifted, 1..K = sets
                 comp = jax.random.categorical(
                     kc, jnp.broadcast_to(log_pi, (batch, K + 1)), axis=-1)
+            # depths are folded into Mj rows (mu_k = -deltas_k * m_k), so
+            # the shift is the row itself and the weight kernel runs at
+            # delta=1 with per-component |mu_k|^2 in sizes_j
             shift_row = jnp.where(comp[:, None] > 0,
-                                  -delta * Mj[jnp.maximum(comp - 1, 0)], 0.0)
+                                  -Mj[jnp.maximum(comp - 1, 0)], 0.0)
             z = z + shift_row
-            w = jnp.exp(mixture_log_weight(z, Mj, sizes_j, log_pi, delta,
+            w = jnp.exp(mixture_log_weight(z, Mj, sizes_j, log_pi, 1.0,
                                            sigma))
         else:
             w = jnp.ones((batch,), jnp.float32)

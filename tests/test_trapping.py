@@ -473,3 +473,62 @@ class TestAbsorbing:
         code = LDPCCode(name="h", n=3, m=4, k=0, cn_adj=cn)
         assert is_absorbing(code, [0, 1])
         assert not is_absorbing(code, [0])
+
+
+class TestRadialLadder:
+    """Per-set shift depths (round-5): the same support at several deltas
+    as separate mixture components — the deep-floor variance fix."""
+
+    def test_expand_radial(self):
+        from ldpc_tpu.sim.impsamp import expand_radial
+        sets, d = expand_radial([[0, 1], [5]], [1.0, 2.0])
+        assert sets == [[0, 1], [0, 1], [5], [5]]
+        np.testing.assert_allclose(d, [1.0, 2.0, 1.0, 2.0])
+        with pytest.raises(ValueError):
+            expand_radial([[0]], [])
+
+    def test_vector_delta_matches_scalar(self, wifi648):
+        cfg = _cfg()
+        sets = [[0, 1, 2, 3], [640, 641, 642]]
+        key = jax.random.PRNGKey(5)
+        a = make_is_run(wifi648, cfg, sets=sets, batch=128, backend="jnp",
+                        delta=2.0)(key, 0.9)
+        b = make_is_run(wifi648, cfg, sets=sets, batch=128, backend="jnp",
+                        delta=[2.0, 2.0])(key, 0.9)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_ladder_unbiased(self, wifi648):
+        from ldpc_tpu.sim.impsamp import expand_radial
+        cfg = _cfg()
+        frames = 2048
+        plain = estimate_fer(wifi648, cfg, sets=[], ebn0_db=2.0,
+                             frames=frames, batch=512, backend="jnp",
+                             seed=5)
+        sets, d = expand_radial([[0, 1, 2, 3], [640, 641, 642]],
+                                [1.0, 1.5, 2.0])
+        lad = estimate_fer(wifi648, cfg, sets=sets, ebn0_db=2.0,
+                           frames=frames, batch=512, backend="jnp",
+                           seed=13, delta=d, stratify=True)
+        assert plain.fer > 0 and lad.fer > 0
+        tol = 5 * (plain.fer * plain.rel_std + lad.fer * lad.rel_std)
+        assert abs(plain.fer - lad.fer) <= tol
+
+    def test_delta_validation(self, wifi648):
+        with pytest.raises(ValueError, match="delta"):
+            make_is_run(wifi648, _cfg(), sets=[[0, 1]], batch=64,
+                        backend="jnp", delta=[2.0, -1.0])
+
+    def test_ladder_survives_dropped_sets(self):
+        # per-set deltas stay aligned when fully-punctured sets drop
+        import dataclasses
+        cfg = _cfg()
+        cfg = dataclasses.replace(cfg, code=dataclasses.replace(
+            cfg.code, punct_frac=81 / 648))
+        from ldpc_tpu.sim.sweep import build_code
+        pcode = build_code(cfg)
+        with pytest.warns(UserWarning, match="dropped"):
+            run = make_is_run(pcode, cfg, sets=[[610, 620], [0, 1, 2]],
+                              delta=[9.0, 2.0], batch=64, backend="jnp")
+        out = np.asarray(run(jax.random.PRNGKey(0), 0.8))
+        assert out.shape == (4,) and np.isfinite(out).all()
