@@ -572,20 +572,27 @@ def qc_peg_best(kb: int, cb: int, Z: int,
                 use_absorbing: bool = True
                 ) -> Tuple[LDPCCode, List[dict]]:
     """QC-PEG with construction-seed selection by
-    (girth desc, EXACT absorbing-set spectrum asc, 6-cycle count asc).
+    (girth desc, 6-cycle count asc, EXACT absorbing spectrum asc).
 
-    Round-5 upgrade: the census is now the exhaustive native-C enumerator
-    (analysis/asenum.py, a<=8 b<=3 dv_cap=3 by default — exact for small
-    classes on hub-profile codes and ~2 s/seed), compared by
-    absorbing_spectrum_key: smallest (a, b) classes first, because
-    small-a absorbing sets dominate the error floor. This ordering
-    reproduces the measured round-4 silicon tail order at the wifi-648
-    geometry EXACTLY (standard < s7 < s1 — results/designed_648.json),
-    where the round-4 greedy census had scored all three codes as
-    0-absorbing and could not explain the standard's remaining 1.8x tail
-    edge: the standard has no absorbing set below a=6 while s7 carries
-    108 (5,3)s and s1 27 (5,2)s. use_absorbing=False skips the census
-    for quick scans; the 6-cycle count breaks remaining ties."""
+    The ordering is the round-5 SILICON-measured verdict
+    (results/census_ab.json, floor_ab.json — two falsified predictions,
+    recorded in both artifacts):
+      * the 6-cycle count is the strongest offline discriminator among
+        same-geometry constructed seeds — it ordered them correctly at
+        the 3.0 dB tail AND at the 5.0 dB deep floor (s7 c6=3888 beat
+        s2 c6=4077 in both regimes, while the absorbing-class spectrum
+        ranked s2 first and was wrong twice);
+      * the exact absorbing spectrum (exhaustive native-C census,
+        analysis/asenum.py, a<=8 b<=3 dv_cap=3, ~2 s/seed) breaks c6
+        ties and explains the expert-table gap the cycle census cannot
+        (the 802.11n standard has NO absorbing set below a=6 and beats
+        every constructed seed despite a mid-pack c6);
+      * class counts do NOT rank floors (per-set basin strength varies
+        ~100x within a class): for floor-critical selection, feed the
+        census sets to the mixture-IS floor estimator
+        (sim/impsamp.py + radial ladder — minutes per code on a chip)
+        and rank by the measured estimate.
+    use_absorbing=False skips the census for quick scans."""
     table = []
     best = None
     for s in range(seed0, seed0 + n_seeds):
@@ -603,7 +610,7 @@ def qc_peg_best(kb: int, cb: int, Z: int,
         row = {"seed": s, "girth": g, "absorbing": n_abs,
                "absorbing_classes": classes, "cycles6": c6}
         table.append(row)
-        key = (-g, key_abs, c6)
+        key = (-g, c6, key_abs)
         if best is None or key < best[0]:
             best = (key, code)
     return best[1], table

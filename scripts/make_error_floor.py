@@ -73,21 +73,38 @@ def main():
                        key=lambda s: sorted(s))
         found = search_trapping_sets(code, a_max=10, b_max=4, seeds=cores,
                                      max_sets=768)
-        # proposal = harvested cores (actual decoder-killers) + searched
-        # a>=4 sets; (1,b)/(2,b) classes are trivially-corrected non-events
+        # Round-5 methodology (the round-4 harvest-only proposal missed
+        # the (6,2)/(6,3) absorbing mechanism entirely and underestimated
+        # the deep OMS floor 30-500x — results/floor_validate.json,
+        # floor_ladder.json):
+        #   proposal = EXACT census absorbing sets (the provably complete
+        #   list of small attractors) + harvested cores + searched sets,
+        #   each at a RADIAL LADDER of shift depths; stratified lanes.
+        from ldpc_tpu.analysis.asenum import enumerate_sets
+        from ldpc_tpu.sim.impsamp import expand_radial
+        r = enumerate_sets(code, a_max=8, b_max=3, dv_cap=3,
+                           emit_min_a=4, emit_cap=200_000)
+        absorbing = sorted([(a, b, S) for (a, b, f, S) in r.sets if f],
+                           key=lambda t: (t[0] + t[1], t[0]))
         dom = list(dict.fromkeys(
-            [c for c in cores if 3 <= len(c) <= 16]
-            + dominant_sets(found, k=48, min_a=4)))[:48]
+            [frozenset(S) for (_, _, S) in absorbing[:40]]
+            + [c for c in cores if 3 <= len(c) <= 16]
+            + dominant_sets(found, k=48, min_a=4)))[:64]
         classes = sorted({classify(code, s) for s in dom})
-        print(f"{alg}: {len(sup)} failures -> {len(cores)} cores -> "
-              f"{len(dom)} proposal sets, classes {classes[:10]} "
+        depths = [1.2, 1.6, 2.0, 2.4]
+        is_sets, is_deltas = expand_radial([sorted(s) for s in dom], depths)
+        print(f"{alg}: {len(sup)} failures -> {len(cores)} cores; "
+              f"{len(absorbing)} exact absorbing -> {len(dom)} supports "
+              f"x {len(depths)} depths, classes {classes[:10]} "
               f"({time.time()-t0:.0f}s)", flush=True)
 
         run_mc = make_is_run(code, cfg, sets=[], batch=batch)
-        run_is = make_is_run(code, cfg, sets=dom, batch=batch,
-                             delta=2.0, pi0=0.25)
+        run_is = make_is_run(code, cfg, sets=is_sets, delta=is_deltas,
+                             batch=batch, pi0=0.25, stratify=True)
         rows = {"harvest": {"failures": len(sup),
                             "proposal_sets": len(dom),
+                            "exact_absorbing_a8b3": len(absorbing),
+                            "radial_depths": depths,
                             "classes": [list(c) for c in classes]},
                 "mc": [], "is": []}
         for snr in mc_snrs:
@@ -101,9 +118,9 @@ def main():
             # crossover region (waterfall tail still dominates, defensive
             # component starves — docs/PERFORMANCE.md caveat): 4x frames
             nframes = is_frames * (4 if 2.8 <= snr <= 3.9 else 1)
-            est = estimate_fer(code, cfg, sets=dom, ebn0_db=snr,
-                               frames=nframes, batch=batch, seed=31,
-                               run=run_is)
+            est = estimate_fer(code, cfg, sets=is_sets, delta=is_deltas,
+                               ebn0_db=snr, frames=nframes, batch=batch,
+                               seed=31, run=run_is)
             rows["is"].append(est.to_dict())
             print(f"  IS  {snr} dB: FER {est.fer:.3e} +-{est.rel_std:.2f} "
                   f"({est.raw_hits:.0f} raw hits; plain-MC floor "

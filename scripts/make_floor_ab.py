@@ -68,10 +68,13 @@ def main():
         batch, base_frames = 8192, 1_000_000
         points = [(3.0, 4), (4.0, 1), (4.5, 1), (5.0, 1)]
 
+    from ldpc_tpu.sim.impsamp import expand_radial
+    depths = [1.2, 1.6, 2.0, 2.4]
     doc = {"config": "8-bit scale-4 OMS beta=2LSB layered 20it ET, "
                      "batch 8192; proposal = exact census absorbing sets "
-                     "(a<=8 b<=3 dv_cap=3, smallest a+b, K<=64), "
-                     "stratified allocation, delta=2, pi0=0.25",
+                     "(a<=8 b<=3 dv_cap=3, smallest a+b, K<=64) x radial "
+                     f"ladder {depths}, stratified, pi0=0.25; two seeds "
+                     "per point (convergence check)",
            "prediction": "deep-floor (5.0 dB) order standard < s2 < s7 "
                          "(absorbing spectrum); 3.0 dB expected to echo "
                          "census_ab.json plain MC (unbiasedness)",
@@ -84,21 +87,25 @@ def main():
         absorbing.sort(key=lambda t: (t[0] + t[1], t[0]))
         dom = [list(S) for (_, _, S) in absorbing[:64]]
         classes = sorted({(a, b) for (a, b, _) in absorbing[:64]})
+        sets, deltas = expand_radial(dom, depths)
         print(f"{name}: {len(absorbing)} absorbing (exhaustive), "
-              f"proposal {len(dom)} classes {classes} "
+              f"proposal {len(dom)}x{len(depths)} classes {classes} "
               f"({time.time()-t0:.0f}s)", flush=True)
-        run = make_is_run(code, cfg, sets=dom, batch=batch,
-                          delta=2.0, pi0=0.25, stratify=True)
+        run = make_is_run(code, cfg, sets=sets, delta=deltas, batch=batch,
+                          pi0=0.25, stratify=True)
         rows = []
         for snr, mult in points:
-            t0 = time.time()
-            est = estimate_fer(code, cfg, sets=dom, ebn0_db=snr,
-                               frames=base_frames * mult, batch=batch,
-                               seed=41, run=run)
-            rows.append(est.to_dict())
-            print(f"  {name} {snr} dB: FER {est.fer:.3e} "
-                  f"+-{est.rel_std:.2f} ({est.raw_hits:.0f} raw, "
-                  f"{time.time()-t0:.0f}s)", flush=True)
+            for seed in (41, 42):
+                t0 = time.time()
+                est = estimate_fer(code, cfg, sets=sets, delta=deltas,
+                                   ebn0_db=snr, frames=base_frames * mult,
+                                   batch=batch, seed=seed, run=run)
+                d = est.to_dict()
+                d["seed"] = seed
+                rows.append(d)
+                print(f"  {name} {snr} dB s{seed}: FER {est.fer:.3e} "
+                      f"+-{est.rel_std:.2f} ({est.raw_hits:.0f} raw, "
+                      f"{time.time()-t0:.0f}s)", flush=True)
         doc["codes"][name] = {
             "absorbing_total_a8b3": len(absorbing),
             "proposal_classes": [list(c) for c in classes],

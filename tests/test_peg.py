@@ -418,13 +418,12 @@ class TestCycleCensus:
                    for gg, aa, cc in counts.values())
 
     def test_seed_selection_absorbing(self):
-        # Round-5: selection compares the EXACT absorbing spectrum
-        # (analysis/asenum.py), smallest classes first. At this geometry
-        # seed 6 carries 27 (5,2) absorbing sets while seed 7's smallest
-        # class is (5,3) — so seed 7 wins, matching the round-4 silicon
-        # tail A/B (seed 6 measured 2.6x worse; the greedy census had
-        # called seed 7 "0-absorbing", which the exact census refutes:
-        # its true total is 2691, just in larger/higher-b classes).
+        # Round-5: selection key is (girth, c6, exact spectrum) — the
+        # silicon-measured ordering (results/census_ab.json +
+        # floor_ab.json). At this geometry seed 7 wins on c6 (3888 vs
+        # 4536); the exact census (which refutes the round-4 greedy
+        # "0-absorbing" score for seed 7 — true total 2691) is the
+        # tie-breaker and the floor-estimator feed.
         from ldpc_tpu.codes.peg import qc_peg_best
         best, table = qc_peg_best(kb=12, cb=12, Z=27,
                                   col_degrees=[3] * 9 + [12] * 3,
