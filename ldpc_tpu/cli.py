@@ -632,8 +632,9 @@ def build_parser() -> argparse.ArgumentParser:
                                 "8psk", "16apsk", "32apsk"])
         q.add_argument("--algorithm", default=None,
                        choices=["min-sum", "offset-min-sum",
-                                "normalized-min-sum", "sum-product",
-                                "min-sum-float", "offset-min-sum-float",
+                                "normalized-min-sum", "min-star",
+                                "sum-product", "min-sum-float",
+                                "offset-min-sum-float",
                                 "normalized-min-sum-float"])
         q.add_argument("--schedule", default=None,
                        choices=["flooding", "layered"])

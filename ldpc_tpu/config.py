@@ -129,7 +129,8 @@ class DecoderConfig:
     BASELINE.json:9 'layered decoding schedule', BASELINE.json:8 'early
     termination')."""
 
-    # 'min-sum' | 'offset-min-sum' | 'normalized-min-sum' | float variants
+    # 'min-sum' | 'offset-min-sum' | 'normalized-min-sum' | 'min-star'
+    # (threshold-LUT Jacobian correction, see minstar_thresholds) | floats
     algorithm: str = "min-sum"
     schedule: str = "flooding"  # 'flooding' | 'layered'
     max_iter: int = 20
@@ -281,4 +282,34 @@ def cn_params(dec: DecoderConfig, quant: QuantConfig):
         return 0, (quant.alpha_num, quant.alpha_shift)
     if alg == "min-sum":
         return 0, None
+    if alg == "min-star":
+        raise ValueError("min-star uses minstar_thresholds(), not the "
+                         "min1/min2 magnitude transform")
     raise ValueError(f"no fixed-point CN parameters for algorithm {alg}")
+
+
+def minstar_thresholds(quant: QuantConfig) -> tuple:
+    """Integer thresholds for the fixed-point min* (approx sum-product)
+    Jacobian correction, derived deterministically from the LLR scale.
+
+    The exact pairwise box-plus is min(|x|,|y|) + c(|x|+|y|) - c(||x|-|y||)
+    with c(u) = ln(1+e^-u) in LLR units. In the integer domain the
+    correction is the hardware-classic threshold LUT:
+
+        c_int(u) = #{ i : u <= T_i }   (one LSB per crossed threshold)
+
+    where T_i is the largest integer u with scale*ln(1+e^(-u/scale))
+    >= i - 0.5 (round-to-nearest of the true correction), i = 1..C,
+    C = round(scale*ln 2) = the correction at u=0. scale=4 gives
+    T = (8, 3, 0): c(0)=3, c(1..3)=2, c(4..8)=1, 0 beyond. Every
+    implementation (golden, QC-jnp) derives the SAME tuple from the same
+    QuantConfig, so the algorithm cannot diverge between backends."""
+    import math
+    scale = quant.scale
+    C = int(math.floor(scale * math.log(2.0) + 0.5))
+    out = []
+    for i in range(1, C + 1):
+        # largest u with c_float(u) >= i - 0.5
+        u = math.floor(-scale * math.log(math.exp((i - 0.5) / scale) - 1.0))
+        out.append(max(int(u), 0))
+    return tuple(out)

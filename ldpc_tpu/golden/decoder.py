@@ -88,6 +88,57 @@ def _cn_update(v2c: np.ndarray, beta: int, qmax: int, alpha=None) -> np.ndarray:
     return (sprod * _sign(v2c) * mag).astype(np.int32)
 
 
+_MINSTAR_INF = np.int32(1 << 14)  # box-plus identity sentinel (magnitude)
+
+
+def _corr(u, thresholds) -> np.ndarray:
+    """Threshold-LUT Jacobian correction: one LSB per crossed threshold
+    (config.minstar_thresholds). u is a nonnegative int magnitude."""
+    c = np.zeros_like(np.asarray(u, np.int32))
+    for t in thresholds:
+        c = c + (np.asarray(u) <= t).astype(np.int32)
+    return c
+
+
+def _boxplus2(x, y, thresholds, qmax: int):
+    """Pinned fixed-point pairwise box-plus (min* CN arithmetic):
+
+        mag  = clip(min(|x|,|y|) + c(|x|+|y|) - c(||x|-|y||), 0, qmax)
+        sign = sign(x) * sign(y)            (sign(0) = +1)
+
+    with c the threshold-LUT correction. The magnitude clip applies at
+    EVERY combine (not only at the end) — part of the pinned semantics.
+    The identity element is +_MINSTAR_INF: both corrections vanish there
+    (thresholds are tiny), so boxplus2(x, INF) == clip(|x|,0,qmax)*sign(x)
+    == x for in-range x. With an empty threshold tuple the operation
+    degenerates to sign-min — exclude-self min-sum exactly (tested)."""
+    ax, ay = np.abs(x), np.abs(y)
+    mag = (np.minimum(ax, ay) + _corr(ax + ay, thresholds)
+           - _corr(np.abs(ax - ay), thresholds))
+    mag = np.clip(mag, 0, qmax)
+    return np.where((x < 0) != (y < 0), -mag, mag).astype(np.int32)
+
+
+def _cn_update_minstar(v2c: np.ndarray, thresholds, qmax: int) -> np.ndarray:
+    """Min* check-node update: exclude-self box-plus over the check's
+    incoming messages via prefix/suffix combines in NEIGHBOR-LIST ORDER
+    (cn_adj ascending VN index — the pinned evaluation order; box-plus is
+    associative in reals but fixed-point rounding makes the order part of
+    the semantics). Degree-1 check: boxplus2(INF, INF) = +qmax, matching
+    the min-sum convention."""
+    d = len(v2c)
+    pre = np.empty(d + 1, np.int32)
+    suf = np.empty(d + 1, np.int32)
+    pre[0] = _MINSTAR_INF
+    suf[d] = _MINSTAR_INF
+    for i in range(d):
+        pre[i + 1] = _boxplus2(pre[i], np.int32(v2c[i]), thresholds, qmax)
+        j = d - 1 - i
+        suf[j] = _boxplus2(np.int32(v2c[j]), suf[j + 1], thresholds, qmax)
+    return np.asarray([_boxplus2(pre[i], suf[i + 1], thresholds, qmax)
+                       for i in range(d)], np.int32)
+
+
 @dataclass
 class DecodeResult:
     hard: np.ndarray          # (n,) uint8 decoded bits
@@ -106,21 +157,26 @@ def decode_fixed(
     early_term: bool = True,
     trace: bool = False,
     alpha=None,
+    minstar=None,
 ) -> DecodeResult:
-    """Bit-exact fixed-point min-sum / offset / normalized-min-sum decoder,
-    one codeword.
+    """Bit-exact fixed-point min-sum / offset / normalized-min-sum /
+    min* decoder, one codeword.
 
     chan: (n,) integer channel LLRs already quantized to [-qmax, qmax].
     alpha: (num, shift) normalized-min-sum scaling, or None (see _mag_xform).
+    minstar: threshold tuple (config.minstar_thresholds) — selects the
+    min* CN update (_cn_update_minstar); beta/alpha must be 0/None then.
     """
     chan = np.asarray(chan, np.int32)
     assert chan.shape == (code.n,)
+    if minstar is not None and (beta or alpha is not None):
+        raise ValueError("min-star does not compose with beta/alpha")
     if schedule == "flooding":
         return _decode_flooding(chan, code, max_iter, beta, qmax, early_term,
-                                trace, alpha)
+                                trace, alpha, minstar)
     elif schedule == "layered":
         return _decode_layered(chan, code, max_iter, beta, qmax, early_term,
-                               trace, alpha)
+                               trace, alpha, minstar)
     raise ValueError(schedule)
 
 
@@ -132,7 +188,10 @@ def _syndrome_ok(code: LDPCCode, hard: np.ndarray) -> bool:
 
 
 def _decode_flooding(chan, code, max_iter, beta, qmax, early_term, trace,
-                     alpha=None):
+                     alpha=None, minstar=None):
+    cn = (lambda v2c: _cn_update_minstar(v2c, minstar, qmax)
+          ) if minstar is not None else (
+        lambda v2c: _cn_update(v2c, beta, qmax, alpha))
     # c2v stored per (check, slot) as a ragged list of arrays.
     c2v = [np.zeros(len(vs), np.int32) for vs in code.cn_adj]
     tr: List[dict] = []
@@ -150,7 +209,7 @@ def _decode_flooding(chan, code, max_iter, beta, qmax, early_term, trace,
         new_c2v = []
         for c, vs in enumerate(code.cn_adj):
             v2c = np.clip(total[vs] - c2v[c], -qmax, qmax)
-            new_c2v.append(_cn_update(v2c, beta, qmax, alpha))
+            new_c2v.append(cn(v2c))
         c2v = new_c2v
         # Posterior + hard decision from the NEW messages.
         total = chan.copy()
@@ -172,7 +231,10 @@ def _decode_flooding(chan, code, max_iter, beta, qmax, early_term, trace,
 
 
 def _decode_layered(chan, code, max_iter, beta, qmax, early_term, trace,
-                    alpha=None):
+                    alpha=None, minstar=None):
+    cn = (lambda v2c: _cn_update_minstar(v2c, minstar, qmax)
+          ) if minstar is not None else (
+        lambda v2c: _cn_update(v2c, beta, qmax, alpha))
     from ..codes.layout import compile_layers_general, compile_qc_layout
 
     if code.base is not None and code.Z is not None:
@@ -197,7 +259,7 @@ def _decode_layered(chan, code, max_iter, beta, qmax, early_term, trace,
             for c in layer:
                 vs = code.cn_adj[c]
                 v2c = np.clip(pre[vs] - c2v[c], -qmax, qmax)
-                new = _cn_update(v2c, beta, qmax, alpha)
+                new = cn(v2c)
                 post[vs] += new - c2v[c]
                 c2v[c] = new
         hard = (post < 0).astype(np.uint8)

@@ -64,6 +64,38 @@ def _cn_minsum(v2cs: List[jnp.ndarray], beta: int, alpha=None):
     return out
 
 
+def _cn_minstar(v2cs: List[jnp.ndarray], thresholds, qmax: int):
+    """Min* (approx sum-product) CN update: exclude-self box-plus via
+    prefix/suffix combines in entry order — bit-exact mirror of
+    golden/decoder._cn_update_minstar (same pinned pairwise semantics:
+    per-combine clip to [0, qmax], threshold-LUT correction, +INF
+    sentinel identity; entry order == cn_adj ascending-VN order for QC
+    codes). Pure compares/adds — vectorizes on any backend."""
+    inf = jnp.int32(1 << 14)
+
+    def corr(u):
+        c = jnp.zeros_like(u)
+        for t in thresholds:
+            c = c + (u <= t).astype(_I32)
+        return c
+
+    def bp2(x, y):
+        ax, ay = jnp.abs(x), jnp.abs(y)
+        mag = jnp.minimum(ax, ay) + corr(ax + ay) - corr(jnp.abs(ax - ay))
+        mag = jnp.clip(mag, 0, qmax)
+        return jnp.where((x < 0) != (y < 0), -mag, mag)
+
+    d = len(v2cs)
+    pre = [jnp.full_like(v2cs[0], inf)]
+    for i in range(d):
+        pre.append(bp2(pre[-1], v2cs[i]))
+    suf = [None] * (d + 1)
+    suf[d] = jnp.full_like(v2cs[0], inf)
+    for j in range(d - 1, -1, -1):
+        suf[j] = bp2(v2cs[j], suf[j + 1])
+    return [bp2(pre[i], suf[i + 1]) for i in range(d)]
+
+
 def make_qc_decoder(
     code: LDPCCode,
     max_iter: int = 20,
@@ -73,8 +105,13 @@ def make_qc_decoder(
     early_term: bool = True,
     c2v_dtype=jnp.int8,
     alpha=None,
+    minstar=None,
 ) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
-    """decode(chan_i8[B, n]) -> (hard u8, iters i32, conv bool)."""
+    """decode(chan_i8[B, n]) -> (hard u8, iters i32, conv bool).
+    minstar: threshold tuple (config.minstar_thresholds) selects the min*
+    CN update; beta/alpha must be 0/None then."""
+    if minstar is not None and (beta or alpha is not None):
+        raise ValueError("min-star does not compose with beta/alpha")
     if schedule not in ("flooding", "layered"):
         raise ValueError(schedule)
     qc, layers = _qc_entries(code)
@@ -109,7 +146,9 @@ def make_qc_decoder(
                 v2cs.append(jnp.clip(_rot_fwd(read_col(j), s) - old,
                                      -qmax, qmax))
                 olds.append(old)
-            news = _cn_minsum(v2cs, beta, alpha)
+            news = (_cn_minstar(v2cs, minstar, qmax)
+                    if minstar is not None
+                    else _cn_minsum(v2cs, beta, alpha))
             for (j, s), e, old, new in zip(ents, entry_of[li], olds, news):
                 write(j, s, e, old, new, li)
 
@@ -177,10 +216,17 @@ def make_qc_decoder(
 
 def make_decoder(code: LDPCCode, dec: DecoderConfig, quant: QuantConfig,
                  c2v_dtype=jnp.int8):
+    if dec.algorithm == "min-star":
+        from ..config import minstar_thresholds
+        return make_qc_decoder(code, max_iter=dec.max_iter, beta=0,
+                               qmax=quant.qmax, schedule=dec.schedule,
+                               early_term=dec.early_term,
+                               c2v_dtype=c2v_dtype,
+                               minstar=minstar_thresholds(quant))
     if dec.algorithm not in ("min-sum", "offset-min-sum",
                              "normalized-min-sum"):
-        raise ValueError(f"QC jnp decoder supports the min-sum family, "
-                         f"got {dec.algorithm}")
+        raise ValueError(f"QC jnp decoder supports the min-sum family "
+                         f"(+ min-star), got {dec.algorithm}")
     from ..config import cn_params
     beta, alpha = cn_params(dec, quant)
     return make_qc_decoder(code, max_iter=dec.max_iter, beta=beta,

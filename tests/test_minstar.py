@@ -1,0 +1,157 @@
+"""Fixed-point min* (approx sum-product) decoder family (round-5).
+
+The classic hardware step between min-sum and sum-product: pairwise
+box-plus with a threshold-LUT Jacobian correction
+(config.minstar_thresholds), exclude-self via prefix/suffix combines in
+pinned neighbor order. Oracles: the golden scalar model (the single
+source of truth — the QC-jnp implementation must match it EXACTLY), the
+empty-LUT degeneracy to plain min-sum, and plain-MC BER dominance over
+min-sum (min* approaches sum-product)."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ldpc_tpu.codes.ieee80211n import make_code as make_wifi
+from ldpc_tpu.codes.toy import toy_qc
+from ldpc_tpu.config import (CodeConfig, DecoderConfig, QuantConfig,
+                             SimConfig, cn_params, minstar_thresholds)
+from ldpc_tpu.golden import decoder as gold
+
+
+class TestThresholds:
+    def test_scale4_reference_values(self):
+        assert minstar_thresholds(QuantConfig(scale=4.0)) == (8, 3, 0)
+
+    def test_descending_and_scaling(self):
+        for scale in (1.0, 2.0, 4.0, 8.0):
+            t = minstar_thresholds(QuantConfig(scale=scale))
+            assert list(t) == sorted(t, reverse=True)
+            assert len(t) == int(np.floor(scale * np.log(2) + 0.5))
+
+    def test_cn_params_rejects_minstar(self):
+        with pytest.raises(ValueError, match="minstar_thresholds"):
+            cn_params(DecoderConfig(algorithm="min-star"), QuantConfig())
+
+
+class TestGoldenMinstar:
+    def test_empty_lut_degenerates_to_minsum(self):
+        code = toy_qc(8)
+        rng = np.random.default_rng(0)
+        for schedule in ("flooding", "layered"):
+            for _ in range(5):
+                chan = rng.integers(-40, 41, code.n).astype(np.int32)
+                a = gold.decode_fixed(chan, code, max_iter=10,
+                                      schedule=schedule, minstar=())
+                b = gold.decode_fixed(chan, code, max_iter=10,
+                                      schedule=schedule)
+                np.testing.assert_array_equal(a.hard, b.hard)
+                assert a.iters == b.iters and a.converged == b.converged
+
+    def test_boxplus_matches_float_jacobian(self):
+        # the integer correction is the round-to-nearest of the true
+        # ln(1+e^-u) term at scale 4 for u in range
+        scale = 4.0
+        T = minstar_thresholds(QuantConfig(scale=scale))
+        for u in range(0, 30):
+            c_float = scale * np.log1p(np.exp(-u / scale))
+            assert int(gold._corr(u, T)) == int(np.floor(c_float + 0.5))
+
+    def test_rejects_beta_alpha(self):
+        code = toy_qc(4)
+        with pytest.raises(ValueError, match="compose"):
+            gold.decode_fixed(np.zeros(code.n, np.int32), code, beta=2,
+                              minstar=(8, 3, 0))
+
+
+class TestQCEquality:
+    @pytest.mark.parametrize("schedule", ["flooding", "layered"])
+    def test_qc_jnp_matches_golden(self, schedule):
+        from ldpc_tpu.ops.decode_qc import make_qc_decoder
+        code = toy_qc(8)
+        T = (8, 3, 0)
+        dec = make_qc_decoder(code, max_iter=8, schedule=schedule,
+                              early_term=True, minstar=T)
+        rng = np.random.default_rng(3)
+        chan = rng.integers(-30, 31, (16, code.n)).astype(np.int8)
+        hard, iters, conv = (np.asarray(x) for x in dec(jnp.asarray(chan)))
+        for b in range(16):
+            g = gold.decode_fixed(chan[b].astype(np.int32), code,
+                                  max_iter=8, schedule=schedule,
+                                  minstar=T)
+            np.testing.assert_array_equal(hard[b], g.hard,
+                                          err_msg=f"lane {b}")
+            assert iters[b] == g.iters and bool(conv[b]) == g.converged
+
+    @pytest.mark.slow
+    def test_qc_jnp_matches_golden_wifi648(self):
+        from ldpc_tpu.ops.decode_qc import make_qc_decoder
+        code = make_wifi(648, "1/2")
+        T = minstar_thresholds(QuantConfig())
+        dec = make_qc_decoder(code, max_iter=6, schedule="layered",
+                              early_term=True, minstar=T)
+        rng = np.random.default_rng(7)
+        chan = rng.integers(-25, 26, (4, code.n)).astype(np.int8)
+        hard, iters, conv = (np.asarray(x) for x in dec(jnp.asarray(chan)))
+        for b in range(4):
+            g = gold.decode_fixed(chan[b].astype(np.int32), code,
+                                  max_iter=6, schedule="layered",
+                                  minstar=T)
+            np.testing.assert_array_equal(hard[b], g.hard)
+            assert iters[b] == g.iters
+
+
+class TestPipelineIntegration:
+    def _cfg(self, **dec_kw):
+        return SimConfig(code=CodeConfig(),
+                         decoder=DecoderConfig(algorithm="min-star",
+                                               max_iter=10, **dec_kw))
+
+    def test_select_decoder_routes_to_qc(self):
+        from ldpc_tpu.sim.pipeline import select_decoder
+        code = make_wifi(648, "1/2")
+        dec, label = select_decoder(code, self._cfg(), "auto", batch=64)
+        assert label == "qc-jnp"
+        out = dec(jnp.zeros((4, code.n), jnp.int8))
+        assert np.asarray(out[0]).shape == (4, code.n)
+
+    def test_non_qc_code_rejected(self):
+        from ldpc_tpu.codes.code import LDPCCode
+        from ldpc_tpu.sim.pipeline import select_decoder
+        cn = [np.array([0, 1, 2], np.int32), np.array([1, 2, 3], np.int32)]
+        code = LDPCCode(name="nonqc", n=4, m=2, k=2, cn_adj=cn)
+        with pytest.raises(ValueError, match="QC"):
+            select_decoder(code, self._cfg(), "auto", batch=8)
+
+    @pytest.mark.slow
+    def test_sweep_end_to_end(self):
+        from ldpc_tpu.sim.sweep import Sweep
+        cfg = dataclasses.replace(
+            self._cfg(schedule="layered"),
+            run=__import__("ldpc_tpu.config", fromlist=["RunConfig"]
+                           ).RunConfig(batch=256, seed=2))
+        res = Sweep(cfg, decoder_backend="auto").run(
+            [2.0], target_frame_errors=10 ** 9, max_frames=512)
+        assert res.decoder_backend == "qc-jnp"
+        assert res.points[0].frames == 512
+
+    @pytest.mark.slow
+    def test_minstar_beats_minsum_ber(self):
+        # min* approaches sum-product; at 8 bits it must not lose to
+        # plain min-sum (the classic ~0.2-0.3 dB win). Same seed/noise.
+        from ldpc_tpu.sim.sweep import Sweep
+        from ldpc_tpu.config import RunConfig
+        errs = {}
+        for alg in ("min-star", "min-sum"):
+            cfg = SimConfig(code=CodeConfig(),
+                            decoder=DecoderConfig(algorithm=alg,
+                                                  max_iter=10,
+                                                  schedule="layered"),
+                            run=RunConfig(batch=512, seed=9))
+            res = Sweep(cfg, decoder_backend="auto").run(
+                [1.5], target_frame_errors=10 ** 9, max_frames=2048)
+            errs[alg] = res.points[0].bit_errs
+        assert errs["min-star"] < errs["min-sum"]
