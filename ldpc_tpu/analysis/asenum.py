@@ -15,7 +15,9 @@ Scope knobs (both part of the reported result, never silent):
     magnitude while a degree-d VN inside a size-a set forces at least
     d - 2*(a - 1) unpaired check slots on its own, so small-(a, b) sets
     avoid hubs; `hub_floor` quantifies the exclusion: a set containing an
-    excluded VN has b >= max_over_excluded(d_v) - 2*(a - 1).
+    excluded VN has b >= min_over_excluded(d_v) - 2*(a - 1) (the
+    conservative bound enumerate_sets actually computes — the weakest
+    excluded degree governs the guarantee).
 """
 from __future__ import annotations
 
@@ -50,7 +52,21 @@ def _lib() -> ctypes.CDLL:
         except subprocess.CalledProcessError:
             cmd = [cc, "-O3", "-shared", "-fPIC", src, "-o", so]
             subprocess.run(cmd, check=True, capture_output=True, text=True)
-    lib = ctypes.CDLL(so)
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        # a committed/stale binary from another ABI: rebuild from source
+        # once (mtime alone cannot catch this on a fresh checkout)
+        os.remove(so)
+        cc = os.environ.get("CC", "cc")
+        try:
+            subprocess.run([cc, "-O3", "-shared", "-fPIC", "-fopenmp", src,
+                            "-o", so], check=True, capture_output=True,
+                           text=True)
+        except subprocess.CalledProcessError:
+            subprocess.run([cc, "-O3", "-shared", "-fPIC", src, "-o", so],
+                           check=True, capture_output=True, text=True)
+        lib = ctypes.CDLL(so)
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
@@ -173,7 +189,17 @@ def enumerate_sets(code: LDPCCode, a_max: int = 6, b_max: int = 3,
     acls = np.zeros((a_max + 1) * (b_max + 1), np.int64)
     nodes = np.zeros(1, np.int64)
     if threads is not None:
+        # env var only matters before the OpenMP runtime initializes; the
+        # runtime call works on every invocation (dlsym through the .so
+        # handle reaches libgomp via the dependency chain)
         os.environ["OMP_NUM_THREADS"] = str(threads)
+        try:
+            setter = _lib().omp_set_num_threads
+            setter.argtypes = [ctypes.c_int]
+            setter.restype = None
+            setter(int(threads))
+        except AttributeError:
+            pass  # built without OpenMP: single-threaded anyway
     _lib().ldpc_enum_connected(
         code.n, code.m,
         np.ascontiguousarray(vn_indptr), np.ascontiguousarray(vn_checks),

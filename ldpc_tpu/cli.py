@@ -272,6 +272,13 @@ def cmd_floor(args) -> int:
 
     cfg = _build_config(args)
     code = build_code(cfg)
+    if (args.allocation != "proportional" or args.pilot_frames > 0) \
+            and not args.stratified:
+        # estimate_fer keys Neyman/pilot machinery off the stratified run;
+        # silently ignoring these flags published misleading configs once
+        raise SystemExit("floor: --allocation/--pilot-frames require "
+                         "--stratified (lane allocation only exists for "
+                         "the stratified estimator)")
     batch = args.batch or 8192  # shared --batch flag defaults to None
     mesh = None
     if args.mesh:

@@ -109,7 +109,10 @@ class CodeConfig:
     punct_scheme: str = "tail"  # 'tail' | 'random' (seeded by run.seed)
     # Generic shortening: the LAST shorten_bits information bits are known
     # zeros (not transmitted; decoder sees saturated +LLR). Any family;
-    # composes with punct_frac (applied first) and NR's k_info.
+    # composes with punct_frac and NR's k_info. build_code applies
+    # shortening FIRST, then puncturing (puncture candidates exclude
+    # info/shortened positions, so the two commute today — but the
+    # shorten-then-puncture order is the contract).
     shorten_bits: int = 0
 
 

@@ -38,7 +38,20 @@ def _lib() -> ctypes.CDLL:
             # retry without OpenMP (the pragma degrades to serial)
             cmd = [cc, "-O3", "-shared", "-fPIC", src, "-o", so]
             subprocess.run(cmd, check=True, capture_output=True, text=True)
-    lib = ctypes.CDLL(so)
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        # stale/foreign-ABI binary (mtime can't catch it): rebuild once
+        os.remove(so)
+        cc = os.environ.get("CC", "cc")
+        try:
+            subprocess.run([cc, "-O3", "-shared", "-fPIC", "-fopenmp", src,
+                            "-o", so], check=True, capture_output=True,
+                           text=True)
+        except subprocess.CalledProcessError:
+            subprocess.run([cc, "-O3", "-shared", "-fPIC", src, "-o", so],
+                           check=True, capture_output=True, text=True)
+        lib = ctypes.CDLL(so)
     i8p = np.ctypeslib.ndpointer(np.int8, flags="C")
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
