@@ -228,7 +228,7 @@ def absorbing_spectrum_key(res: EnumResult) -> Tuple[int, ...]:
     first — compare codes by their SMALLEST absorbing sets before their
     counts at larger classes (small-a attractors dominate the floor).
 
-    Validated on silicon (round-5, reusing the round-4 tail A/B artifact
+    Validated on silicon (late round 4, reusing the tail A/B artifact
     results/designed_648.json): at the wifi-648 geometry the measured
     3.0 dB tail order standard (7.1e-6) < s7 (1.26e-5) < s1 (3.30e-5)
     is exactly the spectrum-key order — standard has NO absorbing set

@@ -574,7 +574,7 @@ def qc_peg_best(kb: int, cb: int, Z: int,
     """QC-PEG with construction-seed selection by
     (girth desc, 6-cycle count asc, EXACT absorbing spectrum asc).
 
-    The ordering is the round-5 SILICON-measured verdict
+    The ordering is the round-4 SILICON-measured verdict
     (results/census_ab.json, floor_ab.json — two falsified predictions,
     recorded in both artifacts):
       * the 6-cycle count is the strongest offline discriminator among

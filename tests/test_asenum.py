@@ -6,7 +6,7 @@ toy code (connectivity by BFS, (a, b) by GF(2) syndrome) — the C ESU
 enumerator must match COUNTS exactly, class by class; (2) the existing
 pure-NumPy is_absorbing on every emitted set; (3) prefix consistency —
 a_max=k results must be the exact prefix of a_max=k+1 results (prune
-soundness); (4) the published 802.11n n=648 structure (round-5 finding:
+soundness); (4) the published 802.11n n=648 structure (round-4 finding:
 27 absorbing (6,2) sets, none below a=6 — the greedy census had reported
 zero, the instrument gap this module closes)."""
 import itertools
@@ -125,7 +125,7 @@ class TestConsistency:
 
 class TestWifi648:
     def test_standard_absorbing_spectrum(self, wifi648):
-        """The round-5 headline: the standard table's smallest absorbing
+        """The round-4 headline: the standard table's smallest absorbing
         sets are the 27 (6,2)s (mixed info/parity structure) — NOTHING
         below a=6 — where the greedy census reported zero everywhere."""
         res = enumerate_sets(wifi648, a_max=6, b_max=2, dv_cap=3,
@@ -198,7 +198,7 @@ class TestSeedSelectionIntegration:
 class TestDVBS2Census:
     @pytest.mark.slow
     def test_accumulator_chains_and_smallest_absorbing(self):
-        """DVB-S2 n=64800 r=1/2 (round-5): the exhaustive census confirms
+        """DVB-S2 n=64800 r=1/2 (round 4): the exhaustive census confirms
         the round-4 structural seeding — at b <= 2 the ONLY small sets
         are the accumulator staircase (L, 2) chains (arithmetic counts
         32040 - 360(L-1)), with zero absorbing sets; the smallest

@@ -1,4 +1,4 @@
-"""Fixed-point min* (approx sum-product) decoder family (round-5).
+"""Fixed-point min* (approx sum-product) decoder family (late round 4).
 
 The classic hardware step between min-sum and sum-product: pairwise
 box-plus with a threshold-LUT Jacobian correction

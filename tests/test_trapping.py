@@ -270,7 +270,7 @@ class TestRateMatchedIS:
 
 
 class TestStratifiedIS:
-    """Stratified per-component allocation (round-5): deterministic lane
+    """Stratified per-component allocation (round 4): deterministic lane
     counts remove the multinomial component-count noise; Neyman allocation
     reweights strata by pilot-measured std. Estimator stays unbiased."""
 
@@ -476,7 +476,7 @@ class TestAbsorbing:
 
 
 class TestRadialLadder:
-    """Per-set shift depths (round-5): the same support at several deltas
+    """Per-set shift depths (round 4): the same support at several deltas
     as separate mixture components — the deep-floor variance fix."""
 
     def test_expand_radial(self):
