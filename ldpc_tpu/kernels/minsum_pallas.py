@@ -156,6 +156,68 @@ def _cn_minsum(v2cs, beta: int, alpha=None, qmax: int = None):
     return out
 
 
+def _cn_minstar(v2cs, thresholds, qmax: int):
+    """Unrolled min* (approx sum-product) CN update over one layer's
+    entries — the Pallas mirror of golden/decoder._cn_update_minstar and
+    ops/decode_qc._cn_minstar (same pinned semantics: per-combine clip to
+    [0, qmax], threshold-LUT Jacobian correction, +INF sentinel identity,
+    prefix/suffix combines in entry order; bit-exact equality asserted in
+    tests/test_minstar.py).
+
+    v2cs may be RAW post - c2v differences: the leaf conversion clips the
+    magnitude to qmax (clip preserves sign), after which every chain value
+    is a materialized signed int32 exactly like the golden model — so the
+    sign-of-zero convention (a zero-magnitude combine forgets its sign)
+    is inherited rather than re-implemented. Sign products ride bit 31
+    via x ^ y (sign(0) = +1 holds: bit 31 of zero is clear).
+
+    Identity combines are specialized away: box(INF, x) == x for any
+    already-clipped x, so pre/suf chains start at clipped leaves and the
+    first/last outputs are the opposite chain's ends — 3d-6 pairwise
+    combines instead of 3d-2. Cost per combine is ~4x a min-sum merge
+    step (two corr LUTs of len(thresholds) compares each), the measured
+    price of sum-product-grade CN arithmetic on the VPU."""
+    q = jnp.array(qmax, _C)
+
+    def corr(u):
+        c = None
+        for t in thresholds:
+            m = (u <= jnp.array(t, _C)).astype(_C)
+            c = m if c is None else c + m
+        return c
+
+    def bp2(x, y):
+        ax, ay = jnp.abs(x), jnp.abs(y)
+        mag = jnp.minimum(ax, ay)
+        if thresholds:
+            mag = mag + corr(ax + ay) - corr(jnp.abs(ax - ay))
+        mag = jnp.clip(mag, 0, q)
+        return jnp.where((x ^ y) < 0, -mag, mag)
+
+    def leaf(v):
+        av = jnp.minimum(jnp.abs(v), q)
+        return jnp.where(v < 0, -av, av)
+
+    d = len(v2cs)
+    if d == 1:
+        # box(INF, INF) -> clip(INF) = +qmax (the min-sum degree-1
+        # convention, golden _cn_update_minstar docstring)
+        return [jnp.full_like(v2cs[0], q)]
+    leaves = [leaf(v) for v in v2cs]
+    pre = [leaves[0]]                      # pre[i] = box(v[0..i])
+    for i in range(1, d - 1):
+        pre.append(bp2(pre[-1], leaves[i]))
+    suf = [None] * d                       # suf[j] = box(v[j..d-1])
+    suf[d - 1] = leaves[d - 1]
+    for j in range(d - 2, 0, -1):
+        suf[j] = bp2(leaves[j], suf[j + 1])
+    out = [suf[1]]
+    for i in range(1, d - 1):
+        out.append(bp2(pre[i - 1], suf[i + 1]))
+    out.append(pre[d - 2])
+    return out
+
+
 def vmem_bytes(code: LDPCCode, batch_tile: int = 256,
                schedule: str = "layered", c2v_dtype=jnp.int32,
                early_term: bool = False, fused_in: bool = False,
@@ -210,6 +272,7 @@ def make_pallas_decoder(
     alpha=None,
     pair_layers: bool = False,
     mc_lane_sigma: bool = False,
+    minstar=None,
 ) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Build decode(chan_i8[B, n]) -> (hard[B, n] u8, iters[B] i32, conv[B] bool).
 
@@ -259,6 +322,23 @@ def make_pallas_decoder(
         raise ValueError(f"{code.name}: Pallas decoder requires QC structure")
     if schedule not in ("flooding", "layered"):
         raise ValueError(schedule)
+    if minstar is not None:
+        if beta or alpha is not None:
+            raise ValueError("min-star does not compose with beta/alpha")
+        # the paired flooding sweep pads short layers with qmax entries —
+        # an identity for min1/min2 merges but NOT for box-plus; min*
+        # simply uses the unpaired sweep (bit-exact either way)
+        pair_layers = False
+
+    def cn_upd(v2cs, fold_qmax=True):
+        """The layer CN update — min-sum family or min* box-plus. min*
+        always clips leaf magnitudes (exact whether or not inputs are
+        pre-clipped); the min-sum family folds the clip only when asked
+        (fold_qmax=False: inputs already within +-qmax)."""
+        if minstar is not None:
+            return _cn_minstar(v2cs, minstar, qmax)
+        return _cn_minsum(v2cs, beta, alpha,
+                          qmax=qmax if fold_qmax else None)
     qc, layers = _qc_entries(code)
     Z, nb = qc.Z, qc.nb
     n = code.n
@@ -554,7 +634,7 @@ def make_pallas_decoder(
                     if with_synd:
                         u = jnp.sum((acc < 0).astype(_I32), axis=0, keepdims=True)
                         unsat = u if unsat is None else unsat + u
-                    news = _cn_minsum(v2cs, beta, alpha, qmax=qmax)
+                    news = cn_upd(v2cs)
                     for (j, s), e, old, new in zip(ents, entry_of[li], olds, news):
                         emit(j, s, e, old, new)
                 if with_synd:
@@ -647,7 +727,7 @@ def make_pallas_decoder(
                         tot_ref[j] = chan32(j)
                     for li, ents in enumerate(layers):
                         v2cs = [_rot_fwd(post_ref[j], s) for (j, s) in ents]
-                        news = _cn_minsum(v2cs, beta, alpha)
+                        news = cn_upd(v2cs, fold_qmax=False)
                         for (j, s), e, new in zip(ents, entry_of[li], news):
                             c2v_ref[e] = new.astype(c2v_ref.dtype)
                             tot_ref[j] = tot_ref[j] + _rot_bwd(new, s)
@@ -712,6 +792,8 @@ def make_pallas_decoder(
                                                                  axis=0))
                             news = _cn_minsum(v2cs, beta, alpha,
                                               qmax=None if first else qmax)
+                            # (paired sweep is min-sum-family only:
+                            # minstar disables pair_layers above)
                             for t, new in enumerate(news):
                                 for h, (ents, eids) in enumerate(parts):
                                     if t >= len(ents):
@@ -1032,12 +1114,17 @@ def make_decoder(code: LDPCCode, dec: DecoderConfig, quant: QuantConfig,
     v5e: scripts/diag_pair.py 7.10 vs 7.22 ms/16k decode, bench 1.056 vs
     1.029 Gb/s). LDPC_PAIR_LAYERS=0/1 overrides for A/B measurement."""
     if dec.algorithm not in ("min-sum", "offset-min-sum",
-                             "normalized-min-sum"):
-        raise ValueError(f"Pallas decoder supports the min-sum family, "
-                         f"got {dec.algorithm}")
+                             "normalized-min-sum", "min-star"):
+        raise ValueError(f"Pallas decoder supports the min-sum family and "
+                         f"min-star, got {dec.algorithm}")
     import os
-    from ..config import cn_params
-    beta, alpha = cn_params(dec, quant)
+    from ..config import cn_params, minstar_thresholds
+    if dec.algorithm == "min-star":
+        beta, alpha = 0, None
+        minstar = minstar_thresholds(quant)
+    else:
+        beta, alpha = cn_params(dec, quant)
+        minstar = None
     return make_pallas_decoder(
         code, max_iter=dec.max_iter, beta=beta, qmax=quant.qmax, alpha=alpha,
         schedule=dec.schedule, early_term=dec.early_term,
@@ -1045,5 +1132,5 @@ def make_decoder(code: LDPCCode, dec: DecoderConfig, quant: QuantConfig,
         pre_transposed=pre_transposed, input_scale=input_scale,
         count_info_cols=count_info_cols, mc_batch=mc_batch,
         inject_random=inject_random, mc_inner_loop=mc_inner_loop,
-        mc_lane_sigma=mc_lane_sigma,
+        mc_lane_sigma=mc_lane_sigma, minstar=minstar,
         pair_layers=os.environ.get("LDPC_PAIR_LAYERS", "1") == "1")

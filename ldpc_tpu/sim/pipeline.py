@@ -87,18 +87,17 @@ def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
         """Decoder for an arbitrary DecoderConfig on the resolved backend."""
         b = backend
         if dec_cfg.algorithm == "min-star":
-            # min* lives on the QC-XLA backend (prefix/suffix box-plus has
-            # no min1/min2 structure for the Pallas CN sweep to exploit;
-            # the QC decoder's per-layer entry lists are the clean seam).
-            # Runs fine on TPU as plain XLA — just not at kernel speed.
+            # min* runs the Pallas VMEM kernel (unrolled prefix/suffix
+            # box-plus in the layer sweep, minsum_pallas._cn_minstar) in
+            # the VMEM regime; the HBM streaming kernel has no min*
+            # variant, so big codes fall to the QC-XLA backend below.
             if code.base is None or code.Z is None:
-                raise ValueError("min-star requires a QC code "
-                                 "(implemented on the QC-XLA backend)")
-            from ..ops.decode_qc import make_decoder as make_qc
-            return make_qc(code, dec_cfg, cfg.quant), "qc-jnp"
+                raise ValueError("min-star requires a QC code")
         if b == "auto":
             plat = jax.default_backend()
             b = "pallas" if plat in ("tpu", "axon") else "jnp"
+        if dec_cfg.algorithm == "min-star" and b == "jnp":
+            b = "qc-jnp"  # the edge-gather jnp decoder has no min* update
         if b == "pallas":
             from ..kernels import minsum_pallas as mp
             if code.base is None or code.Z is None:
