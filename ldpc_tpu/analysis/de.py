@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
+from functools import lru_cache
 from typing import Optional, Tuple
 
 import numpy as np
@@ -280,6 +281,53 @@ def _cn_pair(pa: np.ndarray, pb: np.ndarray, Q: int) -> np.ndarray:
     return out
 
 
+@lru_cache(maxsize=8)
+def _minstar_pair_targets(Q: int, thresholds: tuple) -> np.ndarray:
+    """(2Q+1, 2Q+1) int32 table of the pinned fixed-point pairwise
+    box-plus, shifted by +Q for bincount: T[a+Q, b+Q] = Q + bp2(a, b)
+    with bp2 exactly golden/decoder._boxplus2 (per-combine clip to
+    [0, Q], threshold-LUT correction, sign(0) = +1). DE folds a check's
+    exclude-self combine as repeated pairing of iid message pmfs, so one
+    exact pair table is the whole min* CN recursion."""
+    v = np.arange(-Q, Q + 1)
+    x, y = v[:, None], v[None, :]
+    ax, ay = np.abs(x), np.abs(y)
+
+    def corr(u):
+        c = np.zeros_like(u)
+        for t in thresholds:
+            c += (u <= t).astype(np.int64)
+        return c
+
+    mag = np.minimum(ax, ay) + corr(ax + ay) - corr(np.abs(ax - ay))
+    mag = np.clip(mag, 0, Q)
+    T = np.where((x < 0) != (y < 0), -mag, mag)
+    return (T + Q).astype(np.int32)
+
+
+def _cn_pair_minstar(pa: np.ndarray, pb: np.ndarray, Q: int,
+                     thresholds: tuple) -> np.ndarray:
+    """pmf of c = bp2(a, b) (pinned fixed-point box-plus) for independent
+    a, b — the min* counterpart of _cn_pair."""
+    T = _minstar_pair_targets(Q, tuple(thresholds))
+    W = np.outer(pa, pb)
+    return np.bincount(T.ravel(), weights=W.ravel(), minlength=2 * Q + 1)
+
+
+def _cn_pair_ops(Q: int, beta: int, alpha, minstar):
+    """(pair, xform) closures for the CN recursion: min* uses the exact
+    box-plus pair table with an identity post-transform (no beta/alpha by
+    construction); the min-sum family pairs by signed min and applies the
+    offset/normalized magnitude transform post-exclusion."""
+    if minstar is not None:
+        if beta or alpha is not None:
+            raise ValueError("min-star does not compose with beta/alpha")
+        return (lambda a, b: _cn_pair_minstar(a, b, Q, minstar),
+                lambda p: p)
+    return (lambda a, b: _cn_pair(a, b, Q),
+            lambda p: _cn_mag_transform(p, Q, beta, alpha))
+
+
 def _cn_mag_transform(pmf: np.ndarray, Q: int, beta: int,
                       alpha: Optional[Tuple[int, int]]) -> np.ndarray:
     """Apply the pinned magnitude transform to a message pmf:
@@ -301,6 +349,7 @@ def de_pe_trajectory_spectra(chan_pmf: np.ndarray, spectra: DegreeSpectra,
                              qmax: int = 127,
                              iters: int = 100,
                              decision_vnode: Optional[np.ndarray] = None,
+                             minstar: Optional[tuple] = None,
                              ) -> np.ndarray:
     """Decision-error-probability trajectory of quantized min-sum DE over
     an IRREGULAR ensemble (edge spectra lambda/rho; node spectrum for the
@@ -310,6 +359,10 @@ def de_pe_trajectory_spectra(chan_pmf: np.ndarray, spectra: DegreeSpectra,
     Returns Pe after 0..iters iterations, Pe = P(decision total < 0)
     averaged over variable NODES (ties at 0 decide bit 0 = correct under
     the all-zeros convention, matching golden 'bit = 1 iff total < 0').
+
+    minstar: threshold-LUT tuple (config.minstar_thresholds) — selects the
+    min* (approx sum-product) CN recursion: the exact pmf of the pinned
+    pairwise box-plus replaces the signed-min pair, no beta/alpha.
 
     decision_vnode: optional replacement node-degree weights for the
     DECISION average only (message densities still use the full spectra).
@@ -343,21 +396,24 @@ def de_pe_trajectory_spectra(chan_pmf: np.ndarray, spectra: DegreeSpectra,
                 v2c_mix += lam[k + 1] * _sat_center(acc, Q)
         return pe, v2c_mix
 
+    pair, xform = _cn_pair_ops(Q, beta, alpha, minstar)
+
     def cn_mix(v2c):
         """Mixture over check degrees of the exclude-self fold + the pinned
-        magnitude transform. fold_k = pmf of signed min over k messages."""
+        magnitude transform. fold_k = pmf of the pair op (signed min, or
+        min* box-plus) folded over k messages."""
         out = np.zeros(2 * Q + 1)
         if max_dc >= 1 and rho[1]:
             # degree-1 check: empty exclusion set = +qmax (golden rule)
             spike = np.zeros(2 * Q + 1)
             spike[Q + Q] = 1.0
-            out += rho[1] * _cn_mag_transform(spike, Q, beta, alpha)
+            out += rho[1] * xform(spike)
         fold = v2c.copy()  # fold of 1 message
         for d in range(2, max_dc + 1):
             if rho[d]:
-                out += rho[d] * _cn_mag_transform(fold, Q, beta, alpha)
+                out += rho[d] * xform(fold)
             if d < max_dc:
-                fold = _cn_pair(fold, v2c, Q)
+                fold = pair(fold, v2c)
         return out
 
     # initial v2c mix: every edge carries the channel pmf
@@ -415,7 +471,8 @@ def de_threshold_awgn_spectra(
         alpha: Optional[Tuple[int, int]] = None,
         iters: int = 100, target: float = 1e-7, tol: float = 2e-3,
         bracket: Tuple[float, float] = (0.3, 1.5),
-        decision_vnode: Optional[np.ndarray] = None) -> float:
+        decision_vnode: Optional[np.ndarray] = None,
+        minstar: Optional[tuple] = None) -> float:
     """Largest AWGN sigma at which irregular DE drives Pe below target
     (bisection). Eb/N0 at rate R: -20*log10(sigma*sqrt(2R))."""
     lo, hi = bracket
@@ -423,7 +480,8 @@ def de_threshold_awgn_spectra(
     def ok(sigma):
         pe = de_pe_trajectory_spectra(chan_pmf_awgn(sigma, quant), spectra,
                                       beta, alpha, quant.qmax, iters,
-                                      decision_vnode=decision_vnode)
+                                      decision_vnode=decision_vnode,
+                                      minstar=minstar)
         return pe[-1] < target
 
     assert ok(lo), "bracket low end must converge"
@@ -450,7 +508,8 @@ def de_threshold_bsc_spectra(
         alpha: Optional[Tuple[int, int]] = None,
         iters: int = 100, target: float = 1e-7, tol: float = 1e-4,
         bracket: Tuple[float, float] = (1e-3, 0.4),
-        decision_vnode: Optional[np.ndarray] = None) -> float:
+        decision_vnode: Optional[np.ndarray] = None,
+        minstar: Optional[tuple] = None) -> float:
     """Largest BSC flip probability at which irregular quantized min-sum DE
     converges."""
     lo, hi = bracket
@@ -467,7 +526,8 @@ def de_threshold_bsc_spectra(
             return False
         pe = de_pe_trajectory_spectra(chan, spectra,
                                       beta, alpha, quant.qmax, iters,
-                                      decision_vnode=decision_vnode)
+                                      decision_vnode=decision_vnode,
+                                      minstar=minstar)
         return pe[-1] < target
 
     assert ok(lo), "bracket low end must converge"

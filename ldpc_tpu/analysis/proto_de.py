@@ -42,7 +42,7 @@ from typing import Dict, Optional, Sequence, Tuple
 import numpy as np
 
 from ..config import QuantConfig
-from .de import _cn_mag_transform, _cn_pair, _sat_center, chan_pmf_awgn
+from .de import _cn_pair_ops, _sat_center, chan_pmf_awgn
 
 
 def column_channel_pmfs(code, sigma: float, quant: QuantConfig
@@ -76,8 +76,10 @@ def proto_de_trajectory(
         beta: int = 0, alpha: Optional[Tuple[int, int]] = None,
         qmax: int = 127, iters: int = 100,
         decision_cols: Optional[Sequence[int]] = None,
-        stop_below: float = 1e-12) -> np.ndarray:
-    """Pe trajectory of quantized min-sum protograph DE.
+        stop_below: float = 1e-12,
+        minstar: Optional[tuple] = None) -> np.ndarray:
+    """Pe trajectory of quantized min-sum (or min*, via minstar =
+    config.minstar_thresholds) protograph DE.
 
     base: (mb, nb) int array, entry >= 0 marks an edge type (QC shifts are
     irrelevant here). chan_pmfs: (nb, 2*qmax+1). decision_cols: columns
@@ -85,6 +87,7 @@ def proto_de_trajectory(
     0..iters iterations, Pe = mean over decision columns of
     P(decision total < 0)."""
     Q = qmax
+    pair, xform = _cn_pair_ops(Q, beta, alpha, minstar)
     mb, nb = base.shape
     by_row = [np.nonzero(base[i] >= 0)[0] for i in range(mb)]
     by_col = [np.nonzero(base[:, j] >= 0)[0] for j in range(nb)]
@@ -114,15 +117,14 @@ def proto_de_trajectory(
                 # empty exclusion set = +qmax (golden rule)
                 spike = np.zeros(2 * Q + 1)
                 spike[Q + Q] = 1.0
-                c2v[eid[(i, int(cols[0]))]] = _cn_mag_transform(
-                    spike, Q, beta, alpha)
+                c2v[eid[(i, int(cols[0]))]] = xform(spike)
                 continue
             pre = [msgs[0]]
             for k in range(1, d - 1):
-                pre.append(_cn_pair(pre[-1], msgs[k], Q))
+                pre.append(pair(pre[-1], msgs[k]))
             suf = [msgs[-1]]
             for k in range(d - 2, 0, -1):
-                suf.append(_cn_pair(suf[-1], msgs[k], Q))
+                suf.append(pair(suf[-1], msgs[k]))
             suf = suf[::-1]  # suf[k] = fold of msgs[k+1..d-1]... shifted
             for t, j in enumerate(cols):
                 if t == 0:
@@ -130,9 +132,8 @@ def proto_de_trajectory(
                 elif t == d - 1:
                     excl = pre[d - 2]
                 else:
-                    excl = _cn_pair(pre[t - 1], suf[t], Q)
-                c2v[eid[(i, int(j))]] = _cn_mag_transform(excl, Q, beta,
-                                                          alpha)
+                    excl = pair(pre[t - 1], suf[t])
+                c2v[eid[(i, int(j))]] = xform(excl)
         return c2v
 
     def vn_step(c2v):
@@ -185,7 +186,8 @@ def proto_de_threshold_awgn(
         alpha: Optional[Tuple[int, int]] = None,
         iters: int = 80, target: float = 1e-6, tol: float = 5e-3,
         bracket: Tuple[float, float] = (0.3, 1.5),
-        decision_cols: Optional[Sequence[int]] = None) -> float:
+        decision_cols: Optional[Sequence[int]] = None,
+        minstar: Optional[tuple] = None) -> float:
     """Largest AWGN sigma at which protograph DE drives the decision Pe
     (over decision_cols; default: the code's info-bit base columns,
     shortened filler blocks excluded) below target. Rate matching is
@@ -201,7 +203,8 @@ def proto_de_threshold_awgn(
         pe = proto_de_trajectory(
             code.base, column_channel_pmfs(code, sigma, quant),
             beta=beta, alpha=alpha, qmax=quant.qmax, iters=iters,
-            decision_cols=decision_cols, stop_below=target * 1e-3)
+            decision_cols=decision_cols, stop_below=target * 1e-3,
+            minstar=minstar)
         return pe[-1] < target
 
     assert ok(lo), "bracket low end must converge"

@@ -197,12 +197,19 @@ def _analyze_scan_scale(args, cfg) -> int:
     best = None
     for s in scales:
         q = dataclasses.replace(cfg.quant, scale=s)
-        beta, alpha = cn_params(cfg.decoder, q)
+        if cfg.decoder.algorithm == "min-star":
+            from .config import minstar_thresholds
+            # the LUT re-derives per scale — the scan covers the actual
+            # hardware family (larger scale = more correction thresholds)
+            beta, alpha, ms = 0, None, minstar_thresholds(q)
+        else:
+            beta, alpha = cn_params(cfg.decoder, q)
+            ms = None
         try:
             sigma = de.de_threshold_awgn_spectra(
                 sp, q, beta=beta, alpha=alpha, iters=args.iters,
                 tol=args.tol, target=args.target,
-                bracket=tuple(args.bracket))
+                bracket=tuple(args.bracket), minstar=ms)
             row = {"scale": round(s, 4), "bits": q.bits,
                    "sigma_star": round(sigma, 4),
                    "ebn0_star_db": round(
@@ -409,9 +416,10 @@ def cmd_analyze(args) -> int:
 
     cfg = _build_config(args)
     if cfg.decoder.algorithm not in ("min-sum", "offset-min-sum",
-                                     "normalized-min-sum"):
+                                     "normalized-min-sum", "min-star"):
         raise SystemExit(f"analyze: quantized DE covers the fixed-point "
-                         f"min-sum family, not {cfg.decoder.algorithm}")
+                         f"min-sum family and min-star, not "
+                         f"{cfg.decoder.algorithm}")
     if getattr(args, "scan_scale", None):
         return _analyze_scan_scale(args, cfg)
     # DE uses only the code profile + quantizer + CN parameters; flag the
@@ -429,9 +437,14 @@ def cmd_analyze(args) -> int:
               f"{' '.join(ignored)}", file=sys.stderr)
     code = build_code(cfg)
     sp = de.spectra_from_code(code)
-    beta, alpha = cn_params(cfg.decoder, cfg.quant)
+    if cfg.decoder.algorithm == "min-star":
+        from .config import minstar_thresholds
+        beta, alpha, minstar = 0, None, minstar_thresholds(cfg.quant)
+    else:
+        beta, alpha = cn_params(cfg.decoder, cfg.quant)
+        minstar = None
     kw = dict(beta=beta, alpha=alpha, iters=args.iters, tol=args.tol,
-              target=args.target)
+              target=args.target, minstar=minstar)
     if sp.vnode[1] > 0 and args.min_decision_degree < 2:
         print("# note: code has degree-1 variables (irreducible decision "
               "floor); consider --min-decision-degree 2", file=sys.stderr)
@@ -451,7 +464,8 @@ def cmd_analyze(args) -> int:
             lo, hi = args.bracket
             sigma = proto_de_threshold_awgn(
                 code, cfg.quant, beta=beta, alpha=alpha, iters=args.iters,
-                tol=args.tol, target=args.target, bracket=(lo, hi))
+                tol=args.tol, target=args.target, bracket=(lo, hi),
+                minstar=minstar)
             excl = set(map(int, code.punct_vns)) | set(
                 map(int, code.shortened_vns))
             rate = code.k_eff / (code.n - len(excl))

@@ -28,12 +28,12 @@ def main() -> None:
     cases = []
 
     def add(name, code, label, beta, alpha, quant, bracket,
-            target=1e-7, extra=None):
+            target=1e-7, extra=None, minstar=None):
         t0 = time.time()
         sp = de.spectra_from_code(code)
         sigma = de.de_threshold_awgn_spectra(
             sp, quant, beta=beta, alpha=alpha, iters=120, tol=2e-3,
-            bracket=bracket, target=target)
+            bracket=bracket, target=target, minstar=minstar)
         rate = code.k / code.n
         row = {
             "code": name, "decoder": label, "rate": rate,
@@ -55,6 +55,13 @@ def main() -> None:
     add("wifi648_r12", w648, "min-sum 8-bit", 0, None, quant_ms, (0.6, 1.3))
     add("wifi648_r12", w648, "oms beta=1 8-bit", 1, None, quant_oms,
         (0.6, 1.3))
+    # min* (approx sum-product, threshold-LUT (8,3,0) at scale 4): the
+    # round-5 family — must land at or below the OMS threshold (closer to
+    # sum-product), the same order the silicon waterfall measures.
+    from ldpc_tpu.config import minstar_thresholds
+    add("wifi648_r12", w648, "min-star 8-bit", 0, None, quant_ms,
+        (0.6, 1.3), minstar=minstar_thresholds(quant_ms),
+        extra={"lut_thresholds": list(minstar_thresholds(quant_ms))})
     # Quantized NMS 3/4 has a genuine DE error FLOOR on this irregular
     # profile: the dyadic scaling maps magnitude 1 -> 0, and the degree-2-
     # heavy 802.11n spectrum reaches a nonzero fixed point (Pe ~8.6e-6 at

@@ -104,6 +104,68 @@ class TestQCEquality:
             assert iters[b] == g.iters
 
 
+class TestMinstarDE:
+    """Round-5 min* density evolution: the exact pmf of the pinned
+    pairwise box-plus replaces the signed-min pair in both DE layers."""
+
+    def test_pair_table_matches_golden_boxplus(self):
+        from ldpc_tpu.analysis import de
+        Q, T = 15, (8, 3, 0)
+        tab = de._minstar_pair_targets(Q, T)
+        for a in range(-Q, Q + 1):
+            for b in range(-Q, Q + 1):
+                g = int(gold._boxplus2(np.int32(a), np.int32(b), T, Q))
+                assert tab[a + Q, b + Q] - Q == g, (a, b)
+
+    def test_empty_lut_pair_degenerates_to_signed_min(self):
+        from ldpc_tpu.analysis import de
+        Q = 31
+        rng = np.random.default_rng(3)
+        pa = rng.random(2 * Q + 1)
+        pa /= pa.sum()
+        pb = rng.random(2 * Q + 1)
+        pb /= pb.sum()
+        np.testing.assert_allclose(de._cn_pair_minstar(pa, pb, Q, ()),
+                                   de._cn_pair(pa, pb, Q), atol=1e-15)
+
+    def test_threshold_order_minsum_oms_minstar(self):
+        # min* approaches sum-product: its DE threshold must beat OMS,
+        # which beats plain min-sum — mirroring the silicon BER order.
+        from ldpc_tpu.analysis import de
+        q = QuantConfig(bits=6, scale=4.0, beta_lsb=0)
+        sp = de.regular_spectra(3, 6)
+        s_ms = de.de_threshold_awgn_spectra(sp, q, beta=0)
+        s_oms = de.de_threshold_awgn_spectra(sp, q, beta=1)
+        s_star = de.de_threshold_awgn_spectra(
+            sp, q, beta=0, minstar=minstar_thresholds(q))
+        assert s_ms < s_oms < s_star
+
+    def test_rejects_beta_alpha(self):
+        from ldpc_tpu.analysis import de
+        q = QuantConfig(bits=6, scale=4.0)
+        with pytest.raises(ValueError, match="beta/alpha"):
+            de.de_pe_trajectory_spectra(
+                de.chan_pmf_awgn(0.8, q), de.regular_spectra(3, 6),
+                beta=1, qmax=q.qmax, minstar=(8, 3, 0))
+
+    def test_proto_regular_collapse(self):
+        # a fully regular base + uniform channel must collapse to the
+        # single-edge recursion exactly (same invariant the min-sum proto
+        # DE pins in test_proto_de)
+        from ldpc_tpu.analysis import de
+        from ldpc_tpu.analysis.proto_de import proto_de_trajectory
+        q = QuantConfig(bits=5, scale=4.0, beta_lsb=0)
+        ms = minstar_thresholds(q)
+        Q = q.qmax
+        base = np.zeros((2, 4), np.int64)  # dv=2, dc=4 regular
+        chan = de.chan_pmf_awgn(0.7, q)
+        tr_p = proto_de_trajectory(base, np.tile(chan, (4, 1)), qmax=Q,
+                                   iters=6, minstar=ms)
+        tr_s = de.de_pe_trajectory_spectra(chan, de.regular_spectra(2, 4),
+                                           qmax=Q, iters=6, minstar=ms)
+        np.testing.assert_allclose(tr_p, tr_s[:len(tr_p)], atol=1e-12)
+
+
 class TestPallasMinstar:
     """The round-5 Pallas VMEM min* kernel (minsum_pallas._cn_minstar):
     unrolled prefix/suffix box-plus in the layer sweep, bit-exact vs the
