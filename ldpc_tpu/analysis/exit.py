@@ -13,7 +13,9 @@ role). The repo now has three independent threshold tools:
                    EXIT; ten Brink's J-function formalism).
 
 PEXIT trades exactness for speed: one trajectory costs O(E * iters) scalar
-updates (no pmfs, no convolutions), ~1000x faster than proto_de. That makes
+updates (no pmfs, no convolutions) — measured ~35x faster per threshold
+than proto_de at matched tolerance on the production bases, and far more
+per screening trajectory (results/pexit_screen.json). That makes
 it the DESIGN loop tool — candidate protographs (e.g. the PBRL-style
 rate-compatible constructions in codes/peg.py / scripts/make_pbrl_ladder.py)
 can be screened by the thousands under PEXIT, then the exact quantized

@@ -364,6 +364,69 @@ def cmd_floor(args) -> int:
     return 0
 
 
+def cmd_import_standard(args) -> int:
+    """One-command exact-table swap-in (codes/imported.py): validate a
+    published standard shift table against the family invariants
+    (SURVEY.md §8.1 — dimensions, shift range, GF(2) rank, girth,
+    IRA encodability, degree profile), smoke-decode it, and store it in
+    the table registry. Family builders then return the exact table with
+    standard_exact=True; only codes/ behavior changes (CLAUDE.md
+    invariant 3)."""
+    import os
+
+    import jax
+
+    from .codes import imported as imp
+
+    # validation (incl. the smoke decode) is a CPU workload by design —
+    # never grab the TPU for it
+    jax.config.update("jax_platforms", "cpu")
+    if args.tables_dir:
+        os.environ["LDPC_TPU_TABLES"] = args.tables_dir
+    fam = args.family
+    if fam == "ieee80211n":
+        if not (args.n and args.rate):
+            raise SystemExit("import-standard: ieee80211n needs --n --rate")
+        key = f"n{args.n}_r{args.rate.replace('/', '')}"
+    elif fam == "dvbs2":
+        if not (args.n and args.rate):
+            raise SystemExit("import-standard: dvbs2 needs --n --rate")
+        key = f"n{args.n}_r{args.rate.replace('/', '')}"
+    elif fam == "5gnr":
+        if not (args.base_graph and args.z):
+            raise SystemExit("import-standard: 5gnr needs --base-graph --z")
+        key = f"bg{args.base_graph}_z{args.z}"
+    else:
+        raise SystemExit(f"import-standard: unsupported family {fam!r}")
+
+    if args.remove:
+        ok = imp.remove(fam, key)
+        print(json.dumps({"family": fam, "key": key,
+                          "removed": bool(ok)}))
+        return 0 if ok else 1
+
+    if not args.file:
+        raise SystemExit("import-standard: --file is required")
+    Z_file, base = imp.parse_table_file(args.file)
+    Z = args.z or Z_file
+    if Z is None:
+        raise SystemExit("import-standard: lifting size unknown — pass "
+                         "--z or use a JSON file with a 'Z' field")
+    try:
+        report = imp.validate_table(fam, Z, base, n=args.n, rate=args.rate,
+                                    base_graph=args.base_graph)
+        if not args.no_smoke:
+            report["smoke"] = imp.smoke_decode(Z, base)
+    except ValueError as e:
+        raise SystemExit(f"import-standard: REJECTED — {e}")
+    path = imp.store(fam, key, Z, base,
+                     meta={"source": os.path.abspath(args.file),
+                           "validation": report})
+    report.update({"stored": path, "family": fam, "key": key})
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_codes(args) -> int:
     from .codes.ieee80211n import all_codes
     export = getattr(args, "export_alist", None)
@@ -404,6 +467,74 @@ def cmd_config(args) -> int:
     return 0
 
 
+def _analyze_pexit(args, cfg) -> int:
+    """PEXIT threshold (analysis/exit.py): float sum-product under the
+    consistent-Gaussian approximation, per-edge-type MI recursion — the
+    fast design-screening leg of the analysis funnel (measured ~35x/
+    threshold vs exact proto-DE at production scale, results/
+    pexit_screen.json)
+    (PEXIT screen -> exact proto-DE -> silicon MC). Quantizer and
+    fixed-point algorithm flags do not apply and are flagged if set."""
+    import math
+
+    from .analysis.exit import exit_curves_regular, pexit_threshold_awgn
+    from .sim.sweep import build_code
+
+    if args.channel != "awgn":
+        raise SystemExit("analyze: --pexit supports AWGN only")
+    noted = [f for f, v in (("--algorithm", args.algorithm),
+                            ("--bits", args.bits),
+                            ("--beta-lsb", args.beta_lsb)) if v is not None]
+    if noted:
+        print(f"# note: ignored by --pexit (float sum-product ensemble "
+              f"analysis): {' '.join(noted)}", file=sys.stderr)
+    code = build_code(cfg)
+    lo, hi = args.bracket
+    # analyze's default sigma bracket is tuned for quantized DE; PEXIT
+    # (float SP) thresholds sit higher — widen the default high end
+    if tuple(args.bracket) == (0.3, 1.5):
+        hi = 2.4
+    try:
+        sigma, ebn0 = pexit_threshold_awgn(
+            code, iters=max(args.iters, 300), target_pe=args.target,
+            tol=args.tol, bracket=(lo, hi))
+    except (AssertionError, ValueError) as e:
+        raise SystemExit(f"analyze --pexit: {e}")
+    excl = set(map(int, code.punct_vns)) | set(map(int, code.shortened_vns))
+    rate = code.k_eff / (code.n - len(excl))
+    out = {"channel": "awgn-bpsk", "code": code.name,
+           "method": "pexit (protograph EXIT, consistent-Gaussian float "
+                     "sum-product; rate matching modeled per column)",
+           "rate_for_ebn0": rate,
+           "sigma_star": round(sigma, 4),
+           "ebn0_star_db": round(ebn0, 3),
+           "pe_target": args.target,
+           "note": "Gaussian-approximation ensemble asymptote — screening "
+                   "figure; validate finalists with --proto (exact "
+                   "quantized multi-edge-type DE) and silicon MC"}
+    if args.exit_chart:
+        # average-degree EXIT chart at the threshold: the classic tunnel
+        # picture (closing exactly at sigma*)
+        import numpy as np
+
+        from .analysis.de import spectra_from_code
+        sp = spectra_from_code(code)
+        dv = float((np.arange(len(sp.vnode)) * sp.vnode).sum())
+        dc = float((np.arange(len(sp.cnode)) * sp.cnode).sum())
+        Ia, I_ev, I_ec_inv = exit_curves_regular(
+            max(2, int(round(dv))), max(2, int(round(dc))), sigma)
+        with open(args.exit_chart, "w") as f:
+            json.dump({"sigma_n": sigma, "dv": int(round(dv)),
+                       "dc": int(round(dc)),
+                       "I_a": [round(float(x), 6) for x in Ia],
+                       "I_ev": [round(float(x), 6) for x in I_ev],
+                       "I_ec_inv": [round(float(x), 6) for x in I_ec_inv]},
+                      f)
+        out["exit_chart"] = args.exit_chart
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_analyze(args) -> int:
     """Density-evolution threshold for the configured code (the offline
     analysis role the reference kept in MATLAB — analysis/de.py). Pure
@@ -420,6 +551,8 @@ def cmd_analyze(args) -> int:
         raise SystemExit(f"analyze: quantized DE covers the fixed-point "
                          f"min-sum family and min-star, not "
                          f"{cfg.decoder.algorithm}")
+    if getattr(args, "pexit", False):
+        return _analyze_pexit(args, cfg)
     if getattr(args, "scan_scale", None):
         return _analyze_scan_scale(args, cfg)
     # DE uses only the code profile + quantizer + CN parameters; flag the
@@ -600,6 +733,16 @@ def build_parser() -> argparse.ArgumentParser:
                          "structured bases, rate matching modeled, "
                          "decision over info columns (slower — NR BG1 "
                          "Z=384 ~2 min)")
+    an.add_argument("--pexit", action="store_true",
+                    help="protograph EXIT (Gaussian-approximation float "
+                         "sum-product, analysis/exit.py): the fast "
+                         "design-screening tool (~35x/threshold vs "
+                         "--proto at production scale); "
+                         "quantizer/algorithm flags do not apply")
+    an.add_argument("--exit-chart", dest="exit_chart", default=None,
+                    help="with --pexit: also write the (I_a, I_ev, "
+                         "I_ec^-1) EXIT chart of the profile's average "
+                         "(dv, dc) at the threshold to this JSON path")
     an.add_argument("--scan-scale", dest="scan_scale", default=None,
                     help="quantizer design: scan LLR scales 'lo:hi:count' "
                          "(geometric) and report the DE threshold per "
@@ -720,6 +863,29 @@ def build_parser() -> argparse.ArgumentParser:
     rp.add_argument("jsons", nargs="+", help="result .json files")
     rp.add_argument("--out", required=True, help="output PNG path")
     rp.add_argument("--metric", default="ber", choices=["ber", "fer"])
+    im = sub.add_parser(
+        "import-standard",
+        help="validate + install a published exact shift table "
+             "(codes/imported.py); family builders then return it with "
+             "standard_exact=True")
+    im.add_argument("--family", required=True,
+                    choices=["ieee80211n", "5gnr", "dvbs2"])
+    im.add_argument("--n", type=int, default=None)
+    im.add_argument("--rate", default=None)
+    im.add_argument("--base-graph", dest="base_graph", type=int,
+                    default=None)
+    im.add_argument("--z", type=int, default=None,
+                    help="lifting size (optional for JSON files with 'Z')")
+    im.add_argument("--file", default=None,
+                    help="shift table: JSON {'Z', 'base'} or whitespace "
+                         "grid ('-' = no edge)")
+    im.add_argument("--no-smoke", dest="no_smoke", action="store_true",
+                    help="skip the decode smoke test")
+    im.add_argument("--remove", action="store_true",
+                    help="remove a previously imported table instead")
+    im.add_argument("--tables-dir", dest="tables_dir", default=None,
+                    help="registry directory (default $LDPC_TPU_TABLES or "
+                         "<repo>/imported_tables)")
     return p
 
 
@@ -730,7 +896,8 @@ def main(argv=None) -> int:
     return {"sweep": cmd_sweep, "presets": cmd_presets,
             "codes": cmd_codes, "config": cmd_config,
             "report": cmd_report, "analyze": cmd_analyze,
-            "construct": cmd_construct, "floor": cmd_floor}[args.cmd](args)
+            "construct": cmd_construct, "floor": cmd_floor,
+            "import-standard": cmd_import_standard}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -75,6 +75,16 @@ def make_code(n: int = N_NORMAL, rate: str = "1/2", seed: int = 0) -> LDPCCode:
                          f"n={N_SHORT} (short), got {n}")
     if rate not in PROFILES or (n == N_SHORT and rate not in SHORT_K):
         raise ValueError(f"unsupported DVB-S2 rate {rate} for n={n}")
+    from .imported import lookup
+    imp = lookup("dvbs2", f"n{n}_r{rate.replace('/', '')}")
+    if imp is not None:
+        # validated exact table from the import registry (codes/imported.py)
+        from .code import expand_qc
+        Zi, B, ki, _ = imp
+        assert Zi == Z
+        return expand_qc(B, Z, k=ki,
+                         name=f"dvbs2_n{n}_r{rate.replace('/', '')}_std",
+                         standard_exact=True)
     k, n_hi, d1 = PROFILES[rate]
     if n == N_SHORT:
         # Short frames keep the normal frame's degree SHAPE (d1 plus

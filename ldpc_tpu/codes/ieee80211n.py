@@ -245,6 +245,15 @@ def make_code(n: int = 648, rate: str = "1/2") -> LDPCCode:
     if n not in N_VALUES or rate not in RATES:
         raise ValueError(f"unsupported 802.11n code ({n}, {rate})")
     Z = Z_OF_N[n]
+    from .imported import lookup
+    imp = lookup("ieee80211n", f"n{n}_r{rate.replace('/', '')}")
+    if imp is not None:
+        # validated exact table from the import registry (codes/imported.py)
+        Zi, B, _, _ = imp
+        assert Zi == Z
+        return expand_qc(
+            B, Z, name=f"ieee80211n_n{n}_r{rate.replace('/', '')}_std",
+            standard_exact=True)
     B, exact = _base_matrix_meta(n, rate)
     suffix = "" if exact else "_like"
     code = expand_qc(B, Z, name=f"ieee80211n_n{n}_r{rate.replace('/', '')}{suffix}",

@@ -82,6 +82,15 @@ def full_graph(base_graph: int = 1, Z: int = 384, seed: int = 0) -> LDPCCode:
         raise ValueError(f"base_graph must be 1 or 2, got {base_graph}")
     if Z not in ALL_Z:
         raise ValueError(f"Z={Z} is not a standard NR lifting size")
+    from .code import expand_qc
+    from .imported import lookup
+    imp = lookup("5gnr", f"bg{base_graph}_z{Z}")
+    if imp is not None:
+        # validated exact table from the import registry (codes/imported.py)
+        Zi, B, _, _ = imp
+        assert Zi == Z
+        return expand_qc(B, Z, name=f"nr_bg{base_graph}_z{Z}_std",
+                         standard_exact=True)
     rng = np.random.default_rng(0xBABE + 131 * base_graph + seed)
     rows, ext_core = _topology(base_graph, rng)
     p = _PARAMS[base_graph]
@@ -139,9 +148,11 @@ def make_code(base_graph: int = 1, Z: Optional[int] = 384,
     full = full_graph(base_graph, Z, seed)
     base = full.base[:mb_used, : kb + mb_used]
     from .code import expand_qc
-    code = expand_qc(base, Z,
-                     name=f"nr_bg{base_graph}_z{Z}_r{rate.replace('/', '')}_like",
-                     standard_exact=False)
+    suffix = "_std" if full.standard_exact else "_like"
+    code = expand_qc(
+        base, Z,
+        name=f"nr_bg{base_graph}_z{Z}_r{rate.replace('/', '')}{suffix}",
+        standard_exact=full.standard_exact)
     # Punctured: first 2Z systematic + the untransmitted tail of the last
     # parity block.
     tail = mb_used * Z - par_bits

@@ -168,6 +168,38 @@ def test_cli_analyze_de_threshold(capsys):
     assert 0.188 < out["ebn0_star_db"] < 2.0  # Shannon < DE* < waterfall
 
 
+def test_cli_analyze_pexit(capsys, tmp_path):
+    """`analyze --pexit` drives the PEXIT screening leg end-to-end and can
+    emit an EXIT-chart artifact; its float-SP threshold must sit between
+    Shannon and the quantized OMS DE threshold (~0.82 dB)."""
+    from ldpc_tpu.cli import main
+    chart = str(tmp_path / "chart.json")
+    rc = main(["analyze", "--family", "ieee80211n", "--n", "648",
+               "--rate", "1/2", "--pexit", "--exit-chart", chart,
+               "--tol", "5e-3"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["method"].startswith("pexit")
+    assert 0.18 < out["ebn0_star_db"] < 0.85
+    d = json.load(open(chart))
+    assert len(d["I_a"]) == len(d["I_ev"]) == len(d["I_ec_inv"]) > 100
+
+
+def test_cli_analyze_minstar(capsys):
+    """`analyze --algorithm min-star`: the min* DE threshold must beat the
+    OMS one (closer to sum-product) — CLI-level pin of the family order."""
+    from ldpc_tpu.cli import main
+    # default iteration budget: min* converges more slowly per the pmf
+    # recursion than OMS, so a trimmed budget inflates its threshold
+    rc = main(["analyze", "--family", "ieee80211n", "--n", "648",
+               "--rate", "1/2", "--algorithm", "min-star",
+               "--bracket", "0.6", "1.3", "--tol", "5e-3"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["algorithm"] == "min-star"
+    assert 0.188 < out["ebn0_star_db"] < 0.82  # better than OMS's 0.816
+
+
 def test_analyze_scan_scale(capsys):
     from ldpc_tpu.cli import main
     rc = main(["analyze", "--scan-scale", "3:6:2", "--beta-lsb", "2",
