@@ -424,6 +424,22 @@ def make_run_batch(
         dec, dec_label = select_decoder(code, cfg, decoder_backend,
                                         min(batch_tile, B), interpret,
                                         batch=B)
+        if (mesh is not None and dec_label in ("pallas", "pallas-stream")
+                and (B // mesh.size) % max(getattr(dec, "batch_tile", 1),
+                                           1) == 0):
+            # A Pallas kernel is an opaque custom call to the SPMD
+            # partitioner: under a plain sharded jit, a real multi-chip
+            # mesh would all-gather the batch and replicate the kernel.
+            # shard_map pins per-device execution on the local batch shard
+            # — bit-identical (lanes are independent; tested on the fake
+            # 2x4 mesh) and collective-free until the counter psums.
+            inner_dec, axes = dec, mesh.axis_names
+
+            def dec(q):  # noqa: F811
+                return jax.shard_map(
+                    inner_dec, mesh=mesh, in_specs=P(axes, None),
+                    out_specs=(P(axes, None), P(axes), P(axes)),
+                    check_vma=False)(q)
 
     # Rate matching (5G NR): punctured variables are never transmitted and
     # enter the decoder with LLR 0; shortened variables are known zeros and
