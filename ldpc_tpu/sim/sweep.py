@@ -194,14 +194,19 @@ class Sweep:
                  batch: Optional[int] = None, batch_tile: int = 1024,
                  interpret: bool = False,
                  checkpoint_path: Optional[str] = None,
-                 lookahead: int = 4, superbatches: int = 1):
+                 lookahead: int = 4, superbatches: int = 1,
+                 code: Optional[LDPCCode] = None):
         self.lookahead = max(1, lookahead)
         self.superbatches = max(1, superbatches)
         self.batch_tile = batch_tile
         self._fused_rb = {}  # n_points -> compiled fused run_batch
         self.cfg = cfg
         self.mesh = mesh
-        self.code = build_code(cfg)
+        # code: explicit LDPCCode override (constructed/optimized/imported
+        # codes not derivable from CodeConfig — e.g. codes/peg.as_optimize
+        # output). The checkpoint meta carries code.name, so a resume with
+        # a different code refuses (the config check alone can't see it).
+        self.code = code if code is not None else build_code(cfg)
         self.batch = batch or cfg.run.batch
         self.checkpoint_path = checkpoint_path
         self.interpret = interpret
@@ -346,7 +351,7 @@ class Sweep:
              for e in ebn0_list], np.float32)
         points = [SnrPoint(ebn0_db=float(e)) for e in ebn0_list]
         meta = {"batch": self.batch, "superbatches": self.superbatches,
-                "seed": self.cfg.run.seed,
+                "seed": self.cfg.run.seed, "code_name": self.code.name,
                 "fused_points": [float(e) for e in ebn0_list]}
         batch_idx = 0
         if self.checkpoint_path:
@@ -423,7 +428,7 @@ class Sweep:
         # reordered/subset list would silently switch each point onto
         # another point's key stream (round-2 review finding).
         meta = {"batch": self.batch, "superbatches": self.superbatches,
-                "seed": self.cfg.run.seed,
+                "seed": self.cfg.run.seed, "code_name": self.code.name,
                 "points": [float(e) for e in ebn0_list]}
         if self.checkpoint_path:
             points, state = self._resume(meta, points)

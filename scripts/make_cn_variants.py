@@ -45,6 +45,11 @@ def main():
         "nms_a34": dict(algorithm="normalized-min-sum", alpha_num=3,
                         alpha_shift=2),
         "oms_float": dict(algorithm="offset-min-sum-float", beta_lsb=2),
+        # round-5: the min* family (threshold-LUT approx sum-product,
+        # Pallas VMEM kernel) + its float sum-product target — quantifies
+        # the min*-vs-OMS gain and the min*-vs-SP residual on silicon
+        "minstar": dict(algorithm="min-star", beta_lsb=0),
+        "sp_float": dict(algorithm="sum-product", beta_lsb=0),
     }
     ebn0 = [1.5, 2.0, 2.5, 3.0]
     results = []

@@ -532,3 +532,75 @@ class TestRadialLadder:
                               delta=[9.0, 2.0], batch=64, backend="jnp")
         out = np.asarray(run(jax.random.PRNGKey(0), 0.8))
         assert out.shape == (4,) and np.isfinite(out).all()
+
+
+class TestSymmetricIS:
+    """Symmetry-folded mixture IS (round 5 — sim/impsamp.py
+    make_symmetric_run): one canonical representative per QC orbit,
+    exact M0/M multiplicity-corrected Z-fold (unbiased for the total FER
+    with no union-bound or support-size gate). Validated against the
+    converged wifi-648 deep floor on CPU (5.0 dB vs the ladder
+    artifact's 1.10e-12); these tests pin the mechanics."""
+
+    def test_canonical_rotation_invariance(self):
+        from ldpc_tpu.sim.impsamp import canonical_rotation
+        code = toy_qc(8)
+        Z = code.Z
+        sup = [3, 2 * Z + 5, 3 * Z + 1]
+        canon = canonical_rotation(code, sup)
+        for r in range(Z):
+            rot = [(v // Z) * Z + (v % Z + r) % Z for v in sup]
+            assert canonical_rotation(code, rot) == canon
+        # idempotent
+        assert canonical_rotation(code, list(canon)) == canon
+
+    def test_run_shape_and_accounting(self):
+        from ldpc_tpu.sim.impsamp import make_symmetric_run
+        code = toy_qc(8)
+        cfg = _cfg()
+        reps = [[0, 8], [16]]
+        run = make_symmetric_run(code, cfg, reps, delta=1.5, pi0=0.5,
+                                 batch=128, backend="jnp")
+        out = np.asarray(run(jax.random.PRNGKey(2), 0.9))
+        assert out.shape == (4, len(reps) + 2)
+        assert np.isfinite(out).all()
+        # column K+1 totals the whole batch: >= sum of attributed splits
+        K = len(reps)
+        assert out[2, K + 1] >= out[2, :K].sum() - 1e-6
+        assert abs(out[0, :K + 1].sum() - out[0, K + 1]) < 1e-4
+
+    def test_zfold_consistent_with_plain_is(self):
+        """Unbiasedness cross-check on the toy code: symmetric (1 rep per
+        orbit, Z-fold) vs plain stratified IS with the FULL orbit
+        expansion — both estimate the same FER; agree within errors."""
+        from ldpc_tpu.sim.impsamp import (estimate_fer,
+                                          estimate_fer_symmetric,
+                                          expand_radial)
+        code = toy_qc(8)
+        Z = code.Z
+        cfg = _cfg()
+        rep = [0, 8]          # canonical support
+        full = [[(v // Z) * Z + (v % Z + r) % Z for v in rep]
+                for r in range(Z)]
+        frames = 8192
+        sym = estimate_fer_symmetric(code, cfg, [rep], ebn0_db=2.0,
+                                     frames=frames, delta=1.5, pi0=0.5,
+                                     batch=512, backend="jnp", seed=3)
+        sets_x, d = expand_radial(full, [1.5])
+        plain = estimate_fer(code, cfg, sets=sets_x, ebn0_db=2.0,
+                             frames=frames, delta=d, pi0=0.5, batch=512,
+                             backend="jnp", seed=4, stratify=True)
+        assert sym["fer"] > 0 and plain.fer > 0
+        tol = 5 * (sym["fer"] * sym["rel_std"]
+                   + plain.fer * plain.rel_std)
+        assert abs(sym["fer"] - plain.fer) <= tol
+
+    def test_requires_qc_and_reps(self):
+        from ldpc_tpu.codes.code import LDPCCode
+        from ldpc_tpu.sim.impsamp import make_symmetric_run
+        cn = [np.array([0, 1], np.int32), np.array([1, 2], np.int32)]
+        nonqc = LDPCCode(name="nonqc", n=3, m=2, k=1, cn_adj=cn)
+        with pytest.raises(ValueError, match="QC"):
+            make_symmetric_run(nonqc, _cfg(), [[0]])
+        with pytest.raises(ValueError, match="representative"):
+            make_symmetric_run(toy_qc(8), _cfg(), [])
