@@ -299,6 +299,11 @@ class Sweep:
             return points, None
         core = {k: v for k, v in state.get("meta", {}).items()
                 if k != "fused_batch_idx"}
+        if core and "code_name" not in core and "code_name" in meta:
+            # schema growth: checkpoints written before code_name existed
+            # are valid iff everything else matches (the config check
+            # below still pins the code family/params)
+            meta = {k: v for k, v in meta.items() if k != "code_name"}
         if core and core != meta:
             raise ValueError(
                 f"checkpoint {self.checkpoint_path} was written with "

@@ -445,3 +445,20 @@ def test_resume_rejects_changed_point_list(tmp_path):
     # same list resumes fine
     res = Sweep(cfg, checkpoint_path=p).run([2.0, 2.5])
     assert res.rows()[0]["frames"] == 128
+
+
+def test_checkpoint_resume_accepts_pre_code_name_state(tmp_path):
+    """Schema growth: checkpoints written before meta carried code_name
+    (round 5, Sweep code= override) must still resume."""
+    import json as _json
+
+    cfg = _toy_cfg(batch=32)
+    path = str(tmp_path / "state.json")
+    s1 = Sweep(cfg, decoder_backend="jnp", checkpoint_path=path)
+    s1.run([2.0], max_frames=64)
+    st = _json.load(open(path))
+    assert st["meta"].pop("code_name", None) is not None
+    _json.dump(st, open(path, "w"))
+    s2 = Sweep(cfg, decoder_backend="jnp", checkpoint_path=path)
+    res = s2.run([2.0], max_frames=128)
+    assert res.points[0].frames == 128
