@@ -28,7 +28,11 @@ from ..codes.code import LDPCCode
 from ..codes.layout import compile_edge_layout, compile_layers_general
 from ..config import DecoderConfig, QuantConfig
 
-_BIG = jnp.int32(1 << 15)
+# numpy scalar, NOT jnp: a module-level jnp constant materializes a device
+# array at import time, which INITIALIZES the JAX backend and latches
+# jax_platforms before any script can call jax.config.update (round-5
+# footgun: --platform cpu flags silently ran on the TPU)
+_BIG = np.int32(1 << 15)
 
 
 def _cn_update(v2c: jnp.ndarray, mask: jnp.ndarray, beta: int,

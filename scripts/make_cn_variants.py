@@ -25,13 +25,30 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/ldpc_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
+# --only NAME: run a single variant row; --platform cpu: off-TPU (the
+# float sum-product CN program SIGSEGVs the remote TPU compiler —
+# round 5; its BER row is platform-independent, so it runs on CPU).
+# Parsed BEFORE the ldpc_tpu imports: importing the sim package
+# initializes the JAX backend, after which jax_platforms is latched.
+_args = [a for a in sys.argv[1:]]
+_only = None
+if "--only" in _args:
+    _i = _args.index("--only")
+    _only = _args[_i + 1]
+    del _args[_i:_i + 2]
+if "--platform" in _args:
+    _i = _args.index("--platform")
+    jax.config.update("jax_platforms", _args[_i + 1])
+    del _args[_i:_i + 2]
+
 from ldpc_tpu.config import PRESETS
 from ldpc_tpu.sim import Sweep
 from ldpc_tpu.sim.report import plot_waterfall, write_outputs
 
 
 def main():
-    outdir = sys.argv[1] if len(sys.argv) > 1 else "results"
+    args, only = _args, _only
+    outdir = args[0] if args else "results"
     os.makedirs(outdir, exist_ok=True)
     base = PRESETS["wifi-648-r12-minsum"]
     base = dataclasses.replace(
@@ -53,10 +70,15 @@ def main():
     }
     ebn0 = [1.5, 2.0, 2.5, 3.0]
     results = []
+    if only:
+        variants = {only: variants[only]}
     for name, kv in variants.items():
         alg = kv.pop("algorithm")
-        # float decoders support flooding only (select_decoder contract)
-        sched = "flooding" if alg.endswith("-float") else "layered"
+        # float rows run flooding: historical contract for *-float, and
+        # the layered float sum-product program SIGSEGVs the remote TPU
+        # compiler (round-5; flooding compiles fine)
+        sched = ("flooding" if alg.endswith("-float")
+                 or alg == "sum-product" else "layered")
         cfg = dataclasses.replace(
             base,
             quant=dataclasses.replace(base.quant, **kv),
@@ -72,10 +94,11 @@ def main():
         results.append(res)
         print(f"{name}: {time.time()-t0:.0f}s [{res.decoder_backend}]",
               flush=True)
-    plot_waterfall(results, os.path.join(outdir, "cn_variants_ber.png"),
-                   metric="ber",
-                   title="CN update variants, 802.11n n=648 r=1/2, 8-bit, "
-                         "layered 20 it")
+    if not only:
+        plot_waterfall(results, os.path.join(outdir, "cn_variants_ber.png"),
+                       metric="ber",
+                       title="CN update variants, 802.11n n=648 r=1/2, "
+                             "8-bit, layered 20 it")
     print("done", flush=True)
 
 
