@@ -517,7 +517,10 @@ def make_symmetric_run(code, cfg: SimConfig, reps: Sequence[Sequence[int]],
         def shard_b(x):
             return x
 
-    def run(key: jax.Array, sigma) -> jnp.ndarray:
+    # Mj rides as a runtime ARGUMENT, not a closure constant: baked into
+    # the HLO as a literal, a DVB-sized mixture (1389 x 64800 f32 =
+    # 360 MB) blows the remote compiler's request limit (HTTP 413)
+    def run_inner(key: jax.Array, sigma, Mj) -> jnp.ndarray:
         sigma = jnp.float32(sigma)
         kc, kn = jax.random.split(key)
         z = sigma * shard_b(jax.random.normal(kn, (batch, code.n),
@@ -569,7 +572,12 @@ def make_symmetric_run(code, cfg: SimConfig, reps: Sequence[Sequence[int]],
         return jnp.stack([cols.sum(axis=0), (cols * cols).sum(axis=0),
                           raw.sum(axis=0), anyc.sum(axis=0)])
 
-    out_run = jax.jit(run)
+    jit_inner = jax.jit(run_inner)
+    M_dev = jax.device_put(Mj)  # uploaded once, reused every batch
+
+    def out_run(key, sigma):
+        return jit_inner(key, sigma, M_dev)
+
     out_run.batch = batch
     out_run.K = K
     out_run.orbit_multiplier = Z

@@ -102,15 +102,14 @@ def main():
     batch = 256 if quick else 1024
     frames = 2048 if quick else 524_288
     run = make_symmetric_run(code, cfg, reps_x, delta=deltas, pi0=0.25,
-                             batch=batch, attr_max_support=64)
+                             batch=batch)
 
     doc = {"config": f"DVB-S2 n=64800 r=1/2_like, 8-bit scale-4 OMS "
                      f"beta=2LSB layered 20it ET, batch {batch}; "
                      f"symmetry-folded mixture IS: {len(reps)} orbit reps "
                      f"({n_chain} (L,2) chains L<=4 every start, "
                      f"{n_harvest} MC-harvested compounds, (7,3) orbit) "
-                     f"x ladder {deltas_l}, pi0=0.25, Z-fold x{Z}, "
-                     f"attr<=64",
+                     f"x ladder {deltas_l}, pi0=0.25, exact M0/M Z-fold x{Z}",
            "mc_anchors": {"1.25": 8.7e-6, "1.3": 1.4e-6, "1.4": 1.0e-7},
            "retracted_round4": {"1.3": 8.8e-12, "1.4": 6.9e-13,
                                 "1.6": 8.0e-17},
