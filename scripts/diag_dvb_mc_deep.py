@@ -82,6 +82,12 @@ def main():
     # (snr, frames, seed) — 1.2 dB is the cheap anchor vs round-4 MC
     plan = [(1.2, 1_000_000, 71), (1.25, 10_000_000, 72),
             (1.3, 10_000_000, 73), (1.4, 10_000_000, 74)]
+    if "--extend15" in sys.argv:
+        # round-5 extension: push the direct measurement one more point
+        # down the cliff (resolves FER >= ~3e-8 at 1e8 frames)
+        plan = [(1.5, 100_000_000, 75)]
+        global OUT  # separate artifact, merged by the analysis
+        OUT = "results/dvb_mc_deep_15.json"
     for snr, frames, seed in plan:
         sigma = ch.sigma_for(snr, code.rate, "bpsk")
         key = jax.random.fold_in(jax.random.PRNGKey(seed),

@@ -56,14 +56,16 @@ def main():
                                           max_iter=20, schedule="layered",
                                           early_term=True))
 
-    # 1. every (L,2) chain orbit: L consecutive accumulator blocks at
-    #    canonical rotation 0 (parity blocks kb .. kb+mb-1)
+    # 1. NO pure-chain reps: (L,2) accumulator chains are PARITY-ONLY
+    #    events (results/dvb_mc_deep.json: zero info bits in every pure-
+    #    chain failure) — they cannot produce an info-FER event, and a
+    #    first pass that spent 354 of 463 reps on them starved the real
+    #    mechanism of frames (measured 5-2000x low vs the MC anchors
+    #    with 40x seed scatter). The info-failure mechanism is the
+    #    COMPOUND class (one info bit + several chains), harvested next.
     reps = []
-    L_max = 2 if quick else 4
-    for L in range(1, L_max + 1):
-        for b0 in range(kb, kb + mb - L + 1):
-            reps.append(tuple((b0 + i) * Z for i in range(L)))
-    n_chain = len(reps)
+    n_chain = 0
+    del kb, mb  # chain generation retired
 
     # 2. canonicalized info-failure supports from the MC probe (the
     #    compound info-bit + chains mechanism, measured not guessed)
@@ -100,15 +102,15 @@ def main():
     deltas_l = [1.4, 2.0] if quick else [1.2, 1.6, 2.0]
     reps_x, deltas = expand_radial(reps, deltas_l)
     batch = 256 if quick else 1024
-    frames = 2048 if quick else 524_288
+    frames = 2048 if quick else 2_097_152
     run = make_symmetric_run(code, cfg, reps_x, delta=deltas, pi0=0.25,
                              batch=batch)
 
     doc = {"config": f"DVB-S2 n=64800 r=1/2_like, 8-bit scale-4 OMS "
                      f"beta=2LSB layered 20it ET, batch {batch}; "
                      f"symmetry-folded mixture IS: {len(reps)} orbit reps "
-                     f"({n_chain} (L,2) chains L<=4 every start, "
-                     f"{n_harvest} MC-harvested compounds, (7,3) orbit) "
+                     f"(pure parity-chain reps EXCLUDED - parity-only events, "
+                     f"{n_harvest} MC-harvested info-compound orbits, (7,3) orbit) "
                      f"x ladder {deltas_l}, pi0=0.25, exact M0/M Z-fold x{Z}",
            "mc_anchors": {"1.25": 8.7e-6, "1.3": 1.4e-6, "1.4": 1.0e-7},
            "retracted_round4": {"1.3": 8.8e-12, "1.4": 6.9e-13,
