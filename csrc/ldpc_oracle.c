@@ -73,11 +73,52 @@ static void cn_update(const int32_t *v2c, int deg, int beta, int qmax,
     }
 }
 
+/* Pinned fixed-point pairwise box-plus (min* CN arithmetic) — exact
+ * mirror of golden _boxplus2: per-combine clip to [0, qmax], threshold-
+ * LUT correction (one LSB per crossed threshold), sign(0) = +1, +INF
+ * sentinel identity. */
+#define MS_INF (1 << 14)
+static int32_t bp2(int32_t x, int32_t y, const int32_t *T, int nT,
+                   int qmax) {
+    int32_t ax = x < 0 ? -x : x, ay = y < 0 ? -y : y;
+    int32_t mn = ax < ay ? ax : ay;
+    int32_t sm = ax + ay, df = ax - ay;
+    if (df < 0) df = -df;
+    int32_t c = 0;
+    for (int i = 0; i < nT; i++) {
+        if (sm <= T[i]) c++;
+        if (df <= T[i]) c--;
+    }
+    int32_t mag = mn + c;
+    if (mag < 0) mag = 0;
+    if (mag > qmax) mag = qmax;
+    return ((x < 0) != (y < 0)) ? -mag : mag;
+}
+
+/* min* CN update: exclude-self box-plus by prefix/suffix combines in
+ * neighbor order (golden _cn_update_minstar; the per-combine clip makes
+ * evaluation order part of the semantics). deg < 64 everywhere in this
+ * repo's code families. */
+static void cn_update_minstar(const int32_t *v2c, int deg, int qmax,
+                              const int32_t *T, int nT, int32_t *out) {
+    int32_t pre[65], suf[65];
+    pre[0] = MS_INF;
+    suf[deg] = MS_INF;
+    for (int i = 0; i < deg; i++) {
+        pre[i + 1] = bp2(pre[i], v2c[i], T, nT, qmax);
+        int j = deg - 1 - i;
+        suf[j] = bp2(v2c[j], suf[j + 1], T, nT, qmax);
+    }
+    for (int i = 0; i < deg; i++)
+        out[i] = bp2(pre[i], suf[i + 1], T, nT, qmax);
+}
+
 /* One codeword, flooding schedule. Workspaces are caller-provided. */
 static void decode_one_flooding(
     const int8_t *chan, int n, int m, int E,
     const int32_t *cn_ptr, const int32_t *cn_vars,
     int max_iter, int beta, int qmax, int anum, int ashift, int early_term,
+    const int32_t *msT, int n_ms,
     uint8_t *hard, int32_t *iters_out, uint8_t *conv_out,
     int32_t *c2v, int32_t *total, int32_t *v2c_buf, int32_t *out_buf) {
     memset(c2v, 0, (size_t)E * sizeof(int32_t));
@@ -103,7 +144,10 @@ static void decode_one_flooding(
             int32_t *cv = c2v + cn_ptr[c];
             for (int t = 0; t < deg; t++)
                 v2c_buf[t] = CLIP(total[vs[t]] - cv[t], -qmax, qmax);
-            cn_update(v2c_buf, deg, beta, qmax, anum, ashift, out_buf);
+            if (n_ms > 0)
+                cn_update_minstar(v2c_buf, deg, qmax, msT, n_ms, out_buf);
+            else
+                cn_update(v2c_buf, deg, beta, qmax, anum, ashift, out_buf);
             memcpy(cv, out_buf, (size_t)deg * sizeof(int32_t));
         }
         /* New totals + hard decision + syndrome. */
@@ -146,6 +190,7 @@ static void decode_one_layered(
     const int32_t *cn_ptr, const int32_t *cn_vars,
     int n_layers, const int32_t *layer_ptr, const int32_t *layer_checks,
     int max_iter, int beta, int qmax, int anum, int ashift, int early_term,
+    const int32_t *msT, int n_ms,
     uint8_t *hard, int32_t *iters_out, uint8_t *conv_out,
     int32_t *c2v, int32_t *post, int32_t *v2c_buf, int32_t *out_buf) {
     memset(c2v, 0, (size_t)E * sizeof(int32_t));
@@ -172,6 +217,9 @@ static void decode_one_layered(
                 int32_t *cv = c2v + cn_ptr[c];
                 for (int t = 0; t < deg; t++)
                     v2c_buf[t] = CLIP(post[vs[t]] - cv[t], -qmax, qmax);
+                if (n_ms > 0)
+                cn_update_minstar(v2c_buf, deg, qmax, msT, n_ms, out_buf);
+            else
                 cn_update(v2c_buf, deg, beta, qmax, anum, ashift, out_buf);
                 for (int t = 0; t < deg; t++) {
                     post[vs[t]] += out_buf[t] - cv[t];
@@ -211,6 +259,7 @@ void ldpc_decode_batch(
     int n_layers, const int32_t *layer_ptr, const int32_t *layer_checks,
     int schedule, int max_iter, int beta, int qmax, int anum,
     int ashift, int early_term,
+    const int32_t *ms_thresh, int n_ms,
     uint8_t *hard, int32_t *iters, uint8_t *conv) {
     int max_deg = 0;
     for (int c = 0; c < m; c++) {
@@ -228,12 +277,14 @@ void ldpc_decode_batch(
             if (schedule == 0)
                 decode_one_flooding(chan + (size_t)b * n, n, m, E, cn_ptr,
                                     cn_vars, max_iter, beta, qmax, anum, ashift, early_term,
+                                    ms_thresh, n_ms,
                                     hard + (size_t)b * n, iters + b, conv + b,
                                     c2v, work, v2c_buf, out_buf);
             else
                 decode_one_layered(chan + (size_t)b * n, n, m, E, cn_ptr,
                                    cn_vars, n_layers, layer_ptr, layer_checks,
                                    max_iter, beta, qmax, anum, ashift, early_term,
+                                   ms_thresh, n_ms,
                                    hard + (size_t)b * n, iters + b, conv + b,
                                    c2v, work, v2c_buf, out_buf);
         }

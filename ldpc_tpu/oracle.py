@@ -61,6 +61,7 @@ def _lib() -> ctypes.CDLL:
         ctypes.c_int, i32p, i32p,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        i32p, ctypes.c_int,  # min* threshold LUT (n_ms = 0: min-sum family)
         u8p, i32p, u8p,
     ]
     lib.ldpc_decode_batch.restype = None
@@ -117,9 +118,14 @@ def decode_batch(
     schedule: str = "flooding",
     early_term: bool = True,
     alpha=None,
+    minstar=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Bit-exact batched decode. chan: (B, n) int8 -> (hard u8, iters i32,
-    conv bool). alpha = (num, shift) normalized-min-sum scaling or None."""
+    conv bool). alpha = (num, shift) normalized-min-sum scaling or None.
+    minstar = threshold-LUT tuple (config.minstar_thresholds) selects the
+    min* CN update (round 5; beta/alpha must then be 0/None)."""
+    if minstar is not None and (beta or alpha is not None):
+        raise ValueError("min-star does not compose with beta/alpha")
     chan = np.ascontiguousarray(chan, np.int8)
     B, n = chan.shape
     assert n == code.n
@@ -127,6 +133,7 @@ def decode_batch(
     hard = np.empty((B, n), np.uint8)
     iters = np.empty(B, np.int32)
     conv = np.empty(B, np.uint8)
+    ms = np.asarray(minstar if minstar is not None else [], np.int32)
     _lib().ldpc_decode_batch(
         chan, B, n, code.m, int(cn_ptr[-1]),
         cn_ptr, cn_vars,
@@ -135,6 +142,7 @@ def decode_batch(
         max_iter, beta, qmax,
         alpha[0] if alpha else 1, alpha[1] if alpha else 0,
         int(early_term),
+        np.ascontiguousarray(ms), len(ms),
         hard, iters, conv)
     return hard, iters, conv.astype(bool)
 

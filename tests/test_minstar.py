@@ -197,6 +197,35 @@ class TestPallasMinstar:
             make_pallas_decoder(toy_qc(8), beta=1, minstar=(8, 3, 0))
 
 
+class TestOracleMinstar:
+    """Round-5 native-C oracle min* (csrc/ldpc_oracle.c cn_update_minstar)
+    — the fourth bit-exact implementation of the pinned semantics."""
+
+    @pytest.mark.parametrize("schedule", ["flooding", "layered"])
+    def test_oracle_matches_golden(self, schedule):
+        from ldpc_tpu import oracle
+        code = toy_qc(8)
+        q = QuantConfig(bits=6, scale=4.0)
+        T = minstar_thresholds(q)
+        rng = np.random.default_rng(11)
+        chan = rng.integers(-20, 20, (32, code.n)).astype(np.int8)
+        h, it, cv = oracle.decode_batch(chan, code, max_iter=6,
+                                        qmax=q.qmax, schedule=schedule,
+                                        minstar=T)
+        for b in range(8):
+            g = gold.decode_fixed(chan[b].astype(np.int32), code,
+                                  max_iter=6, qmax=q.qmax,
+                                  schedule=schedule, minstar=T)
+            np.testing.assert_array_equal(h[b], g.hard)
+            assert it[b] == g.iters and bool(cv[b]) == g.converged
+
+    def test_oracle_rejects_beta_combination(self):
+        from ldpc_tpu import oracle
+        with pytest.raises(ValueError, match="beta/alpha"):
+            oracle.decode_batch(np.zeros((2, 24), np.int8), toy_qc(8),
+                                beta=1, minstar=(8, 3, 0))
+
+
 class TestPipelineIntegration:
     def _cfg(self, **dec_kw):
         return SimConfig(code=CodeConfig(),
