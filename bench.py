@@ -84,6 +84,16 @@ def _cfg(name):
         cfg = PRESETS["multihost-qam-chain"]
         return dataclasses.replace(
             cfg, run=dataclasses.replace(cfg.run, mesh_shape=None))
+    if name == "wifi-648-minstar":
+        # round-5: the min* Pallas kernel at the measured 2.26x-of-OMS
+        # operating point (results/bench_minstar.json methodology)
+        cfg = PRESETS[CONFIG]
+        return dataclasses.replace(
+            cfg,
+            quant=dataclasses.replace(cfg.quant, beta_lsb=0),
+            decoder=dataclasses.replace(cfg.decoder, algorithm="min-star",
+                                        schedule="layered",
+                                        early_term=True))
     raise KeyError(name)
 
 
@@ -94,6 +104,7 @@ EXTENDED = {
     "dvbs2-16200-r12-resident-et": (1024, 128, 2, None, 4, 2),
     "nr-bg1-z384-stream": (256, 128, 4, None, 4, 2),
     "qam16-1944-chain": (16384, 1024, 2, None, 4, 2),
+    "wifi-648-minstar": (16384, 512, 8, None, 4, 2),
 }
 
 

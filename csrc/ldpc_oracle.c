@@ -218,9 +218,11 @@ static void decode_one_layered(
                 for (int t = 0; t < deg; t++)
                     v2c_buf[t] = CLIP(post[vs[t]] - cv[t], -qmax, qmax);
                 if (n_ms > 0)
-                cn_update_minstar(v2c_buf, deg, qmax, msT, n_ms, out_buf);
-            else
-                cn_update(v2c_buf, deg, beta, qmax, anum, ashift, out_buf);
+                    cn_update_minstar(v2c_buf, deg, qmax, msT, n_ms,
+                                      out_buf);
+                else
+                    cn_update(v2c_buf, deg, beta, qmax, anum, ashift,
+                              out_buf);
                 for (int t = 0; t < deg; t++) {
                     post[vs[t]] += out_buf[t] - cv[t];
                     cv[t] = out_buf[t];
@@ -265,6 +267,14 @@ void ldpc_decode_batch(
     for (int c = 0; c < m; c++) {
         int d = cn_ptr[c + 1] - cn_ptr[c];
         if (d > max_deg) max_deg = d;
+    }
+    if (n_ms > 0 && max_deg > 64) {
+        /* cn_update_minstar's prefix/suffix chains live on fixed stack
+         * buffers (pre[65]/suf[65]); abort loudly rather than overflow
+         * on an out-of-family graph. */
+        fprintf(stderr, "ldpc_oracle: min* supports check degree <= 64, "
+                        "got %d\n", max_deg);
+        abort();
     }
 #pragma omp parallel
     {

@@ -24,7 +24,6 @@ from __future__ import annotations
 import ctypes
 import dataclasses
 import os
-import subprocess
 from functools import lru_cache
 from typing import Dict, List, Optional, Tuple
 
@@ -39,34 +38,9 @@ _CSRC = os.path.join(
 
 @lru_cache(maxsize=1)
 def _lib() -> ctypes.CDLL:
-    src = os.path.join(_CSRC, "as_enum.c")
-    build = os.path.join(_CSRC, "build")
-    os.makedirs(build, exist_ok=True)
-    so = os.path.join(build, "as_enum.so")
-    if (not os.path.exists(so)
-            or os.path.getmtime(so) < os.path.getmtime(src)):
-        cc = os.environ.get("CC", "cc")
-        cmd = [cc, "-O3", "-shared", "-fPIC", "-fopenmp", src, "-o", so]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True, text=True)
-        except subprocess.CalledProcessError:
-            cmd = [cc, "-O3", "-shared", "-fPIC", src, "-o", so]
-            subprocess.run(cmd, check=True, capture_output=True, text=True)
-    try:
-        lib = ctypes.CDLL(so)
-    except OSError:
-        # a committed/stale binary from another ABI: rebuild from source
-        # once (mtime alone cannot catch this on a fresh checkout)
-        os.remove(so)
-        cc = os.environ.get("CC", "cc")
-        try:
-            subprocess.run([cc, "-O3", "-shared", "-fPIC", "-fopenmp", src,
-                            "-o", so], check=True, capture_output=True,
-                           text=True)
-        except subprocess.CalledProcessError:
-            subprocess.run([cc, "-O3", "-shared", "-fPIC", src, "-o", so],
-                           check=True, capture_output=True, text=True)
-        lib = ctypes.CDLL(so)
+    from ..utils.native import load_native
+    lib = load_native(os.path.join(_CSRC, "as_enum.c"),
+                      os.path.join(_CSRC, "build", "as_enum.so"))
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")

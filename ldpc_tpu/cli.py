@@ -546,13 +546,15 @@ def cmd_analyze(args) -> int:
     from .sim.sweep import build_code
 
     cfg = _build_config(args)
+    if getattr(args, "pexit", False):
+        # dispatch BEFORE the quantized-DE algorithm gate: PEXIT is float
+        # sum-product and merely notes ignored algorithm flags
+        return _analyze_pexit(args, cfg)
     if cfg.decoder.algorithm not in ("min-sum", "offset-min-sum",
                                      "normalized-min-sum", "min-star"):
         raise SystemExit(f"analyze: quantized DE covers the fixed-point "
                          f"min-sum family and min-star, not "
                          f"{cfg.decoder.algorithm}")
-    if getattr(args, "pexit", False):
-        return _analyze_pexit(args, cfg)
     if getattr(args, "scan_scale", None):
         return _analyze_scan_scale(args, cfg)
     # DE uses only the code profile + quantizer + CN parameters; flag the

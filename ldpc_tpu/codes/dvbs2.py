@@ -68,8 +68,11 @@ PROFILES: Dict[str, Tuple[int, int, int]] = {
 }
 
 
-@lru_cache(maxsize=32)
 def make_code(n: int = N_NORMAL, rate: str = "1/2", seed: int = 0) -> LDPCCode:
+    """Registry-aware entry: an imported exact table (codes/imported.py)
+    takes precedence and is consulted UNCACHED (store()/remove() in the
+    same process must take effect — advisor round-5); the generated
+    fallback below stays lru_cached."""
     if n not in (N_NORMAL, N_SHORT):
         raise ValueError(f"DVB-S2 frames are n={N_NORMAL} (normal) or "
                          f"n={N_SHORT} (short), got {n}")
@@ -85,6 +88,11 @@ def make_code(n: int = N_NORMAL, rate: str = "1/2", seed: int = 0) -> LDPCCode:
         return expand_qc(B, Z, k=ki,
                          name=f"dvbs2_n{n}_r{rate.replace('/', '')}_std",
                          standard_exact=True)
+    return _make_code_gen(n, rate, seed)
+
+
+@lru_cache(maxsize=32)
+def _make_code_gen(n: int, rate: str, seed: int) -> LDPCCode:
     k, n_hi, d1 = PROFILES[rate]
     if n == N_SHORT:
         # Short frames keep the normal frame's degree SHAPE (d1 plus

@@ -223,8 +223,14 @@ def base_matrix(n: int, rate: str) -> np.ndarray:
 
 
 def is_standard_exact(n: int, rate: str) -> bool:
-    """False when the reconstructed table needed girth repair and is therefore
-    an '802.11n-like' code rather than the exact published table."""
+    """True when make_code(n, rate) returns an exact published table:
+    either the in-repo reconstruction needed no girth repair, or a
+    validated table is installed in the import registry
+    (codes/imported.py) — registry-aware so the predicate always agrees
+    with make_code().standard_exact."""
+    from .imported import lookup
+    if lookup("ieee80211n", f"n{n}_r{rate.replace('/', '')}") is not None:
+        return True
     return _base_matrix_meta(n, rate)[1]
 
 

@@ -128,22 +128,26 @@ def validate_table(family: str, Z: int, base: np.ndarray,
                          f"[-1, {Z})")
 
     if family == "ieee80211n":
-        from .ieee80211n import RATES, Z_OF_N, make_code
+        from .ieee80211n import RATES, Z_OF_N, _base_matrix_meta
         if n not in Z_OF_N or rate not in RATES:
             raise ValueError(f"not an 802.11n code point: ({n}, {rate})")
         if Z != Z_OF_N[n]:
             raise ValueError(f"Z={Z} but 802.11n n={n} has Z={Z_OF_N[n]}")
-        ref = make_code(n, rate)
-        if base.shape != ref.base.shape:
+        # reference = the PINNED in-repo reconstruction, never make_code:
+        # make_code consults this registry, so a previously stored table
+        # must not become the validation yardstick for the next one
+        # (advisor round-5: registry laundering)
+        ref_base, _ = _base_matrix_meta(n, rate)
+        if base.shape != ref_base.shape:
             raise ValueError(f"base shape {base.shape} != expected "
-                             f"{ref.base.shape}")
+                             f"{ref_base.shape}")
         # the published degree PROFILE is certain even where the repaired
         # tables' digits are not: per-column and per-row edge counts must
         # match the in-repo table exactly
         cand_col = (base >= 0).sum(axis=0)
         cand_row = (base >= 0).sum(axis=1)
-        ref_col = (ref.base >= 0).sum(axis=0)
-        ref_row = (ref.base >= 0).sum(axis=1)
+        ref_col = (ref_base >= 0).sum(axis=0)
+        ref_row = (ref_base >= 0).sum(axis=1)
         if not (np.array_equal(cand_col, ref_col)
                 and np.array_equal(cand_row, ref_row)):
             raise ValueError("degree profile differs from the published "

@@ -75,9 +75,10 @@ def _topology(bg: int, rng: np.random.Generator) -> Tuple[List[List[int]],
     return rows, ext_core
 
 
-@lru_cache(maxsize=32)
 def full_graph(base_graph: int = 1, Z: int = 384, seed: int = 0) -> LDPCCode:
-    """The full (un-rate-matched) BG code: n = (kb+mb) Z, k = kb Z."""
+    """The full (un-rate-matched) BG code: n = (kb+mb) Z, k = kb Z.
+    Registry-aware entry, consulted UNCACHED so in-process import-standard
+    store()/remove() takes effect; the generated path stays lru_cached."""
     if base_graph not in (1, 2):
         raise ValueError(f"base_graph must be 1 or 2, got {base_graph}")
     if Z not in ALL_Z:
@@ -91,6 +92,11 @@ def full_graph(base_graph: int = 1, Z: int = 384, seed: int = 0) -> LDPCCode:
         assert Zi == Z
         return expand_qc(B, Z, name=f"nr_bg{base_graph}_z{Z}_std",
                          standard_exact=True)
+    return _full_graph_gen(base_graph, Z, seed)
+
+
+@lru_cache(maxsize=32)
+def _full_graph_gen(base_graph: int, Z: int, seed: int) -> LDPCCode:
     rng = np.random.default_rng(0xBABE + 131 * base_graph + seed)
     rows, ext_core = _topology(base_graph, rng)
     p = _PARAMS[base_graph]

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import sysconfig
 from functools import lru_cache
 from typing import Tuple
@@ -24,34 +23,9 @@ _CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 @lru_cache(maxsize=1)
 def _lib() -> ctypes.CDLL:
-    src = os.path.join(_CSRC, "ldpc_oracle.c")
-    build = os.path.join(_CSRC, "build")
-    os.makedirs(build, exist_ok=True)
-    so = os.path.join(build, "ldpc_oracle.so")
-    if (not os.path.exists(so)
-            or os.path.getmtime(so) < os.path.getmtime(src)):
-        cc = os.environ.get("CC", "cc")
-        cmd = [cc, "-O3", "-shared", "-fPIC", "-fopenmp", src, "-o", so]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True, text=True)
-        except subprocess.CalledProcessError:
-            # retry without OpenMP (the pragma degrades to serial)
-            cmd = [cc, "-O3", "-shared", "-fPIC", src, "-o", so]
-            subprocess.run(cmd, check=True, capture_output=True, text=True)
-    try:
-        lib = ctypes.CDLL(so)
-    except OSError:
-        # stale/foreign-ABI binary (mtime can't catch it): rebuild once
-        os.remove(so)
-        cc = os.environ.get("CC", "cc")
-        try:
-            subprocess.run([cc, "-O3", "-shared", "-fPIC", "-fopenmp", src,
-                            "-o", so], check=True, capture_output=True,
-                           text=True)
-        except subprocess.CalledProcessError:
-            subprocess.run([cc, "-O3", "-shared", "-fPIC", src, "-o", so],
-                           check=True, capture_output=True, text=True)
-        lib = ctypes.CDLL(so)
+    from .utils.native import load_native
+    lib = load_native(os.path.join(_CSRC, "ldpc_oracle.c"),
+                      os.path.join(_CSRC, "build", "ldpc_oracle.so"))
     i8p = np.ctypeslib.ndpointer(np.int8, flags="C")
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C")

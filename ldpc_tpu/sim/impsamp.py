@@ -296,21 +296,8 @@ def make_is_run(code, cfg: SimConfig, sets: Sequence[Sequence[int]],
     dec, dec_label = select_decoder(code, cfg, backend,
                                     batch_tile=min(batch, 1024),
                                     interpret=interpret, batch=batch)
-    if (mesh is not None and dec_label in ("pallas", "pallas-stream")
-            and (batch // mesh.size) % max(getattr(dec, "batch_tile", 1),
-                                           1) == 0):
-        # same shard_map seam as sim/pipeline.py make_run_batch: pin the
-        # Pallas kernel to per-device execution on the local batch shard
-        # (the SPMD partitioner would otherwise gather + replicate around
-        # the opaque custom call on a real multi-chip mesh)
-        from jax.sharding import PartitionSpec as P_
-        inner_dec, axes_ = dec, mesh.axis_names
-
-        def dec(q):  # noqa: F811
-            return jax.shard_map(
-                inner_dec, mesh=mesh, in_specs=P_(axes_, None),
-                out_specs=(P_(axes_, None), P_(axes_), P_(axes_)),
-                check_vma=False)(q)
+    from .pipeline import maybe_shard_map_decoder
+    dec = maybe_shard_map_decoder(dec, dec_label, mesh, batch)
     info_pos = jnp.asarray(np.asarray(info_positions(code)))
     if K:
         M = np.zeros((K, code.n), np.float32)
@@ -476,17 +463,8 @@ def make_symmetric_run(code, cfg: SimConfig, reps: Sequence[Sequence[int]],
     dec, dec_label = select_decoder(code, cfg, backend,
                                     batch_tile=min(batch, 1024),
                                     interpret=interpret, batch=batch)
-    if (mesh is not None and dec_label in ("pallas", "pallas-stream")
-            and (batch // mesh.size) % max(getattr(dec, "batch_tile", 1),
-                                           1) == 0):
-        from jax.sharding import PartitionSpec as P_
-        inner_dec, axes_ = dec, mesh.axis_names
-
-        def dec(q):  # noqa: F811
-            return jax.shard_map(
-                inner_dec, mesh=mesh, in_specs=P_(axes_, None),
-                out_specs=(P_(axes_, None), P_(axes_), P_(axes_)),
-                check_vma=False)(q)
+    from .pipeline import maybe_shard_map_decoder
+    dec = maybe_shard_map_decoder(dec, dec_label, mesh, batch)
 
     info_pos = jnp.asarray(np.asarray(info_positions(code)))
     nb_blocks = code.n // Z

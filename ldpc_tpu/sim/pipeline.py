@@ -42,6 +42,32 @@ def is_float_mode(cfg: SimConfig) -> bool:
     return cfg.decoder.algorithm in FLOAT_ALGOS
 
 
+def maybe_shard_map_decoder(dec, dec_label: str, mesh, batch: int):
+    """Wrap a batch-first Pallas decoder in shard_map when a mesh is given
+    (and the per-shard batch divides the decoder's tile): the SPMD
+    partitioner treats a Pallas kernel as an opaque custom call and would
+    gather + replicate around it on a real multi-chip mesh; shard_map pins
+    per-device execution on the local batch shard — bit-identical (lanes
+    independent; counter identity pinned in tests/test_mesh_backends.py)
+    and collective-free until the counter psums. Returns dec unchanged
+    when not applicable. The decoder's batch_tile attribute is preserved
+    (the two-phase tuner reads it)."""
+    tile = max(getattr(dec, "batch_tile", 1), 1)
+    if (mesh is None or dec_label not in ("pallas", "pallas-stream")
+            or (batch // mesh.size) % tile != 0):
+        return dec
+    axes = mesh.axis_names
+
+    def wrapped(q):
+        return jax.shard_map(
+            dec, mesh=mesh, in_specs=P(axes, None),
+            out_specs=(P(axes, None), P(axes), P(axes)),
+            check_vma=False)(q)
+
+    wrapped.batch_tile = tile
+    return wrapped
+
+
 def select_decoder(code: LDPCCode, cfg: SimConfig, backend: str = "auto",
                    batch_tile: int = 1024, interpret: bool = False,
                    batch: Optional[int] = None,
@@ -424,22 +450,7 @@ def make_run_batch(
         dec, dec_label = select_decoder(code, cfg, decoder_backend,
                                         min(batch_tile, B), interpret,
                                         batch=B)
-        if (mesh is not None and dec_label in ("pallas", "pallas-stream")
-                and (B // mesh.size) % max(getattr(dec, "batch_tile", 1),
-                                           1) == 0):
-            # A Pallas kernel is an opaque custom call to the SPMD
-            # partitioner: under a plain sharded jit, a real multi-chip
-            # mesh would all-gather the batch and replicate the kernel.
-            # shard_map pins per-device execution on the local batch shard
-            # — bit-identical (lanes are independent; tested on the fake
-            # 2x4 mesh) and collective-free until the counter psums.
-            inner_dec, axes = dec, mesh.axis_names
-
-            def dec(q):  # noqa: F811
-                return jax.shard_map(
-                    inner_dec, mesh=mesh, in_specs=P(axes, None),
-                    out_specs=(P(axes, None), P(axes), P(axes)),
-                    check_vma=False)(q)
+        dec = maybe_shard_map_decoder(dec, dec_label, mesh, B)
 
     # Rate matching (5G NR): punctured variables are never transmitted and
     # enter the decoder with LLR 0; shortened variables are known zeros and

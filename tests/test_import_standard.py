@@ -38,6 +38,20 @@ class TestValidate:
                                  rate="3/4")
         assert rep["rank"] == c.m and rep["girth"] >= 6
 
+    def test_validation_reference_not_launderable(self, registry):
+        # validate_table compares against the PINNED in-repo table, so a
+        # previously stored registry entry cannot become the yardstick:
+        # store a table, then a profile-breaking candidate still rejects
+        c = _wifi_like()
+        imp.store("ieee80211n", "n648_r34", c.Z, c.base)
+        b = c.base.copy()
+        on = tuple(np.argwhere(b >= 0)[0])
+        off = tuple(np.argwhere(b < 0)[0])
+        b[off] = b[on]
+        b[on] = -1
+        with pytest.raises(ValueError, match="profile"):
+            imp.validate_table("ieee80211n", c.Z, b, n=648, rate="3/4")
+
     def test_four_cycle_rejected(self, registry):
         c = _wifi_like()
         b = c.base.copy()
@@ -87,25 +101,27 @@ class TestRegistrySwap:
         imp.store("ieee80211n", "n648_r34", c.Z, c.base)
         c2 = make_wifi(648, "3/4")
         assert c2.standard_exact and c2.name.endswith("_std")
+        # the predicate agrees with the builder (registry-aware)
+        assert is_standard_exact(648, "3/4")
         # graph identical (we imported the same table)
         assert all(np.array_equal(a, b)
                    for a, b in zip(c.cn_adj, c2.cn_adj))
         assert imp.remove("ieee80211n", "n648_r34")
         c3 = make_wifi(648, "3/4")
         assert not c3.standard_exact
+        assert not is_standard_exact(648, "3/4")
 
     def test_nr_full_graph_swap(self, registry):
+        # registry consulted UNCACHED: store()/remove() take effect in the
+        # same process with no cache_clear gymnastics (advisor round-5)
         from ldpc_tpu.codes.nr_bg import full_graph, make_code as make_nr
-        full_graph.cache_clear()
         g = full_graph(2, 52)
         imp.store("5gnr", "bg2_z52", 52, g.base)
-        full_graph.cache_clear()
         g2 = full_graph(2, 52)
         assert g2.standard_exact and g2.name.endswith("_std")
         code = make_nr(2, 52, rate="1/3")
         assert code.standard_exact and code.name.endswith("_std")
         imp.remove("5gnr", "bg2_z52")
-        full_graph.cache_clear()
         assert not full_graph(2, 52).standard_exact
 
     def test_smoke_decode_catches_broken_table(self, registry):
