@@ -262,6 +262,64 @@ def cmd_construct(args) -> int:
     return 0
 
 
+def _floor_symmetric(args, cfg, code, dom, deltas, batch, mesh) -> int:
+    """floor --symmetric: symmetry-folded mixture IS (one canonical
+    representative per QC orbit, exact M0/M Z-fold — sim/impsamp.py
+    make_symmetric_run). The convergence bar is a PRODUCT feature here:
+    --seeds runs every listed seed and the output marks each point
+    converged only when all seeds agree within their quoted errors.
+    Validated on the wifi-648 deep floor; on mechanism-diverse codes
+    (DVB-S2 below the knee) expect honest non-convergence — see
+    docs/PERFORMANCE.md round-5 floor verdict."""
+    from .sim.impsamp import (canonical_rotation, estimate_fer_symmetric,
+                              expand_radial, make_symmetric_run)
+
+    if code.Z is None:
+        raise SystemExit("floor --symmetric requires a QC code")
+    reps = sorted(set(canonical_rotation(code, s) for s in dom))
+    print(f"# {len(dom)} proposal sets -> {len(reps)} orbit reps "
+          f"(Z={code.Z} fold)", file=sys.stderr)
+    reps_x, delta_run = expand_radial(reps, deltas)
+    run = make_symmetric_run(code, cfg, reps_x, delta=delta_run,
+                             pi0=args.pi0, batch=batch, mesh=mesh)
+    seeds = ([int(s) for s in str(args.seeds).split(",")]
+             if args.seeds else [cfg.run.seed])
+    points = []
+    for e in _parse_ebn0(args.ebn0):
+        rows = []
+        for seed in seeds:
+            est = estimate_fer_symmetric(code, cfg, reps_x, ebn0_db=e,
+                                         frames=args.frames, batch=batch,
+                                         delta=delta_run, pi0=args.pi0,
+                                         seed=seed, run=run)
+            est["seed"] = seed
+            rows.append(est)
+        # seed repeatability: every pair agrees within combined 2-sigma
+        conv = all(
+            abs(a["fer"] - b["fer"])
+            <= 2 * (a["fer"] * min(a["rel_std"], 1.0)
+                    + b["fer"] * min(b["rel_std"], 1.0))
+            for i, a in enumerate(rows) for b in rows[i + 1:])
+        pt = {"ebn0_db": e, "seeds": rows,
+              "seed_repeatable": bool(conv) if len(rows) > 1 else None}
+        points.append(pt)
+        print(json.dumps({"ebn0_db": e,
+                          "fer_by_seed": [r["fer"] for r in rows],
+                          "seed_repeatable": pt["seed_repeatable"]}),
+              flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"config": json.loads(cfg.to_json()),
+                       "code": code.name,
+                       "proposal": {"n_orbit_reps": len(reps),
+                                    "orbit_multiplier": int(code.Z),
+                                    "delta": deltas, "pi0": args.pi0,
+                                    "estimator": "symmetry-folded "
+                                                 "(exact M0/M Z-fold)"},
+                       "points": points}, f, indent=1)
+    return 0
+
+
 def cmd_floor(args) -> int:
     """Error-floor estimation: harvest decoder failures at the waterfall
     knee, refine/search trapping sets (analysis/trapping.py), then estimate
@@ -332,6 +390,8 @@ def cmd_floor(args) -> int:
               "lower --harvest-ebn0 or raise --harvest-frames",
               file=sys.stderr)
     deltas = [float(x) for x in str(args.delta).split(",")]
+    if getattr(args, "symmetric", False):
+        return _floor_symmetric(args, cfg, code, dom, deltas, batch, mesh)
     if len(deltas) > 1:
         from .sim.impsamp import expand_radial
         dom_run, delta_run = expand_radial(dom, deltas)
@@ -701,6 +761,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="union the exhaustive census's sets into the IS "
                          "proposal (e.g. 8,2,3); absorbing sets rank "
                          "first")
+    fl.add_argument("--symmetric", action="store_true",
+                    help="symmetry-folded estimator (QC codes): one "
+                         "canonical representative per orbit, exact "
+                         "M0/M Z-fold; combine with --seeds for the "
+                         "seed-repeatability convergence bar")
+    fl.add_argument("--seeds", default=None,
+                    help="with --symmetric: comma list of seeds; the "
+                         "output marks each point seed_repeatable only "
+                         "when all agree within quoted errors")
     fl.add_argument("--stratified", action="store_true",
                     help="deterministic per-component lane allocation "
                          "(removes multinomial component-count noise — the "

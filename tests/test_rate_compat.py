@@ -178,3 +178,26 @@ class TestFloorCLI:
         assert d["points"][0]["frames"] == 512
         assert d["points"][0]["fer"] >= 0
         assert d["proposal"]["n_sets"] >= 0
+
+    def test_floor_symmetric_smoke(self, tmp_path):
+        """floor --symmetric (round 5): orbit folding + the seed-
+        repeatability bar on the product surface."""
+        import json
+        from ldpc_tpu.cli import main
+        out = str(tmp_path / "floor_sym.json")
+        rc = main(["floor", "--platform", "cpu",
+                   "--algorithm", "normalized-min-sum", "--beta-lsb", "0",
+                   "--schedule", "layered",
+                   "--harvest-ebn0", "2.2", "--harvest-frames", "1024",
+                   "--batch", "256", "--frames", "512",
+                   "--ebn0", "3.0", "--symmetric", "--seeds", "5,6",
+                   "--delta", "1.2,1.8", "--out", out])
+        assert rc == 0
+        d = json.load(open(out))
+        assert d["proposal"]["estimator"].startswith("symmetry-folded")
+        assert d["proposal"]["orbit_multiplier"] == 27
+        pt = d["points"][0]
+        assert len(pt["seeds"]) == 2
+        assert pt["seed_repeatable"] in (True, False)
+        for r in pt["seeds"]:
+            assert r["fer"] >= 0 and r["frames"] == 512
