@@ -210,3 +210,16 @@ def test_analyze_scan_scale(capsys):
              .splitlines() if x.startswith("{")]
     assert "best_scale" in lines[-1]
     assert sum("sigma_star" in r for r in lines[:-1]) >= 1
+
+
+def test_analyze_scan_scale_minstar(capsys):
+    """--scan-scale re-derives the min* LUT per scale (round 5)."""
+    from ldpc_tpu.cli import main
+    rc = main(["analyze", "--scan-scale", "3:6:2", "--algorithm",
+               "min-star", "--bits", "8", "--iters", "60",
+               "--tol", "1e-2"])
+    assert rc == 0
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) >= 2
+    assert any("scale" in d and "sigma_star" in d for d in lines)

@@ -133,3 +133,24 @@ def test_stream_mesh_flat8_matches_2x4(monkeypatch):
         assert rb.backend_label == "pallas-stream"
         outs.append(tuple(map(int, rb(key, sigma))))
     assert outs[0] == outs[1]
+
+
+def test_maybe_shard_map_decoder_guards():
+    """The wrapper applies only to pallas labels with a dividing per-shard
+    tile, and preserves batch_tile when it does wrap."""
+    from ldpc_tpu.sim.pipeline import maybe_shard_map_decoder
+    mesh = make_mesh(shape=(2, 4), axes=("dcn", "ici"))
+
+    def fake_dec(q):
+        return q, q[:, 0], q[:, 0]
+
+    fake_dec.batch_tile = 128
+    # non-pallas label: unchanged
+    assert maybe_shard_map_decoder(fake_dec, "qc-jnp", mesh, 1024) is fake_dec
+    # no mesh: unchanged
+    assert maybe_shard_map_decoder(fake_dec, "pallas", None, 1024) is fake_dec
+    # per-shard batch (1024/8 = 128) divides tile: wrapped, tile preserved
+    w = maybe_shard_map_decoder(fake_dec, "pallas", mesh, 1024)
+    assert w is not fake_dec and w.batch_tile == 128
+    # per-shard batch (256/8 = 32) does NOT divide tile 128: unchanged
+    assert maybe_shard_map_decoder(fake_dec, "pallas", mesh, 256) is fake_dec
