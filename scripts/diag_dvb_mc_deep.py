@@ -84,10 +84,19 @@ def main():
             (1.3, 10_000_000, 73), (1.4, 10_000_000, 74)]
     if "--extend15" in sys.argv:
         # round-5 extension: push the direct measurement one more point
-        # down the cliff (resolves FER >= ~3e-8 at 1e8 frames)
-        plan = [(1.5, 100_000_000, 75)]
+        # down the cliff (resolves FER >= ~3e-8 at 1e8 frames). --frames
+        # and --seed allow splitting across runs (tunnel stalls happen:
+        # the first attempt froze at 37.9M frames / 0 fails — that run's
+        # evidence is recorded in the summary from its log).
+        fr = 100_000_000
+        if "--frames" in sys.argv:
+            fr = int(sys.argv[sys.argv.index("--frames") + 1])
+        sd = 75
+        if "--seed" in sys.argv:
+            sd = int(sys.argv[sys.argv.index("--seed") + 1])
+        plan = [(1.5, fr, sd)]
         global OUT  # separate artifact, merged by the analysis
-        OUT = "results/dvb_mc_deep_15.json"
+        OUT = f"results/dvb_mc_deep_15_s{sd}.json"
     for snr, frames, seed in plan:
         sigma = ch.sigma_for(snr, code.rate, "bpsk")
         key = jax.random.fold_in(jax.random.PRNGKey(seed),
@@ -117,6 +126,14 @@ def main():
                 print(f"{snr} dB: {int((i+1)*batch)} frames, "
                       f"{fails_info} info-fails / {fails_any} any-fails, "
                       f"{(i+1)*batch/el:.0f} fr/s", flush=True)
+            if i % 2000 == 1999:
+                # incremental checkpoint: a tunnel stall must not lose
+                # the run (first 1.5 dB attempt froze at 37.9M frames)
+                with open(OUT, "w") as f:
+                    json.dump({**doc, "points": doc["points"] + [{
+                        "ebn0_db": snr, "frames": (i + 1) * batch,
+                        "fails_info": fails_info, "fails_any": fails_any,
+                        "partial": True, "seed": seed}]}, f, indent=1)
         el = time.time() - t0
         N = nb * batch
         pt = {"ebn0_db": snr, "frames": N,
