@@ -94,9 +94,13 @@ def main():
         sd = 75
         if "--seed" in sys.argv:
             sd = int(sys.argv[sys.argv.index("--seed") + 1])
-        plan = [(1.5, fr, sd)]
+        snr_x = 1.5
+        if "--snr" in sys.argv:
+            snr_x = float(sys.argv[sys.argv.index("--snr") + 1])
+        plan = [(snr_x, fr, sd)]
         global OUT  # separate artifact, merged by the analysis
-        OUT = f"results/dvb_mc_deep_15_s{sd}.json"
+        tag = str(snr_x).replace(".", "")
+        OUT = f"results/dvb_mc_deep_{tag}_s{sd}.json"
     for snr, frames, seed in plan:
         sigma = ch.sigma_for(snr, code.rate, "bpsk")
         key = jax.random.fold_in(jax.random.PRNGKey(seed),

@@ -29,7 +29,8 @@ def wilson(k: int, n: int, z: float = 1.96):
 def main():
     rows = []
     for path in ("results/dvb_mc_deep.json", "results/dvb_mc_deep_15.json",
-                 "results/dvb_mc_deep_15_s76.json"):
+                 "results/dvb_mc_deep_15_s76.json",
+                 "results/dvb_mc_deep_14_s77.json"):
         try:
             d = json.load(open(path))
         except FileNotFoundError:
