@@ -459,6 +459,18 @@ def make_symmetric_run(code, cfg: SimConfig, reps: Sequence[Sequence[int]],
         raise ValueError("need at least one orbit representative")
     Z = int(code.Z)
     K = len(reps)
+    # Rate matching (NR): same pipeline contract as make_is_run — the
+    # channel/noise/shifts cover only transmitted positions. Rotation
+    # symmetry additionally requires the punctured/shortened pattern to
+    # be BLOCK-aligned (whole Z-blocks; bit-granular patterns break the
+    # orbit equivalence the Z-fold rests on) — qc_block_cover raises for
+    # partial blocks, which is exactly the gate needed here.
+    tx_pos, short_pos = _rate_match(code)
+    if tx_pos is not None:
+        from ..codes.code import qc_block_cover
+        qc_block_cover(code.punct_vns, Z, "punctured")
+        qc_block_cover(code.shortened_vns, Z, "shortened")
+    n_ch = code.n if tx_pos is None else len(tx_pos)
     deltas = np.broadcast_to(np.asarray(delta, np.float32), (K,)).copy()
     dec, dec_label = select_decoder(code, cfg, backend,
                                     batch_tile=min(batch, 1024),
@@ -474,6 +486,8 @@ def make_symmetric_run(code, cfg: SimConfig, reps: Sequence[Sequence[int]],
         idx = np.asarray(sorted(set(map(int, s))), np.int64)
         M[k, idx] = deltas[k]
         rep_pos.append([(int(v) // Z, int(v) % Z) for v in idx])
+    if tx_pos is not None:
+        M = M[:, tx_pos]  # shifts live in the transmitted space only
     sizes = (deltas ** 2 * (M > 0).sum(axis=1)).astype(np.float32)
     Mj = jnp.asarray(M)
     sizes_j = jnp.asarray(sizes)
@@ -501,7 +515,7 @@ def make_symmetric_run(code, cfg: SimConfig, reps: Sequence[Sequence[int]],
     def run_inner(key: jax.Array, sigma, Mj) -> jnp.ndarray:
         sigma = jnp.float32(sigma)
         kc, kn = jax.random.split(key)
-        z = sigma * shard_b(jax.random.normal(kn, (batch, code.n),
+        z = sigma * shard_b(jax.random.normal(kn, (batch, n_ch),
                                               jnp.float32))
         comp = jax.random.categorical(
             kc, jnp.broadcast_to(log_pi, (batch, K + 1)), axis=-1)
@@ -509,7 +523,7 @@ def make_symmetric_run(code, cfg: SimConfig, reps: Sequence[Sequence[int]],
                               -Mj[jnp.maximum(comp - 1, 0)], 0.0)
         z = z + shift_row
         w = jnp.exp(mixture_log_weight(z, Mj, sizes_j, log_pi, 1.0, sigma))
-        llr = ch.demap(1.0 + z, sigma, "bpsk")
+        llr = _assemble_llr(z, sigma, code, tx_pos, short_pos, batch)
         q = quantize(llr, cfg.quant)
         hard, _, _ = dec(q)
         hard_f = hard.astype(jnp.float32)
