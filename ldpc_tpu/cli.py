@@ -295,10 +295,13 @@ def _floor_symmetric(args, cfg, code, dom, deltas, batch, mesh) -> int:
             est["seed"] = seed
             rows.append(est)
         # seed repeatability: every pair agrees within combined 2-sigma
-        conv = all(
+        # AND every seed's own rel_std is below 0.7 — with rel_std ~ 1
+        # (estimate dominated by ~one event) the 2-sigma band spans any
+        # pair, so the pairwise test alone is vacuous (first NR run
+        # marked order-of-magnitude seed gaps as repeatable)
+        conv = all(r["rel_std"] < 0.7 for r in rows) and all(
             abs(a["fer"] - b["fer"])
-            <= 2 * (a["fer"] * min(a["rel_std"], 1.0)
-                    + b["fer"] * min(b["rel_std"], 1.0))
+            <= 2 * (a["fer"] * a["rel_std"] + b["fer"] * b["rel_std"])
             for i, a in enumerate(rows) for b in rows[i + 1:])
         pt = {"ebn0_db": e, "seeds": rows,
               "seed_repeatable": bool(conv) if len(rows) > 1 else None}
