@@ -30,7 +30,8 @@ def main():
     rows = []
     for path in ("results/dvb_mc_deep.json", "results/dvb_mc_deep_15.json",
                  "results/dvb_mc_deep_15_s76.json",
-                 "results/dvb_mc_deep_14_s77.json"):
+                 "results/dvb_mc_deep_14_s77.json",
+                 "results/dvb_mc_deep_145_s78.json"):
         try:
             d = json.load(open(path))
         except FileNotFoundError:
